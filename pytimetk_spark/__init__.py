@@ -8,7 +8,7 @@ Arrow-vectorized pandas UDFs are used only for inherently-sequential
 per-series kernels (EWM recurrences, seasonal decomposition, Gorilla
 bit-packing). No per-row Python anywhere.
 
-Public surface mirrors SURVEY.md §2. Exports are appended as modules land.
+Public surface mirrors SURVEY.md §2.
 """
 
 from pytimetk_spark.config import get_spark, stop_spark
@@ -29,5 +29,65 @@ from pytimetk_spark.functions.selection import (
     starts_with,
 )
 from pytimetk_spark.operators.summarize_by_time import summarize_by_time
+from pytimetk_spark.operators.apply_by_time import apply_by_time
+from pytimetk_spark.operators.pad_by_time import pad_by_time
+from pytimetk_spark.operators.filter_by_time import filter_by_time, parse_end_date
+from pytimetk_spark.operators.future_frame import (
+    future_frame,
+    make_future_timeseries,
+)
+from pytimetk_spark.operators.make_timeseries_sequence import (
+    make_weekday_sequence,
+    make_weekend_sequence,
+)
+from pytimetk_spark.operators.ts_summary import ts_summary
+from pytimetk_spark.operators.frequency import (
+    get_frequency,
+    get_frequency_summary,
+    get_seasonal_frequency,
+    get_trend_frequency,
+    median_observations_per_period,
+)
+from pytimetk_spark.operators.augment_shift import (
+    augment_diffs,
+    augment_lags,
+    augment_leads,
+    augment_pct_change,
+)
+from pytimetk_spark.operators.augment_rolling import (
+    augment_expanding,
+    augment_expanding_apply,
+    augment_rolling,
+    augment_rolling_apply,
+)
+from pytimetk_spark.operators.augment_ewm import augment_ewm
+from pytimetk_spark.operators.signatures import (
+    augment_fourier,
+    augment_holiday_signature,
+    augment_timeseries_signature,
+    get_timeseries_signature,
+    holiday_dim,
+)
+from pytimetk_spark.operators.anomalize import anomalize
+from pytimetk_spark.operators.binarize import binarize, correlate
+from pytimetk_spark.operators import finance
+from pytimetk_spark.operators.finance import (
+    augment_adx,
+    augment_atr,
+    augment_bbands,
+    augment_cmo,
+    augment_drawdown,
+    augment_ewma_volatility,
+    augment_fip_momentum,
+    augment_hurst_exponent,
+    augment_macd,
+    augment_ppo,
+    augment_qsmomentum,
+    augment_roc,
+    augment_rolling_risk_metrics,
+    augment_rsi,
+    augment_stochastic_oscillator,
+)
+from pytimetk_spark.operators.crossvalidation import TimeSeriesCV
 
 __version__ = "0.1.0"

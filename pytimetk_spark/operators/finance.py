@@ -1,0 +1,568 @@
+"""Finance indicators — composites of the augment primitives.
+
+Reference: /root/reference/src/pytimetk/finance/*.py (column-name contracts
+cited per function). SMA/rolling-extrema/cummax families are pure native
+Window expressions (one shuffle+sort for all indicators over the same
+group/order); EMA/Wilder recurrences (macd, ppo, adx, ewma_volatility) and
+windowed nonlinear kernels (hurst, fip, qsmomentum) run as Arrow
+grouped-map UDFs — the same dispatch the reference uses, minus Ray.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from pytimetk_spark.operators.augment_rolling import _grouped_apply
+
+
+def _norm_periods(periods) -> list[int]:
+    if isinstance(periods, int):
+        return [periods]
+    if isinstance(periods, tuple) and len(periods) == 2:
+        return list(range(periods[0], periods[1] + 1))
+    return [int(p) for p in periods]
+
+
+def _base(group_cols: Sequence[str], date_column: str):
+    if group_cols:
+        return Window.partitionBy(*group_cols).orderBy(date_column)
+    return Window.partitionBy().orderBy(date_column)
+
+
+def _gated_avg(col: Column, frame, min_periods: int) -> Column:
+    return F.when(F.count(col).over(frame) >= min_periods, F.avg(col).over(frame))
+
+
+# ---------------------------------------------------------------------------
+# native (window-expression) indicators
+
+
+def augment_rsi(
+    df: DataFrame,
+    date_column: str,
+    close_column: str,
+    periods=14,
+    group_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """``{c}_rsi_{p}`` — SMA-of-gains / SMA-of-losses RSI
+    (finance/rsi.py:381-396)."""
+    group_cols = list(group_cols or [])
+    w = _base(group_cols, date_column)
+    delta = F.col(close_column) - F.lag(close_column).over(w)
+    out = df.withColumn("__gain__", F.when(delta > 0, delta).otherwise(F.lit(0.0)))
+    out = out.withColumn("__loss__", F.when(delta < 0, -delta).otherwise(F.lit(0.0)))
+    wb = _base(group_cols, date_column)
+    for p in _norm_periods(periods):
+        frame = wb.rowsBetween(-(p - 1), 0)
+        g = _gated_avg(F.col("__gain__"), frame, p)
+        l_ = _gated_avg(F.col("__loss__"), frame, p)
+        out = out.withColumn(
+            f"{close_column}_rsi_{p}", 100 - (100 / (1 + g / l_))
+        )
+    return out.drop("__gain__", "__loss__")
+
+
+def augment_bbands(
+    df: DataFrame,
+    date_column: str,
+    close_column: str,
+    periods=20,
+    std_dev: float | Sequence[float] = 2,
+    group_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """``{c}_bband_{middle|upper|lower}_{p}_{sd:.1f}`` (finance/bbands.py:287-312)."""
+    group_cols = list(group_cols or [])
+    wb = _base(group_cols, date_column)
+    sds = [std_dev] if isinstance(std_dev, (int, float)) else list(std_dev)
+    out = df
+    c = F.col(close_column)
+    for p in _norm_periods(periods):
+        frame = wb.rowsBetween(-(p - 1), 0)
+        gate = F.count(c).over(frame) >= p
+        ma = F.when(gate, F.avg(c).over(frame))
+        sd_col = F.when(gate, F.stddev_samp(c).over(frame))
+        for sd in sds:
+            fmt = f"{float(sd):.1f}"
+            out = (
+                out.withColumn(f"{close_column}_bband_middle_{p}_{fmt}", ma)
+                .withColumn(f"{close_column}_bband_upper_{p}_{fmt}", ma + sd * sd_col)
+                .withColumn(f"{close_column}_bband_lower_{p}_{fmt}", ma - sd * sd_col)
+            )
+    return out
+
+
+def augment_atr(
+    df: DataFrame,
+    date_column: str,
+    high_column: str,
+    low_column: str,
+    close_column: str,
+    periods=14,
+    normalize: bool = False,
+    group_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """``{close}_{atr|natr}_{p}`` — TR = max(H−L, |H−prevC|, |L−prevC|);
+    ATR = SMA(TR, p, min_periods=1); NATR = 100·ATR/close
+    (finance/atr.py:265-322)."""
+    group_cols = list(group_cols or [])
+    w = _base(group_cols, date_column)
+    prev_c = F.lag(close_column).over(w)
+    h, low = F.col(high_column), F.col(low_column)
+    tr = F.greatest(h - low, F.abs(h - prev_c), F.abs(low - prev_c))
+    out = df.withColumn("__tr__", tr)
+    wb = _base(group_cols, date_column)
+    type_str = "natr" if normalize else "atr"
+    for p in _norm_periods(periods):
+        frame = wb.rowsBetween(-(p - 1), 0)
+        atr = F.avg("__tr__").over(frame)  # min_periods=1
+        expr = 100 * atr / F.col(close_column) if normalize else atr
+        out = out.withColumn(f"{close_column}_{type_str}_{p}", expr)
+    return out.drop("__tr__")
+
+
+def augment_roc(
+    df: DataFrame,
+    date_column: str,
+    close_column: str,
+    periods=1,
+    start_index: int = 0,
+    group_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """``{c}_roc_{start}_{p}`` = shift(start)/shift(p) − 1
+    (finance/roc.py:277-369), null where the denominator is 0."""
+    group_cols = list(group_cols or [])
+    w = _base(group_cols, date_column)
+    out = df
+    for p in _norm_periods(periods):
+        num = F.col(close_column) if start_index == 0 else F.lag(
+            close_column, start_index
+        ).over(w)
+        den = F.lag(close_column, p).over(w)
+        out = out.withColumn(
+            f"{close_column}_roc_{start_index}_{p}",
+            F.when(den != 0, num / den - 1),
+        )
+    return out
+
+
+def augment_cmo(
+    df: DataFrame,
+    date_column: str,
+    close_column: str,
+    periods=14,
+    group_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """``{c}_cmo_{p}`` = 100·(ΣG−ΣL)/(ΣG+ΣL) over rolling p, min_periods=p
+    (finance/cmo.py:262-324)."""
+    group_cols = list(group_cols or [])
+    w = _base(group_cols, date_column)
+    delta = F.col(close_column) - F.lag(close_column).over(w)
+    out = df.withColumn("__gain__", F.when(delta > 0, delta).otherwise(F.lit(0.0)))
+    out = out.withColumn("__loss__", F.when(delta < 0, -delta).otherwise(F.lit(0.0)))
+    wb = _base(group_cols, date_column)
+    for p in _norm_periods(periods):
+        frame = wb.rowsBetween(-(p - 1), 0)
+        gate = F.count("__gain__").over(frame) >= p
+        gs = F.when(gate, F.sum("__gain__").over(frame))
+        ls = F.when(gate, F.sum("__loss__").over(frame))
+        out = out.withColumn(
+            f"{close_column}_cmo_{p}", 100 * (gs - ls) / (gs + ls)
+        )
+    return out.drop("__gain__", "__loss__")
+
+
+def augment_drawdown(
+    df: DataFrame,
+    date_column: str,
+    close_column: str,
+    group_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """``{c}_peak, _drawdown, _drawdown_pct`` — running cummax
+    (finance/drawdown.py:255-279)."""
+    group_cols = list(group_cols or [])
+    frame = _base(group_cols, date_column).rowsBetween(Window.unboundedPreceding, 0)
+    peak = F.max(close_column).over(frame)
+    out = df.withColumn(f"{close_column}_peak", peak)
+    out = out.withColumn(
+        f"{close_column}_drawdown", F.col(close_column) - F.col(f"{close_column}_peak")
+    )
+    out = out.withColumn(
+        f"{close_column}_drawdown_pct",
+        F.col(f"{close_column}_drawdown") / F.col(f"{close_column}_peak"),
+    )
+    return out
+
+
+def augment_stochastic_oscillator(
+    df: DataFrame,
+    date_column: str,
+    high_column: str,
+    low_column: str,
+    close_column: str,
+    k_periods=14,
+    d_periods=3,
+    group_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """``{c}_stoch_k_{k}``, ``{c}_stoch_d_{k}_{d}`` — %K on rolling extrema
+    (min_periods=1), %D = SMA(%K, d, min_periods=1)
+    (finance/stochastic_oscillator.py:327-372)."""
+    group_cols = list(group_cols or [])
+    wb = _base(group_cols, date_column)
+    out = df
+    for k in _norm_periods(k_periods):
+        frame = wb.rowsBetween(-(k - 1), 0)
+        ll = F.min(low_column).over(frame)
+        hh = F.max(high_column).over(frame)
+        k_alias = f"{close_column}_stoch_k_{k}"
+        out = out.withColumn(
+            k_alias, 100 * (F.col(close_column) - ll) / (hh - ll)
+        )
+        for d in _norm_periods(d_periods):
+            frame_d = wb.rowsBetween(-(d - 1), 0)
+            out = out.withColumn(
+                f"{close_column}_stoch_d_{k}_{d}", F.avg(k_alias).over(frame_d)
+            )
+    return out
+
+
+def augment_rolling_risk_metrics(
+    df: DataFrame,
+    date_column: str,
+    close_column: str,
+    windows=252,
+    risk_free_rate: float = 0.0,
+    annualization_factor: int = 252,
+    group_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """``{c}_sharpe_ratio_{w}, _sortino_ratio_{w}, _volatility_annualized_{w},
+    _omega_ratio_{w}, _skewness_{w}, _kurtosis_{w}``
+    (finance/rolling_risk_metrics.py:414-490). Spark skewness/kurtosis are
+    population moments — identical to the reference's scipy defaults
+    (bias=True, Fisher=True)."""
+    group_cols = list(group_cols or [])
+    w = _base(group_cols, date_column)
+    prev = F.lag(close_column).over(w)
+    ret = F.col(close_column) / prev - 1
+    out = (
+        df.withColumn("__ret__", ret)
+        .withColumn("__neg_sq__", F.when(ret < 0, ret * ret).otherwise(F.lit(0.0)))
+        .withColumn("__pos__", F.when(ret > 0, ret).otherwise(F.lit(0.0)))
+        .withColumn("__neg__", F.when(ret < 0, ret).otherwise(F.lit(0.0)))
+    )
+    ann = float(np.sqrt(annualization_factor))
+    wb = _base(group_cols, date_column)
+    c = close_column
+    for win in _norm_periods(windows):
+        frame = wb.rowsBetween(-(win - 1), 0)
+        gate = F.count("__ret__").over(frame) >= F.least(
+            F.lit(win), F.lit(2)
+        )  # pandas min_periods default for mean/std in reference = window? it
+        # uses rolling(window, min_periods=min(window, available)) — gate with 2
+        mean_ret = F.when(gate, F.avg("__ret__").over(frame))
+        std_ret = F.when(gate, F.stddev_samp("__ret__").over(frame))
+        downside_var = F.avg("__neg_sq__").over(frame)
+        downside_dev = F.when(downside_var > 1e-12, F.sqrt(downside_var))
+        pos_sum = F.sum("__pos__").over(frame)
+        neg_sum = F.sum("__neg__").over(frame)
+        out = (
+            out.withColumn(
+                f"{c}_sharpe_ratio_{win}",
+                (mean_ret - risk_free_rate) / std_ret * ann,
+            )
+            .withColumn(
+                f"{c}_sortino_ratio_{win}",
+                (mean_ret - risk_free_rate) / downside_dev * ann,
+            )
+            .withColumn(f"{c}_volatility_annualized_{win}", std_ret * ann)
+            .withColumn(
+                f"{c}_omega_ratio_{win}",
+                F.when(-neg_sum != 0, pos_sum / (-neg_sum)),
+            )
+            .withColumn(
+                f"{c}_skewness_{win}", F.when(gate, F.skewness("__ret__").over(frame))
+            )
+            .withColumn(
+                f"{c}_kurtosis_{win}", F.when(gate, F.kurtosis("__ret__").over(frame))
+            )
+        )
+    return out.drop("__ret__", "__neg_sq__", "__pos__", "__neg__")
+
+
+# ---------------------------------------------------------------------------
+# EMA / recurrence / nonlinear-window indicators (Arrow grouped-map UDFs)
+
+
+def augment_macd(
+    df: DataFrame,
+    date_column: str,
+    close_column: str,
+    fast_period: int = 12,
+    slow_period: int = 26,
+    signal_period: int = 9,
+    group_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """``{c}_macd_line_{f}_{s}_{sig}``, ``_macd_signal_line_…``,
+    ``_macd_histogram_…`` — EMA(span, adjust=False) (finance/macd.py:269-334)."""
+    group_cols = list(group_cols or [])
+    c, f_, s, sig = close_column, fast_period, slow_period, signal_period
+    line = f"{c}_macd_line_{f_}_{s}_{sig}"
+    signal = f"{c}_macd_signal_line_{f_}_{s}_{sig}"
+    hist = f"{c}_macd_histogram_{f_}_{s}_{sig}"
+
+    def macd_line(pdf: pd.DataFrame) -> pd.Series:
+        ema_f = pdf[c].ewm(span=f_, adjust=False, min_periods=0).mean()
+        ema_s = pdf[c].ewm(span=s, adjust=False, min_periods=0).mean()
+        return ema_f - ema_s
+
+    def macd_signal(pdf: pd.DataFrame) -> pd.Series:
+        return macd_line(pdf).ewm(span=sig, adjust=False, min_periods=0).mean()
+
+    def macd_hist(pdf: pd.DataFrame) -> pd.Series:
+        ml = macd_line(pdf)
+        return ml - ml.ewm(span=sig, adjust=False, min_periods=0).mean()
+
+    return _grouped_apply(
+        df, date_column, group_cols, {line: macd_line, signal: macd_signal, hist: macd_hist}
+    )
+
+
+def augment_ppo(
+    df: DataFrame,
+    date_column: str,
+    close_column: str,
+    fast_period: int = 12,
+    slow_period: int = 26,
+    group_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """``{c}_ppo_line_{f}_{s}`` = (EMAf−EMAs)/EMAs·100 (finance/ppo.py:279-313)."""
+    group_cols = list(group_cols or [])
+    c = close_column
+    name = f"{c}_ppo_line_{fast_period}_{slow_period}"
+
+    def ppo(pdf: pd.DataFrame) -> pd.Series:
+        ema_f = pdf[c].ewm(span=fast_period, adjust=False, min_periods=0).mean()
+        ema_s = pdf[c].ewm(span=slow_period, adjust=False, min_periods=0).mean()
+        return (ema_f - ema_s) / ema_s * 100
+
+    return _grouped_apply(df, date_column, group_cols, {name: ppo})
+
+
+def augment_adx(
+    df: DataFrame,
+    date_column: str,
+    high_column: str,
+    low_column: str,
+    close_column: str,
+    periods=14,
+    group_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """``{c}_plus_di_{p}``, ``{c}_minus_di_{p}``, ``{c}_adx_{p}`` — Wilder
+    smoothing = ewm(alpha=1/p, adjust=False, min_periods=p)
+    (finance/adx.py:300-344)."""
+    group_cols = list(group_cols or [])
+    c, h, lo = close_column, high_column, low_column
+    new_cols = {}
+    for p in _norm_periods(periods):
+
+        def make(p=p):
+            def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+                prev_h = pdf[h].shift(1)
+                prev_l = pdf[lo].shift(1)
+                prev_c = pdf[c].shift(1)
+                tr = pd.concat(
+                    [pdf[h] - pdf[lo], (pdf[h] - prev_c).abs(), (pdf[lo] - prev_c).abs()],
+                    axis=1,
+                ).max(axis=1)
+                up, down = pdf[h] - prev_h, prev_l - pdf[lo]
+                plus_dm = pd.Series(
+                    np.where(up > down, np.maximum(up, 0), 0), index=pdf.index
+                )
+                minus_dm = pd.Series(
+                    np.where(down > up, np.maximum(down, 0), 0), index=pdf.index
+                )
+                alpha = 1 / p
+                sm = lambda s_: s_.ewm(alpha=alpha, adjust=False, min_periods=p).mean()
+                tr_s, pdm_s, mdm_s = sm(tr), sm(plus_dm), sm(minus_dm)
+                plus_di = 100 * pdm_s / tr_s
+                minus_di = 100 * mdm_s / tr_s
+                dx = 100 * (plus_di - minus_di).abs() / (plus_di + minus_di)
+                adx = dx.ewm(alpha=alpha, adjust=False, min_periods=p).mean()
+                return plus_di, minus_di, adx
+
+            return kernel
+
+        kern = make()
+        new_cols[f"{c}_plus_di_{p}"] = lambda pdf, k=kern: k(pdf)[0]
+        new_cols[f"{c}_minus_di_{p}"] = lambda pdf, k=kern: k(pdf)[1]
+        new_cols[f"{c}_adx_{p}"] = lambda pdf, k=kern: k(pdf)[2]
+    return _grouped_apply(df, date_column, group_cols, new_cols)
+
+
+def augment_ewma_volatility(
+    df: DataFrame,
+    date_column: str,
+    close_column: str,
+    windows=20,
+    decay_factor: float = 0.94,
+    group_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """``{c}_ewma_vol_{w}_{λ:.2f}`` — EWM(α=1−λ, min_periods=w) of squared
+    log returns, then sqrt (finance/ewma_volatility.py:278-324)."""
+    group_cols = list(group_cols or [])
+    c = close_column
+    new_cols = {}
+    for w in _norm_periods(windows):
+
+        def make(w=w):
+            def kernel(pdf: pd.DataFrame) -> pd.Series:
+                prev = pdf[c].shift(1)
+                ratio = (pdf[c] / prev).where(prev != 0)
+                r = np.log(ratio)
+                r = r.replace([np.inf, -np.inf], np.nan)
+                var = (r**2).ewm(alpha=1 - decay_factor, min_periods=w).mean()
+                return np.sqrt(var)
+
+            return kernel
+
+        new_cols[f"{c}_ewma_vol_{w}_{decay_factor:.2f}"] = make()
+    return _grouped_apply(df, date_column, group_cols, new_cols)
+
+
+def augment_hurst_exponent(
+    df: DataFrame,
+    date_column: str,
+    close_column: str,
+    windows=100,
+    group_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """``{c}_hurst_{w}`` — rolling simplified R/S: H = log(R/S)/log(n)
+    (finance/hurst_exponent.py:265-283)."""
+    group_cols = list(group_cols or [])
+    c = close_column
+
+    def hurst_arr(values: np.ndarray, min_size: int = 8) -> float:
+        if values.size < min_size or np.all(values == values[0]):
+            return np.nan
+        centered = values - values.mean()
+        cumulative = np.cumsum(centered)
+        r = cumulative.max() - cumulative.min()
+        s = values.std()
+        if s == 0 or r == 0:
+            return np.nan
+        hurst = np.log(r / s) / np.log(len(values))
+        return float(hurst) if 0 <= hurst <= 1 else np.nan
+
+    new_cols = {}
+    for w in _norm_periods(windows):
+
+        def make(w=w):
+            def kernel(pdf: pd.DataFrame) -> pd.Series:
+                return (
+                    pdf[c]
+                    .rolling(window=w, min_periods=w)
+                    .apply(lambda x: hurst_arr(np.asarray(x, dtype=float)), raw=True)
+                )
+
+            return kernel
+
+        new_cols[f"{c}_hurst_{w}"] = make()
+    return _grouped_apply(df, date_column, group_cols, new_cols)
+
+
+def augment_fip_momentum(
+    df: DataFrame,
+    date_column: str,
+    close_column: str,
+    windows=252,
+    fip_method: str = "original",
+    skip_window: int = 0,
+    group_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """``{c}_fip_momentum_{w}`` (finance/fip_momentum.py:270-330):
+    original → total_return·(%neg − %pos); modified → sign(total_return)·
+    (%pos − %neg), over rolling returns windows (min_periods=w)."""
+    group_cols = list(group_cols or [])
+    c = close_column
+
+    def calc_fip(returns: pd.Series, window: int) -> float:
+        returns = returns.dropna()
+        if len(returns) < window:
+            return np.nan
+        total_return = np.prod(1 + returns) - 1
+        pct_pos = (returns > 0).mean()
+        pct_neg = (returns < 0).mean()
+        if fip_method == "original":
+            return total_return * (pct_neg - pct_pos)
+        return np.sign(total_return) * (pct_pos - pct_neg)
+
+    new_cols = {}
+    for w in _norm_periods(windows):
+
+        def make(w=w):
+            def kernel(pdf: pd.DataFrame) -> pd.Series:
+                rets = pdf[c] / pdf[c].shift(1) - 1
+                roll = rets.rolling(window=w, min_periods=w).apply(
+                    lambda x: calc_fip(pd.Series(x), w), raw=False
+                )
+                if skip_window > 0:
+                    roll.iloc[:skip_window] = np.nan
+                return roll
+
+            return kernel
+
+        new_cols[f"{c}_fip_momentum_{w}"] = make()
+    return _grouped_apply(df, date_column, group_cols, new_cols)
+
+
+def augment_qsmomentum(
+    df: DataFrame,
+    date_column: str,
+    close_column: str,
+    roc_fast_period: int = 21,
+    roc_slow_period: int = 252,
+    returns_period: int = 126,
+    group_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """``{c}_qsmom_{f}_{s}_{r}`` — (ROC_slow − ROC_fast) / std of last r
+    returns, over rolling windows of slow_period+1
+    (finance/qsmomentum.py:277-299)."""
+    group_cols = list(group_cols or [])
+    c = close_column
+    fp, sp, rp = roc_fast_period, roc_slow_period, returns_period
+
+    def qs(close_arr: np.ndarray) -> float:
+        close = pd.Series(close_arr).dropna()
+        if len(close) < sp + 1:
+            return np.nan
+        returns = close.pct_change(fill_method=None).iloc[-rp:]
+        std_returns = np.std(returns, ddof=0)
+        if not np.isfinite(std_returns) or abs(std_returns) < 1e-10:
+            return np.nan
+        fast_close = close.iloc[-(fp + 1)]
+        slow_close = close.iloc[-(sp + 1)]
+        roc_slow = (fast_close - slow_close) / (slow_close + 1e-10)
+        roc_fast = (close.iloc[-1] - fast_close) / (fast_close + 1e-10)
+        return (roc_slow - roc_fast) / std_returns
+
+    def kernel(pdf: pd.DataFrame) -> pd.Series:
+        return pdf[c].rolling(window=sp + 1, min_periods=sp + 1).apply(
+            lambda x: qs(np.asarray(x, dtype=float)), raw=True
+        )
+
+    return _grouped_apply(
+        df, date_column, group_cols, {f"{c}_qsmom_{fp}_{sp}_{rp}": kernel}
+    )
+
+
+def augment_regime_detection(*args, **kwargs):
+    """Rolling HMM regimes (finance/regime_detection.py:84-141) require
+    hmmlearn/pomegranate — unavailable in this environment; the Spark-side
+    plumbing would mirror augment_hurst_exponent's grouped-map shape."""
+    raise NotImplementedError(
+        "augment_regime_detection requires hmmlearn, which is not installed"
+    )

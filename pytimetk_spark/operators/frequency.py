@@ -1,0 +1,215 @@
+"""Frequency inference — median-diff heuristic mapped through the reference's
+unit table, plus seasonal/trend period templates.
+
+Reference: /root/reference/src/pytimetk/core/frequency.py —
+get_unit_and_scale (:32-64, unit table :301-314), get_frequency_summary
+(:74-109: median of consecutive diffs; M/Q/Y with fractional remainder
+0.1–0.9 switches to days), _get_manual_frequency (:659-704), time-scale
+template (:378-390).
+
+Spark: the per-group median diff is ``percentile(ts - lag(ts), 0.5)`` after
+one window pass — a single shuffle on the group key; the unit lookup is a
+native CASE WHEN chain, so grouped frequency inference over 10^9 urls stays
+fully distributed. The string-alias helpers collect only one scalar row per
+group (the aggregate), never raw data.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from pytimetk_spark.functions.datetime import floor_date
+
+# unit table — frequency.py:301-314
+UNIT_TABLE = {
+    "sec": (0, 0, 0),
+    "min": (60, 60, 60),
+    "hour": (3600, 3600, 3600),
+    "day": (86400, 86400, 86400),
+    "week": (604800, 604800, 604800),
+    "month": (2678400, 2419200, 2678400),
+    "quarter": (7948800, 7776000, 7948800),
+    "year": (31622400, 31536000, 31622400),
+}
+
+# time-scale template — frequency.py:378-390
+TIME_SCALE_TEMPLATE = {
+    "S": ("1H", "12H"),
+    "T": ("1D", "14D"),
+    "H": ("1D", "1M"),
+    "D": ("1W", "1Q"),
+    "W": ("1Q", "1Y"),
+    "M": ("1Y", "5Y"),
+    "Q": ("1Y", "10Y"),
+    "Y": ("5Y", "30Y"),
+}
+
+
+def unit_and_scale_from_seconds(sec: float) -> tuple[float, str]:
+    """Pure-Python port of get_unit_and_scale (frequency.py:32-64)."""
+    if sec < 60:
+        return sec, "S"
+    if sec < 3600:
+        return sec / 60, "T"
+    if sec < 86400:
+        return sec / 3600, "H"
+    if sec < 2419200:  # < month freq_min
+        if sec < 604800:
+            return sec / 86400, "D"
+        return sec / 604800, "W"
+    if sec < 7776000:
+        return round(sec / 2678400, 1), "M"
+    if sec < 31536000:
+        return round(sec / 7948800, 1), "Q"
+    return round(sec / 31622400, 1), "Y"
+
+
+def median_diff_seconds_col(date_column: str, group_cols: Sequence[str]) -> Column:
+    """Aggregate expression: exact median of consecutive-diff seconds.
+    Requires a ``__diff_sec__`` column (see _with_diffs)."""
+    return F.expr("percentile(__diff_sec__, 0.5)")
+
+
+def _with_diffs(df: DataFrame, date_column: str, group_cols: Sequence[str]) -> DataFrame:
+    w = Window.partitionBy(*group_cols).orderBy(date_column) if group_cols else (
+        Window.partitionBy().orderBy(date_column)
+    )
+    ts_sec = F.col(date_column).cast("timestamp").cast("double")
+    return df.withColumn(
+        "__diff_sec__",
+        ts_sec - F.lag(ts_sec).over(w),
+    )
+
+
+def _unit_case_expr(sec: Column) -> Column:
+    return (
+        F.when(sec < 60, F.lit("S"))
+        .when(sec < 3600, F.lit("T"))
+        .when(sec < 86400, F.lit("H"))
+        .when(sec < 604800, F.lit("D"))
+        .when(sec < 2419200, F.lit("W"))
+        .when(sec < 7776000, F.lit("M"))
+        .when(sec < 31536000, F.lit("Q"))
+        .otherwise(F.lit("Y"))
+    )
+
+
+def _scale_case_expr(sec: Column) -> Column:
+    return (
+        F.when(sec < 60, sec)
+        .when(sec < 3600, sec / 60)
+        .when(sec < 86400, sec / 3600)
+        .when(sec < 604800, sec / 86400)
+        .when(sec < 2419200, sec / 604800)
+        .when(sec < 7776000, F.round(sec / 2678400, 1))
+        .when(sec < 31536000, F.round(sec / 7948800, 1))
+        .otherwise(F.round(sec / 31622400, 1))
+    )
+
+
+def get_frequency_summary(
+    df: DataFrame, date_column: str, group_cols: Sequence[str] | None = None
+) -> DataFrame:
+    """Per-group (freq_median_seconds, freq_median_scale, freq_median_unit),
+    with the reference's M/Q/Y fractional-remainder → days switch
+    (frequency.py:93-99)."""
+    group_cols = list(group_cols or [])
+    diffs = _with_diffs(df, date_column, group_cols)
+    agg = (
+        diffs.groupBy(*group_cols).agg(
+            F.expr("percentile(__diff_sec__, 0.5)").alias("freq_median_seconds")
+        )
+        if group_cols
+        else diffs.agg(
+            F.expr("percentile(__diff_sec__, 0.5)").alias("freq_median_seconds")
+        )
+    )
+    sec = F.col("freq_median_seconds")
+    unit = _unit_case_expr(sec)
+    scale = _scale_case_expr(sec)
+    remainder = scale - F.floor(scale)
+    is_cal = unit.isin("M", "Q", "Y")
+    switch = is_cal & (remainder >= 0.1) & (remainder <= 0.9)
+    final_unit = F.when(switch, F.lit("D")).otherwise(unit)
+    final_scale = F.when(switch, F.floor(sec / 86400).cast("double")).otherwise(scale)
+    return agg.select(
+        *group_cols,
+        sec,
+        final_scale.alias("freq_median_scale"),
+        final_unit.alias("freq_median_unit"),
+    )
+
+
+def get_frequency(
+    df: DataFrame,
+    date_column: str,
+    group_cols: Sequence[str] | None = None,
+    force_regular: bool = False,
+) -> str | pd.DataFrame:
+    """Frequency alias like "1D" / "2MS". Ungrouped → a Python string (the
+    reference API returns a scalar); grouped → a small pandas frame, one row
+    per group. Collects only the per-group aggregate row."""
+    summary = get_frequency_summary(df, date_column, group_cols).toPandas()
+
+    def to_alias(row) -> str:
+        n = int(row.freq_median_scale)
+        unit = row.freq_median_unit
+        if unit in ("M", "Q", "Y"):
+            return f"{n}{unit}S"  # reference switches to Start when day==1;
+            # at scale we can't cheaply probe idx[0].day per group — Start
+            # labels are this engine's canonical form (documented deviation
+            # from _get_manual_frequency frequency.py:694-700)
+        return f"{n}{unit}"
+
+    if not group_cols:
+        return to_alias(summary.iloc[0])
+    summary["freq_alias"] = summary.apply(to_alias, axis=1)
+    return summary
+
+
+def get_seasonal_frequency(
+    df: DataFrame, date_column: str, group_cols: Sequence[str] | None = None
+):
+    """Seasonal period from the time-scale template (frequency.py:409-631)."""
+    return _template_lookup(df, date_column, group_cols, idx=0)
+
+
+def get_trend_frequency(
+    df: DataFrame, date_column: str, group_cols: Sequence[str] | None = None
+):
+    return _template_lookup(df, date_column, group_cols, idx=1)
+
+
+def _template_lookup(df, date_column, group_cols, idx: int):
+    group_cols = list(group_cols or [])
+    summary = get_frequency_summary(df, date_column, group_cols).toPandas()
+    col = "seasonal_period" if idx == 0 else "trend_period"
+    summary[col] = summary["freq_median_unit"].map(
+        lambda u: TIME_SCALE_TEMPLATE[u][idx]
+    )
+    if not group_cols:
+        return summary[col].iloc[0]
+    return summary[[*group_cols, col]]
+
+
+def median_observations_per_period(
+    df: DataFrame,
+    date_column: str,
+    period: str,
+    group_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Numeric seasonal/trend mode: median observations per floored period
+    (reference _get_median_timestamps frequency.py:634-653)."""
+    group_cols = list(group_cols or [])
+    counts = df.groupBy(
+        *group_cols, floor_date(F.col(date_column), period).alias("__period__")
+    ).count()
+    if group_cols:
+        return counts.groupBy(*group_cols).agg(
+            F.expr("percentile(count, 0.5)").alias("median_obs_per_period")
+        )
+    return counts.agg(F.expr("percentile(count, 0.5)").alias("median_obs_per_period"))

@@ -1,0 +1,234 @@
+"""Datetime signature features, Fourier features, holiday signature.
+
+Reference: /root/reference/src/pytimetk/feature_engineering/
+timeseries_signature.py:312-379 (29 features; quirks replicated exactly:
+``index_num`` = epoch seconds, ``weekend`` = 1 only for Sunday
+(np.where(dayofweek <= 5, 0, 1) on Mon=0 dayofweek), ``am_pm`` = "am" for
+hour <= 12, ``mweek`` = (day-1)//7+1), fourier.py:188-274, and
+holiday_signature.py:33-81,273-303.
+
+Spark: every signature feature is a native Catalyst expression — a pure
+projection, no shuffle, fully codegen'd; safe to fuse into any scan.
+Fourier needs one per-group aggregate (min ts + median diff) joined back;
+holidays broadcast-join a generated dim table.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from pytimetk_spark.functions.datetime import week_of_month
+
+
+def signature_exprs(date_column: str) -> dict[str, Column]:
+    ts = F.col(date_column)
+    name = date_column
+    epoch = ts.cast("timestamp").cast("long")
+    wday = F.expr(f"weekday({name})") + 1  # Mon=1 .. Sun=7
+    qstart = F.date_trunc("quarter", ts)
+    return {
+        f"{name}_index_num": epoch,
+        f"{name}_year": F.year(ts),
+        f"{name}_year_iso": F.expr(f"extract(YEAROFWEEK FROM {name})"),
+        f"{name}_yearstart": ((F.month(ts) == 1) & (F.dayofmonth(ts) == 1)).cast("int"),
+        f"{name}_yearend": ((F.month(ts) == 12) & (F.dayofmonth(ts) == 31)).cast("int"),
+        f"{name}_leapyear": (
+            (F.year(ts) % 4 == 0) & ((F.year(ts) % 100 != 0) | (F.year(ts) % 400 == 0))
+        ).cast("int"),
+        f"{name}_half": F.when(F.quarter(ts) <= 2, 1).otherwise(2),
+        f"{name}_quarter": F.quarter(ts),
+        f"{name}_quarteryear": F.concat(
+            F.year(ts).cast("string"), F.lit("Q"), F.quarter(ts).cast("string")
+        ),
+        f"{name}_quarterstart": (ts.cast("date") == qstart.cast("date")).cast("int"),
+        f"{name}_quarterend": (
+            ts.cast("date")
+            == F.last_day(F.add_months(qstart, 2))
+        ).cast("int"),
+        f"{name}_month": F.month(ts),
+        f"{name}_month_lbl": F.date_format(ts, "MMMM"),
+        f"{name}_monthstart": (F.dayofmonth(ts) == 1).cast("int"),
+        f"{name}_monthend": (ts.cast("date") == F.last_day(ts)).cast("int"),
+        f"{name}_yweek": F.weekofyear(ts),
+        f"{name}_mweek": week_of_month(ts),
+        f"{name}_wday": wday,
+        f"{name}_wday_lbl": F.date_format(ts, "EEEE"),
+        f"{name}_mday": F.dayofmonth(ts),
+        f"{name}_qday": F.datediff(ts.cast("date"), qstart.cast("date")) + 1,
+        f"{name}_yday": F.dayofyear(ts),
+        # reference quirk: weekend==1 ONLY for Sunday (dayofweek<=5 → 0)
+        f"{name}_weekend": (wday == 7).cast("int"),
+        f"{name}_hour": F.hour(ts),
+        f"{name}_minute": F.minute(ts),
+        f"{name}_second": F.second(ts).cast("int"),
+        f"{name}_msecond": F.round(
+            (ts.cast("timestamp").cast("double") % 1) * 1000000
+        ).cast("long"),
+        # Spark timestamps are μs precision; ns field is always 0 (documented
+        # deviation — SURVEY.md §7 risk register)
+        f"{name}_nsecond": F.lit(0),
+        # reference quirk: "am" for hour <= 12
+        f"{name}_am_pm": F.when(F.hour(ts) <= 12, "am").otherwise("pm"),
+    }
+
+
+def augment_timeseries_signature(df: DataFrame, date_column: str) -> DataFrame:
+    """Input + 29 signature columns (pure projection)."""
+    exprs = signature_exprs(date_column)
+    return df.select("*", *[c.alias(n) for n, c in exprs.items()])
+
+
+def get_timeseries_signature(df: DataFrame, date_column: str) -> DataFrame:
+    """Just the date column + its 29 features."""
+    exprs = signature_exprs(date_column)
+    return df.select(date_column, *[c.alias(n) for n, c in exprs.items()])
+
+
+# ---------------------------------------------------------------------------
+# Fourier
+
+
+def augment_fourier(
+    df: DataFrame,
+    date_column: str,
+    periods: int | Sequence[int] = 1,
+    max_order: int = 1,
+    group_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """``{date}_{sin|cos}_{K}_{period}`` — angle = 2πK·t/period where
+    t = (ts − min ts) / median diff seconds per group (reference
+    fourier.py:188-190,253-266).
+
+    Spark: per-group min + exact median diff via one window+aggregate pass,
+    broadcast-joined back (group-cardinality rows), then native trig."""
+    import math
+
+    group_cols = list(group_cols or [])
+    periods = [periods] if isinstance(periods, int) else list(periods)
+    ts_sec = F.col(date_column).cast("timestamp").cast("double")
+    w = Window.partitionBy(*group_cols).orderBy(date_column) if group_cols else (
+        Window.partitionBy().orderBy(date_column)
+    )
+    diffs = df.withColumn("__diff__", ts_sec - F.lag(ts_sec).over(w))
+    stats = (
+        diffs.groupBy(*group_cols) if group_cols else diffs.groupBy(F.lit(1).alias("__g__"))
+    ).agg(
+        F.min(F.col(date_column).cast("timestamp").cast("double")).alias("__min_ts__"),
+        F.expr("percentile(__diff__, 0.5)").alias("__med_diff__"),
+    )
+    if group_cols:
+        work = df.join(F.broadcast(stats), on=group_cols, how="left")
+    else:
+        work = df.crossJoin(F.broadcast(stats.drop("__g__")))
+    t = (ts_sec - F.col("__min_ts__")) / F.col("__med_diff__")
+    out = work
+    for p in periods:
+        for k in range(1, max_order + 1):
+            angle = 2 * math.pi * k * t / p
+            out = out.withColumn(f"{date_column}_sin_{k}_{p}", F.sin(angle))
+            out = out.withColumn(f"{date_column}_cos_{k}_{p}", F.cos(angle))
+    return out.drop("__min_ts__", "__med_diff__")
+
+
+# ---------------------------------------------------------------------------
+# Holidays (the `holidays` package is unavailable in this environment; a
+# built-in algorithmic US-federal calendar stands in — same join shape)
+
+
+def _us_federal_holidays(year: int) -> list[tuple[_dt.date, str]]:
+    """Deterministic US federal holiday calendar (public OPM rules)."""
+
+    def nth_weekday(year, month, weekday, n):
+        d = _dt.date(year, month, 1)
+        offset = (weekday - d.weekday()) % 7
+        return d + _dt.timedelta(days=offset + 7 * (n - 1))
+
+    def last_weekday(year, month, weekday):
+        if month == 12:
+            d = _dt.date(year, 12, 31)
+        else:
+            d = _dt.date(year, month + 1, 1) - _dt.timedelta(days=1)
+        return d - _dt.timedelta(days=(d.weekday() - weekday) % 7)
+
+    return [
+        (_dt.date(year, 1, 1), "New Year's Day"),
+        (nth_weekday(year, 1, 0, 3), "Martin Luther King Jr. Day"),
+        (nth_weekday(year, 2, 0, 3), "Washington's Birthday"),
+        (last_weekday(year, 5, 0), "Memorial Day"),
+        (_dt.date(year, 6, 19), "Juneteenth National Independence Day"),
+        (_dt.date(year, 7, 4), "Independence Day"),
+        (nth_weekday(year, 9, 0, 1), "Labor Day"),
+        (nth_weekday(year, 10, 0, 2), "Columbus Day"),
+        (_dt.date(year, 11, 11), "Veterans Day"),
+        (nth_weekday(year, 11, 3, 4), "Thanksgiving"),
+        (_dt.date(year, 12, 25), "Christmas Day"),
+    ]
+
+
+def holiday_dim(spark, years: Sequence[int], country: str = "US") -> DataFrame:
+    if country != "US":
+        try:
+            import holidays as _hol  # optional dependency
+
+            rows = [
+                (d, n)
+                for y in years
+                for d, n in sorted(_hol.country_holidays(country, years=y).items())
+            ]
+        except ImportError as exc:
+            raise NotImplementedError(
+                "only the built-in US calendar is available without the "
+                "`holidays` package"
+            ) from exc
+    else:
+        rows = [(d, n) for y in years for d, n in _us_federal_holidays(y)]
+    return spark.createDataFrame(rows, "holiday_date date, holiday_name string")
+
+
+def augment_holiday_signature(
+    df: DataFrame,
+    date_column: str,
+    country: str = "US",
+) -> DataFrame:
+    """``is_holiday, before_holiday, after_holiday, holiday_name`` via a
+    broadcast join against the generated holiday dim (reference
+    holiday_signature.py:273-303; before/after = ±1-day shifts of
+    is_holiday, computed here by joining the dim at date±1)."""
+    spark = df.sparkSession
+    bounds = df.agg(
+        F.min(F.year(date_column)).alias("lo"), F.max(F.year(date_column)).alias("hi")
+    ).first()
+    years = list(range(int(bounds["lo"]) - 1, int(bounds["hi"]) + 2))
+    dim = holiday_dim(spark, years, country)
+
+    d = F.col(date_column).cast("date")
+    joined = (
+        df.withColumn("__d__", d)
+        .join(
+            F.broadcast(dim.withColumnRenamed("holiday_date", "__d__")),
+            on="__d__",
+            how="left",
+        )
+        .withColumn("is_holiday", F.col("holiday_name").isNotNull().cast("int"))
+    )
+    dim_next = dim.select((F.date_add("holiday_date", -1)).alias("__d__"))
+    dim_prev = dim.select((F.date_add("holiday_date", 1)).alias("__d__"))
+    joined = (
+        joined.join(
+            F.broadcast(dim_next.withColumn("before_holiday", F.lit(1))).dropDuplicates(),
+            on="__d__",
+            how="left",
+        )
+        .join(
+            F.broadcast(dim_prev.withColumn("after_holiday", F.lit(1))).dropDuplicates(),
+            on="__d__",
+            how="left",
+        )
+        .fillna(0, subset=["before_holiday", "after_holiday"])
+        .drop("__d__")
+    )
+    return joined

@@ -1,0 +1,116 @@
+"""Tests for anomalize (output contract + outlier detection + IQR parity)
+and binarize/correlate."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pytimetk_spark import anomalize, binarize, correlate
+from pytimetk_spark.operators.anomalize import OUTPUT_COLS
+
+
+def _anomalize_fixture():
+    """Reference docstring fixture (core/anomalize.py:192-201): monthly,
+    seed 42, index 3 set to 100."""
+    rng = np.random.RandomState(42)
+    dates = pd.date_range("2021-01-01", "2024-01-01", freq="MS")
+    values = rng.randn(len(dates)) * 10 + 25
+    values[3] = 100
+    return pd.DataFrame({"date": dates, "value": values})
+
+
+def test_anomalize_output_contract(spark):
+    pdf = _anomalize_fixture()
+    out = anomalize(
+        spark.createDataFrame(pdf), "date", "value", method="twitter", clean="min_max"
+    ).toPandas()
+    for c in OUTPUT_COLS:
+        assert c in out.columns, c
+    assert len(out) == len(pdf)
+    out = out.sort_values("date").reset_index(drop=True)
+    # the planted spike must be flagged
+    assert out.loc[3, "anomaly"] == "Yes"
+    assert out.loc[3, "anomaly_direction"] == 1
+    # observed passes through exactly
+    np.testing.assert_allclose(out["observed"], pdf["value"], rtol=1e-12)
+    # decomposition identity: observed = seasonal + trend + remainder
+    np.testing.assert_allclose(
+        out["observed"],
+        out["seasonal"] + out["trend"] + out["remainder"],
+        rtol=1e-9,
+    )
+    # clean value for the spike is pulled inside the band
+    assert out.loc[3, "observed_clean"] < out.loc[3, "observed"]
+
+
+def test_anomalize_iqr_limits_parity(spark):
+    """IQR limits formula (reference _iqr anomalize.py:755-759)."""
+    pdf = _anomalize_fixture()
+    out = (
+        anomalize(spark.createDataFrame(pdf), "date", "value", method="twitter")
+        .toPandas()
+        .sort_values("date")
+        .reset_index(drop=True)
+    )
+    rem = out["remainder"]
+    q1, q3 = np.percentile(rem, [25, 75])
+    iqr = q3 - q1
+    l1 = -1 * (q1 + (0.15 / 0.05) * iqr)
+    l2 = q3 + (0.15 / 0.05) * iqr
+    np.testing.assert_allclose(
+        out["recomposed_l1"], out["seasonal"] + out["trend"] + l1, rtol=1e-9
+    )
+    np.testing.assert_allclose(
+        out["recomposed_l2"], out["seasonal"] + out["trend"] + l2, rtol=1e-9
+    )
+    centerline = (l1 + l2) / 2
+    np.testing.assert_allclose(
+        out["anomaly_score"], (rem - centerline).abs(), rtol=1e-9
+    )
+
+
+def test_anomalize_grouped(spark):
+    pdf1 = _anomalize_fixture().assign(id="A")
+    pdf2 = _anomalize_fixture().assign(id="B")
+    pdf = pd.concat([pdf1, pdf2])
+    out = anomalize(
+        spark.createDataFrame(pdf), "date", "value", group_cols=["id"],
+        method="twitter",
+    ).toPandas()
+    assert len(out) == len(pdf)
+    assert set(out["id"]) == {"A", "B"}
+    flagged = out[out["anomaly"] == "Yes"]
+    assert set(flagged["id"]) == {"A", "B"}
+
+
+def test_binarize_and_correlate(spark):
+    rng = np.random.RandomState(0)
+    n = 200
+    pdf = pd.DataFrame(
+        {
+            "age": rng.randint(18, 70, n),
+            "income": rng.lognormal(10, 0.5, n).round(2),
+            "gender": rng.choice(["M", "F"], n),
+            "member": rng.choice([True, False], n),
+            "city": rng.choice(["NY"] * 50 + ["LA"] * 45 + ["SF"] * 4 + ["XX"], n),
+        }
+    )
+    sdf = spark.createDataFrame(pdf)
+    binned = binarize(sdf, n_bins=4)
+    cols = binned.columns
+    assert "member" in cols  # bool → int, unchanged name
+    assert any(c.startswith("age__") for c in cols)
+    assert any(c.startswith("income__") for c in cols)
+    assert "gender__M" in cols and "gender__F" in cols
+    assert any(c == "city__-OTHER" for c in cols)  # infrequent levels pooled
+    out = binned.toPandas()
+    # each numeric row falls in exactly one bin
+    age_cols = [c for c in cols if c.startswith("age__")]
+    assert (out[age_cols].sum(axis=1) == 1).all()
+
+    corr = correlate(binned, target="member")
+    assert list(corr.columns) == ["feature", "bin", "correlation"]
+    assert (corr["correlation"].abs().diff().dropna() <= 1e-12).all() or (
+        corr["correlation"].abs().is_monotonic_decreasing
+    )

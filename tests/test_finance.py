@@ -1,0 +1,184 @@
+"""Differential tests for finance indicators vs direct pandas ports of the
+reference kernels (reference: /root/reference/src/pytimetk/finance/*)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pytimetk_spark import (
+    augment_atr,
+    augment_bbands,
+    augment_cmo,
+    augment_drawdown,
+    augment_macd,
+    augment_ppo,
+    augment_roc,
+    augment_rsi,
+    augment_stochastic_oscillator,
+)
+
+
+@pytest.fixture(scope="module")
+def ohlcv(spark):
+    rng = np.random.RandomState(7)
+    n = 120
+    close = 100 + rng.randn(n).cumsum()
+    high = close + np.abs(rng.randn(n))
+    low = close - np.abs(rng.randn(n))
+    pdf = pd.DataFrame(
+        {
+            "symbol": ["AAA"] * (n // 2) + ["BBB"] * (n // 2),
+            "date": list(pd.date_range("2021-01-01", periods=n // 2, freq="D")) * 2,
+            "close": close,
+            "high": high,
+            "low": low,
+        }
+    )
+    return spark.createDataFrame(pdf), pdf
+
+
+def _sorted(df):
+    return df.sort_values(["symbol", "date"]).reset_index(drop=True)
+
+
+def test_rsi(ohlcv):
+    sdf, pdf = ohlcv
+    out = _sorted(
+        augment_rsi(sdf, "date", "close", periods=14, group_cols=["symbol"]).toPandas()
+    )
+    ref = _sorted(pdf.copy())
+
+    def rsi(series, period=14):
+        delta = series.diff()
+        gains = delta.where(delta > 0, 0)
+        losses = -delta.where(delta < 0, 0)
+        return 100 - (100 / (1 + gains.rolling(period).mean() / losses.rolling(period).mean()))
+
+    expected = ref.groupby("symbol")["close"].transform(rsi)
+    np.testing.assert_allclose(
+        out["close_rsi_14"].to_numpy(), expected.to_numpy(), equal_nan=True, rtol=1e-9
+    )
+
+
+def test_bbands(ohlcv):
+    sdf, pdf = ohlcv
+    out = _sorted(
+        augment_bbands(
+            sdf, "date", "close", periods=20, std_dev=2, group_cols=["symbol"]
+        ).toPandas()
+    )
+    ref = _sorted(pdf.copy())
+    g = ref.groupby("symbol")["close"]
+    ma = g.transform(lambda s: s.rolling(20).mean())
+    sd = g.transform(lambda s: s.rolling(20).std())
+    np.testing.assert_allclose(
+        out["close_bband_middle_20_2.0"].to_numpy(), ma, equal_nan=True, rtol=1e-9
+    )
+    np.testing.assert_allclose(
+        out["close_bband_upper_20_2.0"].to_numpy(), ma + 2 * sd, equal_nan=True, rtol=1e-9
+    )
+
+
+def test_atr(ohlcv):
+    sdf, pdf = ohlcv
+    out = _sorted(
+        augment_atr(
+            sdf, "date", "high", "low", "close", periods=14, group_cols=["symbol"]
+        ).toPandas()
+    )
+    ref = _sorted(pdf.copy())
+
+    def atr(d):
+        prev_c = d["close"].shift(1)
+        tr = pd.concat(
+            [d["high"] - d["low"], (d["high"] - prev_c).abs(), (d["low"] - prev_c).abs()],
+            axis=1,
+        ).max(axis=1)
+        return tr.rolling(14, min_periods=1).mean()
+
+    expected = ref.groupby("symbol", group_keys=False).apply(atr)
+    np.testing.assert_allclose(
+        out["close_atr_14"].to_numpy(),
+        expected.to_numpy(),
+        equal_nan=True,
+        rtol=1e-9,
+    )
+
+
+def test_roc_cmo_drawdown(ohlcv):
+    sdf, pdf = ohlcv
+    ref = _sorted(pdf.copy())
+    g = ref.groupby("symbol")["close"]
+
+    out = _sorted(
+        augment_roc(sdf, "date", "close", periods=10, group_cols=["symbol"]).toPandas()
+    )
+    expected = g.transform(lambda s: s.pct_change(10))
+    np.testing.assert_allclose(
+        out["close_roc_0_10"].to_numpy(), expected, equal_nan=True, rtol=1e-9
+    )
+
+    out = _sorted(
+        augment_cmo(sdf, "date", "close", periods=14, group_cols=["symbol"]).toPandas()
+    )
+
+    def cmo(s):
+        delta = s.diff()
+        gains = delta.where(delta > 0, 0.0)
+        losses = -delta.where(delta < 0, 0.0)
+        gs = gains.rolling(14, min_periods=14).sum()
+        ls = losses.rolling(14, min_periods=14).sum()
+        return 100 * (gs - ls) / (gs + ls)
+
+    np.testing.assert_allclose(
+        out["close_cmo_14"].to_numpy(), g.transform(cmo), equal_nan=True, rtol=1e-9
+    )
+
+    out = _sorted(augment_drawdown(sdf, "date", "close", group_cols=["symbol"]).toPandas())
+    peak = g.transform("cummax")
+    np.testing.assert_allclose(out["close_peak"].to_numpy(), peak, rtol=1e-12)
+    np.testing.assert_allclose(
+        out["close_drawdown"].to_numpy(), ref["close"] - peak, rtol=1e-9, atol=1e-12
+    )
+
+
+def test_macd_ppo(ohlcv):
+    sdf, pdf = ohlcv
+    ref = _sorted(pdf.copy())
+    g = ref.groupby("symbol")["close"]
+    out = _sorted(
+        augment_macd(sdf, "date", "close", group_cols=["symbol"]).toPandas()
+    )
+    ema_f = g.transform(lambda s: s.ewm(span=12, adjust=False).mean())
+    ema_s = g.transform(lambda s: s.ewm(span=26, adjust=False).mean())
+    macd = ema_f - ema_s
+    np.testing.assert_allclose(
+        out["close_macd_line_12_26_9"].to_numpy(), macd, rtol=1e-9
+    )
+    out = _sorted(augment_ppo(sdf, "date", "close", group_cols=["symbol"]).toPandas())
+    np.testing.assert_allclose(
+        out["close_ppo_line_12_26"].to_numpy(), (ema_f - ema_s) / ema_s * 100, rtol=1e-9
+    )
+
+
+def test_stochastic(ohlcv):
+    sdf, pdf = ohlcv
+    ref = _sorted(pdf.copy())
+    out = _sorted(
+        augment_stochastic_oscillator(
+            sdf, "date", "high", "low", "close", k_periods=14, d_periods=3,
+            group_cols=["symbol"],
+        ).toPandas()
+    )
+
+    def k(d):
+        ll = d["low"].rolling(14, min_periods=1).min()
+        hh = d["high"].rolling(14, min_periods=1).max()
+        return 100 * (d["close"] - ll) / (hh - ll)
+
+    expected_k = ref.groupby("symbol", group_keys=False).apply(k)
+    np.testing.assert_allclose(
+        out["close_stoch_k_14"].to_numpy(), expected_k.to_numpy(), rtol=1e-9
+    )

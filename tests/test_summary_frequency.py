@@ -1,0 +1,93 @@
+"""Tests for ts_summary, frequency inference, apply_by_time, sequences."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pytimetk_spark import (
+    apply_by_time,
+    get_frequency,
+    get_frequency_summary,
+    get_seasonal_frequency,
+    get_trend_frequency,
+    make_weekday_sequence,
+    make_weekend_sequence,
+    ts_summary,
+)
+
+
+def test_ts_summary_basic(spark):
+    pdf = pd.DataFrame(
+        {
+            "id": ["A"] * 10 + ["B"] * 5,
+            "date": list(pd.date_range("2020-01-01", periods=10, freq="D"))
+            + list(pd.date_range("2020-03-01", periods=5, freq="h")),
+        }
+    )
+    out = (
+        ts_summary(spark.createDataFrame(pdf), "date", group_cols=["id"])
+        .toPandas()
+        .set_index("id")
+    )
+    assert out.loc["A", "date_n"] == 10
+    assert out.loc["A", "diff_median_seconds"] == 86400.0
+    assert out.loc["B", "diff_median_seconds"] == 3600.0
+    assert out.loc["A", "date_start"] == pd.Timestamp("2020-01-01")
+    assert out.loc["B", "date_end"] == pd.Timestamp("2020-03-01 04:00:00")
+    assert out.loc["A", "freq_median_unit"] == "D"
+    assert out.loc["B", "freq_median_unit"] == "H"
+
+
+def test_get_frequency_daily_monthly(spark):
+    daily = pd.DataFrame({"date": pd.date_range("2020-01-01", periods=30, freq="D")})
+    assert get_frequency(spark.createDataFrame(daily), "date") == "1D"
+    monthly = pd.DataFrame(
+        {"date": pd.date_range("2020-01-01", periods=24, freq="MS")}
+    )
+    assert get_frequency(spark.createDataFrame(monthly), "date") == "1MS"
+
+
+def test_frequency_summary_m_switch(spark):
+    """M/Q/Y with fractional remainder 0.1-0.9 switches to days."""
+    dates = pd.to_datetime(["2020-01-01", "2020-02-15", "2020-03-31", "2020-05-15"])
+    out = get_frequency_summary(
+        spark.createDataFrame(pd.DataFrame({"date": dates})), "date"
+    ).toPandas()
+    assert out["freq_median_unit"].iloc[0] == "D"
+
+
+def test_seasonal_trend_templates(spark):
+    daily = pd.DataFrame({"date": pd.date_range("2020-01-01", periods=60, freq="D")})
+    sdf = spark.createDataFrame(daily)
+    assert get_seasonal_frequency(sdf, "date") == "1W"
+    assert get_trend_frequency(sdf, "date") == "1Q"
+
+
+def test_apply_by_time(spark):
+    pdf = pd.DataFrame(
+        {
+            "date": pd.date_range("2020-01-01", periods=60, freq="D"),
+            "value": np.arange(1.0, 61.0),
+        }
+    )
+    out = (
+        apply_by_time(
+            spark.createDataFrame(pdf),
+            "date",
+            freq="MS",
+            value_sum=lambda d: d["value"].sum(),
+            value_spread=lambda d: d["value"].max() - d["value"].min(),
+        )
+        .toPandas()
+        .sort_values("date")
+    )
+    assert out["value_sum"].tolist() == [496.0, 1334.0]
+    assert out["value_spread"].tolist() == [30.0, 28.0]
+
+
+def test_weekday_weekend_sequences(spark):
+    wd = make_weekday_sequence(spark, "2024-01-01", "2024-01-14").toPandas()
+    assert len(wd) == 10
+    we = make_weekend_sequence(spark, "2024-01-01", "2024-01-14").toPandas()
+    assert len(we) == 4
