@@ -1,0 +1,146 @@
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "points_per_sec": ...}
+
+Each query is forced end-to-end with a noop sink (full computation, no
+collect/driver cost). The two-cluster-size scaling evidence (local[8] vs
+local[32]) lives in tools/scaling_bench.py → BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import pytimetk_spark as tk
+from pytimetk_spark.rollup.tiers import (
+    derived_stats,
+    gap_fill_tier,
+    rollup_raw_to_tier,
+    rollup_tier_to_tier,
+)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 32))
+
+
+def _force(df) -> int:
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def bench_queries(spark):
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+
+    def q_rollup_chain():
+        h1 = rollup_raw_to_tier(ev, "event_type", "ts", "value", "h")
+        d1 = rollup_tier_to_tier(h1, "D")
+        d7 = rollup_tier_to_tier(d1, "7D")
+        _force(derived_stats(h1))
+        _force(d1)
+        _force(d7)
+
+    return {
+        "summarize_hourly": lambda: _force(
+            tk.summarize_by_time(
+                ev, "ts", "value", group_cols=["event_type"], freq="h",
+                agg_func=["sum", "mean", "count"], dense=False, fillna=None,
+            )
+        ),
+        "summarize_daily_lineitem": lambda: _force(
+            tk.summarize_by_time(
+                li, "l_shipdate", ["l_quantity", "l_extendedprice"],
+                group_cols=["l_returnflag"], freq="D",
+                agg_func=["sum", "mean"], dense=False, fillna=None,
+            )
+        ),
+        "rollup_tier_chain_1h_1d_7d": q_rollup_chain,
+        "gap_fill_tier_1h": lambda: _force(
+            gap_fill_tier(
+                rollup_raw_to_tier(ev, "user_id", "ts", "value", "h"), "h"
+            )
+        ),
+        "pad_by_time_hourly": lambda: _force(
+            tk.pad_by_time(
+                ev.select("event_type", "ts", "value"), "ts", freq="h",
+                group_cols=["event_type"],
+            )
+        ),
+        "augment_rolling_multi": lambda: _force(
+            tk.augment_rolling(
+                ev.select("user_id", "ts", "value"), "ts", "value",
+                window=[5, 20], window_func=["mean", "sum", "min", "max", "std"],
+                group_cols=["user_id"],
+            )
+        ),
+        "augment_shift_stack": lambda: _force(
+            tk.augment_diffs(
+                tk.augment_lags(
+                    ev.select("user_id", "ts", "value"), "ts", "value",
+                    lags=[1, 2, 3], group_cols=["user_id"],
+                ),
+                "ts", "value", periods=1, group_cols=["user_id"],
+            )
+        ),
+        "timeseries_signature": lambda: _force(
+            tk.augment_timeseries_signature(
+                li.select("l_orderkey", "l_shipdate"), "l_shipdate"
+            )
+        ),
+    }
+
+
+def main():
+    spark = tk.get_spark(app_name="pytimetk_spark-bench", master=f"local[{CPUS}]")
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    ev.count()  # warm up session/scan
+
+    timings = {}
+    for name, fn in bench_queries(spark).items():
+        fn()  # warm-up run (plan compile + shuffle files)
+        t0 = time.time()
+        fn()
+        timings[name] = round(time.time() - t0, 4)
+
+    # north-rule metric: rolled-up points/sec across the tier chain
+    # (each tier materialized once, as run_rollup's tier writes would;
+    # user_id is the series key — the highest-cardinality key available)
+    t0 = time.time()
+    h1 = rollup_raw_to_tier(ev, "user_id", "ts", "value", "h").cache()
+    d1 = rollup_tier_to_tier(h1, "D").cache()
+    d7 = rollup_tier_to_tier(d1, "7D")
+    points = h1.count() + d1.count() + d7.count()
+    tier_elapsed = time.time() - t0
+    pps = points / tier_elapsed if tier_elapsed > 0 else 0.0
+    h1.unpersist(), d1.unpersist()
+
+    total = round(sum(timings.values()), 4)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "points_per_sec": round(pps, 1),
+                "cpus": int(CPUS),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

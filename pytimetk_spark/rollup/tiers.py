@@ -1,0 +1,217 @@
+"""Continuous-aggregate tier engine: raw → 1h → 1d → 7d.
+
+North rule (BASELINE.json): continuous aggregates over a Common-Crawl-style
+table ``(url, warc_ts, html, text, lang)``, rolled into 1h/1d/7d tiers with
+gap-fill and Gorilla compression.
+
+Design for 10^12 rows:
+  * The 1h tier aggregates RAW data exactly once — a single shuffle on
+    (url, bucket) after map-side partial aggregation. All stats are
+    RE-AGGREGABLE (count/sum/min/max/sumsq + timestamped first/last), so
+    the 1d tier aggregates the 1h tier (≤24 rows per url-day instead of
+    raw) and 7d aggregates 1d — each coarser tier costs a shuffle of the
+    *previous tier's* cardinality, not the raw table's.
+  * Hot-domain skew: ``salt_partials=k`` splits each (url, bucket) group
+    into k sub-groups keyed by a deterministic hash of the timestamp,
+    aggregates partials, then merges — two small shuffles instead of one
+    skewed one. Combined with AQE skew handling this bounds any single
+    reducer. (Spark's hash-aggregate already does map-side combine; the
+    explicit salt matters when ONE url floods ONE bucket beyond a single
+    task's share.)
+  * Derived stats (mean/std) are computed FROM the re-aggregable stats at
+    read time — they are never stored, so tier merging stays exact.
+  * 7d buckets are epoch-aligned (pandas ``dt.floor('7D')`` semantics) via
+    functions/datetime.floor_date — deterministic across runs and
+    resumable without remembering an origin.
+
+Gorilla blocks: ``encode_tier_blocks`` packs each url's (bucket_ts, stat)
+streams into binary blobs via the rollup/compression codecs inside an
+Arrow grouped-map UDF; ``decode_tier_blocks`` reverses exactly (tests
+assert bit-identical round-trip).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pytimetk_spark.functions.datetime import floor_date
+from pytimetk_spark.operators.pad_by_time import pad_by_time
+from pytimetk_spark.rollup.compression import (
+    decode_gorilla,
+    decode_timestamps,
+    encode_gorilla,
+    encode_timestamps,
+)
+
+TIER_FREQS = {"1h": "h", "1d": "D", "7d": "7D"}
+
+STAT_COLS = ["cnt", "vsum", "vmin", "vmax", "vsumsq", "vfirst", "vlast"]
+
+
+def rollup_raw_to_tier(
+    df: DataFrame,
+    url_col: str,
+    ts_col: str,
+    value_col,
+    freq: str = "h",
+    salt_partials: int | None = None,
+) -> DataFrame:
+    """Aggregate raw rows into one tier: (url, bucket) × re-aggregable stats.
+
+    ``value_col`` may be a column name or a Column expression (e.g.
+    ``F.length("text")`` — page-length stream per the north rule).
+    """
+    value = F.col(value_col) if isinstance(value_col, str) else value_col
+    value = value.cast("double").alias("__v__")
+    bucket = floor_date(F.col(ts_col), freq).alias("bucket_ts")
+    base = df.select(F.col(url_col).alias("url"), bucket, value, F.col(ts_col).alias("__ts__"))
+
+    aggs = [
+        F.count("__v__").alias("cnt"),
+        F.sum("__v__").alias("vsum"),
+        F.min("__v__").alias("vmin"),
+        F.max("__v__").alias("vmax"),
+        F.sum(F.col("__v__") * F.col("__v__")).alias("vsumsq"),
+        F.min_by("__v__", "__ts__").alias("vfirst"),
+        F.min("__ts__").alias("first_ts"),
+        F.max_by("__v__", "__ts__").alias("vlast"),
+        F.max("__ts__").alias("last_ts"),
+    ]
+    if not salt_partials:
+        return base.groupBy("url", "bucket_ts").agg(*aggs)
+
+    # two-phase salted aggregation for hot (url, bucket) groups
+    salted = base.withColumn(
+        "__salt__", F.pmod(F.xxhash64("__ts__"), F.lit(salt_partials))
+    )
+    partial = salted.groupBy("url", "bucket_ts", "__salt__").agg(*aggs)
+    return partial.groupBy("url", "bucket_ts").agg(*_merge_aggs())
+
+
+def _merge_aggs():
+    """Merge re-aggregable partials (used by salted phase-2 and by
+    tier→tier rollup)."""
+    return [
+        F.sum("cnt").alias("cnt"),
+        F.sum("vsum").alias("vsum"),
+        F.min("vmin").alias("vmin"),
+        F.max("vmax").alias("vmax"),
+        F.sum("vsumsq").alias("vsumsq"),
+        F.min_by("vfirst", "first_ts").alias("vfirst"),
+        F.min("first_ts").alias("first_ts"),
+        F.max_by("vlast", "last_ts").alias("vlast"),
+        F.max("last_ts").alias("last_ts"),
+    ]
+
+
+def rollup_tier_to_tier(tier_df: DataFrame, to_freq: str) -> DataFrame:
+    """Re-aggregate a finer tier into a coarser one (1h→1d, 1d→7d)."""
+    coarse = floor_date(F.col("bucket_ts"), to_freq).alias("bucket_ts")
+    return (
+        tier_df.withColumn("__coarse__", coarse)
+        .drop("bucket_ts")
+        .withColumnRenamed("__coarse__", "bucket_ts")
+        .groupBy("url", "bucket_ts")
+        .agg(*_merge_aggs())
+    )
+
+
+def derived_stats(tier_df: DataFrame) -> DataFrame:
+    """mean/std/range computed from the re-aggregable stats (never stored)."""
+    cnt, s, ss = F.col("cnt"), F.col("vsum"), F.col("vsumsq")
+    mean = s / cnt
+    raw_var = (ss - s * s / cnt) / (cnt - 1)
+    # clamp tiny negative variance from fp cancellation; cnt<=1 → NULL
+    # (no sample std, matching pandas .std())
+    return tier_df.withColumn("vmean", mean).withColumn(
+        "vstd", F.when(cnt > 1, F.sqrt(F.greatest(raw_var, F.lit(0.0))))
+    )
+
+
+def gap_fill_tier(tier_df: DataFrame, freq: str, fill_zero: bool = False) -> DataFrame:
+    """Make each url's bucket series regular (missing intervals explicit) —
+    pad_by_time with per-url bounds; count gaps become 0, values NULL."""
+    filled = pad_by_time(
+        tier_df,
+        "bucket_ts",
+        freq=freq,
+        group_cols=["url"],
+        per_group_bounds=True,
+    )
+    filled = filled.fillna(0, subset=["cnt"])
+    if fill_zero:
+        filled = filled.fillna(0.0, subset=["vsum", "vsumsq"])
+    return filled
+
+
+# ---------------------------------------------------------------------------
+# Gorilla block packing (Arrow grouped-map)
+
+_BLOCK_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("n_points", T.IntegerType()),
+        T.StructField("ts_block", T.BinaryType()),
+        T.StructField("stat_blocks", T.MapType(T.StringType(), T.BinaryType())),
+    ]
+)
+
+
+def encode_tier_blocks(
+    tier_df: DataFrame, stats: Sequence[str] = ("cnt", "vsum", "vmin", "vmax")
+) -> DataFrame:
+    """Per url: delta-of-delta the bucket timestamps + Gorilla-XOR each stat
+    stream → one row (url, n_points, ts_block, map<stat, blob>).
+
+    Runs as ONE Arrow grouped-map pass per url after the tier aggregate —
+    the url's whole (already tiny) bucket series fits a single task."""
+    stats = list(stats)
+
+    def encode(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("bucket_ts")
+        ts = (pdf["bucket_ts"].astype("int64") // 10**9).to_numpy()
+        blocks = {
+            s: encode_gorilla(pdf[s].to_numpy(dtype="float64")) for s in stats
+        }
+        return pd.DataFrame(
+            {
+                "url": [pdf["url"].iloc[0]],
+                "n_points": [len(pdf)],
+                "ts_block": [encode_timestamps(ts)],
+                "stat_blocks": [blocks],
+            }
+        )
+
+    return tier_df.groupBy("url").applyInPandas(encode, schema=_BLOCK_SCHEMA)
+
+
+def decode_tier_blocks(blocks_df: DataFrame, stats: Sequence[str]) -> DataFrame:
+    """Inverse of encode_tier_blocks → long (url, bucket_ts, *stats)."""
+    stats = list(stats)
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("bucket_ts", T.TimestampType()),
+            *[T.StructField(s, T.DoubleType()) for s in stats],
+        ]
+    )
+
+    def decode(pdf: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for _, row in pdf.iterrows():
+            ts = decode_timestamps(bytes(row["ts_block"]))
+            data = {"url": row["url"], "bucket_ts": pd.to_datetime(ts, unit="s")}
+            for s in stats:
+                data[s] = decode_gorilla(bytes(row["stat_blocks"][s]))
+            frames.append(pd.DataFrame(data))
+        if not frames:
+            return pd.DataFrame({f.name: [] for f in schema.fields})
+        return pd.concat(frames, ignore_index=True)
+
+    return blocks_df.groupBy("url").applyInPandas(decode, schema=schema)

@@ -1,0 +1,28 @@
+from pytimetk_spark.webtext.dedup import (
+    dedup_exact,
+    embedding_near_dup_pairs,
+    exact_duplicate_groups,
+    minhash_dedup,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    shingle_tokens,
+    simhash,
+    simhash_near_dup_pairs,
+)
+from pytimetk_spark.webtext.similarity import (
+    cosine_topk_bruteforce,
+    lsh_bucket_ann,
+    normalize_embeddings,
+)
+from pytimetk_spark.webtext.textstats import (
+    document_fingerprint,
+    language_id,
+    quality_score,
+    token_stats,
+)
+from pytimetk_spark.webtext.multimodal import (
+    byte_stats_features,
+    decode_image_batch,
+    sample_video_frames,
+)

@@ -1,0 +1,147 @@
+"""Similarity search over embedding columns (array<float>).
+
+* ``cosine_topk_bruteforce`` — exact baseline: broadcast the (small) query
+  set against the corpus, native ``zip_with``/``aggregate`` dot products,
+  per-query top-k via window rank. One corpus scan, no Python.
+* ``lsh_bucket_ann`` — scale path: random-hyperplane sign buckets
+  (Charikar 2002) with optional multiprobe (flip 1 bit); candidates only
+  within matching buckets, so cost is corpus/2^planes per query bucket.
+
+At 100 TB the bruteforce path is a full-scan-per-query-batch (fine for
+offline eval batches, broadcast keeps it one pass); the LSH path prunes the
+scan by bucket pushdown when the corpus is stored partitioned by bucket.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def normalize_embeddings(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    norm = F.sqrt(
+        F.aggregate(
+            F.col(vec_col), F.lit(0.0), lambda acc, v: acc + v.cast("double") * v
+        )
+    )
+    return df.withColumn(
+        vec_col,
+        F.transform(F.col(vec_col), lambda v: v.cast("double") / norm),
+    )
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def cosine_topk_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k by cosine for each query vector. ``queries`` must be
+    small (it is broadcast); corpus is scanned once."""
+    c = normalize_embeddings(corpus, vec_col).select(
+        F.col(id_col), F.col(vec_col).alias("__cv__")
+    )
+    q = normalize_embeddings(queries, vec_col).select(
+        F.col(query_id_col), F.col(vec_col).alias("__qv__")
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        query_id_col,
+        id_col,
+        _dot(F.col("__cv__"), F.col("__qv__")).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy(query_id_col, "rank")
+    )
+
+
+def _hyperplanes(n_planes: int, dim: int, seed: int) -> list[list[float]]:
+    rng = random.Random(seed)
+    return [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def _sign_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    bucket = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(x) for x in p])
+        proj = F.aggregate(
+            F.zip_with(vec, plane, lambda v, w: v.cast("double") * w),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket.bitwiseOR(
+            F.when(proj >= 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return bucket
+
+
+def lsh_bucket_ann(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    n_planes: int = 10,
+    multiprobe: bool = True,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's hyperplane sign
+    bucket (or differ by one flipped bit with ``multiprobe``), exact cosine
+    then ranks within candidates."""
+    dim = int(corpus.select(F.size(vec_col).alias("d")).first()["d"])
+    planes = _hyperplanes(n_planes, dim, seed)
+
+    c = normalize_embeddings(corpus, vec_col).select(
+        F.col(id_col),
+        F.col(vec_col).alias("__cv__"),
+        _sign_bucket(F.col(vec_col), planes).alias("__bucket__"),
+    )
+    q = normalize_embeddings(queries, vec_col).select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("__qv__"),
+        _sign_bucket(F.col(vec_col), planes).alias("__qb__"),
+    )
+    if multiprobe:
+        probes = F.explode(
+            F.array(
+                F.col("__qb__"),
+                *[
+                    F.col("__qb__").bitwiseXOR(F.lit(1 << i).cast("long"))
+                    for i in range(n_planes)
+                ],
+            )
+        ).alias("__bucket__")
+        q = q.select(query_id_col, "__qv__", probes)
+    else:
+        q = q.withColumnRenamed("__qb__", "__bucket__")
+
+    scored = c.join(F.broadcast(q), on="__bucket__").select(
+        query_id_col, id_col, _dot(F.col("__cv__"), F.col("__qv__")).alias("cosine")
+    ).groupBy(query_id_col, id_col).agg(F.max("cosine").alias("cosine"))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy(query_id_col, "rank")
+    )

@@ -1,0 +1,152 @@
+"""Text analysis for web corpora: language ID, quality scoring, token
+counting, document fingerprinting. Every function is a pure Catalyst
+projection (plus one tiny broadcast for stopword sets) — zero Python in
+the row path, safe to fuse into any 100-TB scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# compact public stopword lists (top function words per language)
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "you", "that",
+           "was", "for", "on", "are", "with", "as", "this", "have", "be"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "den", "des",
+           "nicht", "ein", "eine", "zu", "im", "für", "auf", "sich"],
+    "fr": ["le", "la", "les", "et", "de", "des", "un", "une", "est", "dans",
+           "que", "qui", "pour", "pas", "sur", "avec", "au", "ce"],
+    "es": ["el", "la", "los", "las", "de", "y", "que", "en", "un", "una",
+           "es", "por", "con", "para", "no", "se", "su", "al"],
+    "it": ["il", "la", "le", "di", "e", "che", "in", "un", "una", "per",
+           "non", "con", "del", "della", "si", "da", "al"],
+    "pt": ["o", "a", "os", "as", "de", "e", "que", "em", "um", "uma", "do",
+           "da", "para", "não", "com", "por", "no", "na"],
+    "nl": ["de", "het", "een", "en", "van", "in", "is", "dat", "op", "te",
+           "met", "voor", "niet", "zijn", "aan", "er", "ook"],
+    "pl": ["i", "w", "na", "z", "do", "że", "się", "nie", "jest", "to",
+           "jak", "po", "co", "tak", "dla", "od", "za"],
+}
+
+_TOKEN_RE = r"[A-Za-zÀ-ÿ]+|[0-9]+|[^\sA-Za-zÀ-ÿ0-9]"  # BPE-ish pre-tokenizer
+
+
+def _tokens(text: Column) -> Column:
+    return F.split(F.lower(F.trim(F.regexp_replace(text, r"\s+", " "))), " ")
+
+
+def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """n_chars, whitespace token count, BPE-ish regex token count, mean
+    token length."""
+    t = F.col(text_col)
+    ws_tokens = _tokens(t)
+    # pattern passed as a lit Column — embedding it in a SQL string literal
+    # would eat the \s escape ('\s' → 's')
+    bpe_count = F.size(F.regexp_extract_all(t, F.lit(_TOKEN_RE), F.lit(0)))
+    return (
+        df.withColumn("n_chars", F.length(t))
+        .withColumn("n_tokens_ws", F.size(ws_tokens))
+        .withColumn("n_tokens_bpe", bpe_count)
+        .withColumn(
+            "mean_token_len",
+            F.aggregate(
+                ws_tokens, F.lit(0), lambda acc, x: acc + F.length(x)
+            ).cast("double")
+            / F.size(ws_tokens),
+        )
+    )
+
+
+def language_id(
+    df: DataFrame, text_col: str = "text", out_col: str = "lang_pred"
+) -> DataFrame:
+    """n-gram-free stopword-ratio heuristic: score per language = fraction
+    of the doc's distinct tokens that are that language's function words;
+    argmax wins. A greatest/when chain — fully native."""
+    toks = F.array_distinct(_tokens(F.col(text_col)))
+    scores = {
+        lang: (
+            F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
+            .cast("double")
+            / F.greatest(F.size(toks), F.lit(1))
+        )
+        for lang, words in STOPWORDS.items()
+    }
+    best = F.greatest(*scores.values())
+    pred = F.lit(None).cast("string")
+    for lang, sc in reversed(list(scores.items())):
+        pred = F.when(sc == best, F.lit(lang)).otherwise(pred)
+    out = df
+    for lang, sc in scores.items():
+        out = out.withColumn(f"langscore_{lang}", sc)
+    return out.withColumn(
+        out_col, F.when(best > 0, pred).otherwise(F.lit("unknown"))
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style quality heuristics + composite score in [0, 1]:
+    length band, mean word length band, punctuation ratio, digit ratio,
+    stopword hit, uppercase ratio."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    toks = _tokens(t)
+    n_tokens = F.greatest(F.size(toks), F.lit(1))
+    mean_len = (
+        F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x)).cast("double")
+        / n_tokens
+    )
+    punct = F.length(F.regexp_replace(t, r"[^!-/:-@\[-`{-~]", "")).cast("double") / F.greatest(n_chars, F.lit(1))
+    digits = F.length(F.regexp_replace(t, r"[^0-9]", "")).cast("double") / F.greatest(n_chars, F.lit(1))
+    upper = F.length(F.regexp_replace(t, r"[^A-Z]", "")).cast("double") / F.greatest(n_chars, F.lit(1))
+    en_stop = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    stop_hits = F.size(F.array_intersect(F.array_distinct(toks), en_stop))
+
+    ok_len = (n_chars >= 20) & (n_chars <= 100_000)
+    ok_word_len = (mean_len >= 2.0) & (mean_len <= 12.0)
+    ok_punct = punct <= 0.25
+    ok_digits = digits <= 0.3
+    ok_upper = upper <= 0.3
+    has_stop = stop_hits >= 1
+
+    score = (
+        ok_len.cast("int")
+        + ok_word_len.cast("int")
+        + ok_punct.cast("int")
+        + ok_digits.cast("int")
+        + ok_upper.cast("int")
+        + has_stop.cast("int")
+    ).cast("double") / 6
+    return (
+        df.withColumn("q_n_chars", n_chars)
+        .withColumn("q_mean_word_len", mean_len)
+        .withColumn("q_punct_ratio", punct)
+        .withColumn("q_digit_ratio", digits)
+        .withColumn("q_upper_ratio", upper)
+        .withColumn("q_stopword_hits", stop_hits)
+        .withColumn("quality_score", score)
+    )
+
+
+def document_fingerprint(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    shingle_size: int = 4,
+) -> DataFrame:
+    """Winnowing-style fingerprint: word shingles → rolling hash → the k
+    smallest hashes (sorted) as array<bigint> + a single combined 64-bit
+    fingerprint. Deterministic; near-identical docs share most minima."""
+    from pytimetk_spark.webtext.dedup import shingle_tokens
+
+    sh = shingle_tokens(F.col(text_col), shingle_size)
+    hashes = F.transform(sh, lambda s: F.xxhash64(s))
+    minima = F.slice(F.array_sort(hashes), 1, k)
+    combined = F.xxhash64(minima)
+    return df.select(
+        F.col(id_col),
+        minima.alias("fingerprint_minhashes"),
+        combined.alias("fingerprint64"),
+    )

@@ -1,0 +1,246 @@
+"""North-rule rollup engine tests: Gorilla codecs, tier aggregation parity
+with pandas (pytimetk-style resample oracle), gap-fill, compression
+round-trip, checkpoint/resume, retention, and the byte-identical-text
+per-url invariant."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pytimetk_spark.rollup.compression import (
+    decode_gorilla,
+    decode_timestamps,
+    encode_gorilla,
+    encode_timestamps,
+)
+from pytimetk_spark.rollup.tiers import (
+    decode_tier_blocks,
+    derived_stats,
+    encode_tier_blocks,
+    gap_fill_tier,
+    rollup_raw_to_tier,
+    rollup_tier_to_tier,
+)
+from pytimetk_spark.rollup.store import TierStore, run_rollup
+from pytimetk_spark.rollup.retention import apply_retention
+from pytimetk_spark.sources.webpages import generate_webpages
+
+
+# ---------------------------------------------------------------------------
+# codecs (no Spark needed)
+
+
+def test_codec_roundtrip_fuzz():
+    rng = np.random.RandomState(42)
+    for trial in range(100):
+        n = rng.randint(0, 400)
+        ts = np.cumsum(rng.randint(1, 10**6, size=n)).astype(np.int64) + 1_600_000_000
+        assert np.array_equal(ts, decode_timestamps(encode_timestamps(ts)))
+        vals = rng.randn(n) * 10.0 ** rng.randint(-5, 8)
+        if n > 3:
+            vals[rng.randint(0, n)] = np.nan
+            vals[rng.randint(0, n)] = np.inf
+            vals[0] = 0.0
+        back = decode_gorilla(encode_gorilla(vals))
+        assert np.array_equal(vals.view(np.uint64), back.view(np.uint64))
+
+
+def test_codec_compresses_regular_series():
+    ts = (np.arange(10000) * 3600 + 1_600_000_000).astype(np.int64)
+    assert len(encode_timestamps(ts)) < 10000 * 8 / 40  # ~1 bit/point
+    vals = np.full(10000, 42.5)
+    assert len(encode_gorilla(vals)) < 10000 * 8 / 40
+
+
+# ---------------------------------------------------------------------------
+# web table + tiers
+
+
+@pytest.fixture(scope="module")
+def web(spark):
+    df = generate_webpages(
+        spark, n_urls=50, crawls_per_url=40, days=21, n_domains=10, seed=42
+    ).cache()
+    df.count()
+    return df
+
+
+def test_webpages_deterministic_and_invariant(spark, web):
+    df2 = generate_webpages(
+        spark, n_urls=50, crawls_per_url=40, days=21, n_domains=10, seed=42
+    )
+    assert web.count() == df2.count()
+    # text is byte-identical per url (the per-row invariant)
+    per_url = web.groupBy("url").agg(
+        F.count_distinct(F.sha2(F.col("text"), 256)).alias("n_texts")
+    )
+    assert per_url.filter(F.col("n_texts") != 1).count() == 0
+    # domains are skewed: top domain owns > 3x the average urls/domain
+    dom = (
+        web.select(F.regexp_extract("url", r"site-(\d+)", 1).alias("d"), "url")
+        .distinct()
+        .groupBy("d")
+        .count()
+        .toPandas()
+    )
+    assert dom["count"].max() > 3 * dom["count"].mean()
+
+
+def test_tier_1h_matches_pandas_resample(spark, web):
+    tier = rollup_raw_to_tier(web, "url", "warc_ts", F.length("text"), "h")
+    out = derived_stats(tier).toPandas().sort_values(["url", "bucket_ts"])
+    pdf = web.select(
+        "url", "warc_ts", F.length("text").alias("v").cast("double")
+    ).toPandas()
+    exp = (
+        pdf.set_index("warc_ts")
+        .groupby("url")["v"]
+        .resample("h")
+        .agg(["count", "sum", "min", "max", "mean", "std"])
+        .dropna(subset=["count"])
+    )
+    exp = exp[exp["count"] > 0].reset_index()
+    merged = out.merge(
+        exp, left_on=["url", "bucket_ts"], right_on=["url", "warc_ts"], how="outer",
+        indicator=True,
+    )
+    assert (merged["_merge"] == "both").all()
+    np.testing.assert_allclose(merged["cnt"], merged["count"])
+    np.testing.assert_allclose(merged["vsum"], merged["sum"], rtol=1e-12)
+    np.testing.assert_allclose(merged["vmean"], merged["mean"], rtol=1e-12)
+    np.testing.assert_allclose(
+        merged["vstd"].fillna(0), merged["std"].fillna(0), rtol=1e-9, atol=1e-12
+    )
+
+
+def test_salted_rollup_identical(spark, web):
+    plain = (
+        rollup_raw_to_tier(web, "url", "warc_ts", F.length("text"), "h")
+        .toPandas()
+        .sort_values(["url", "bucket_ts"])
+        .reset_index(drop=True)
+    )
+    salted = (
+        rollup_raw_to_tier(web, "url", "warc_ts", F.length("text"), "h", salt_partials=8)
+        .toPandas()
+        .sort_values(["url", "bucket_ts"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(plain, salted, check_exact=False, rtol=1e-12)
+
+
+def test_tier_to_tier_exact(spark, web):
+    """1h→1d→7d re-aggregation must equal aggregating raw directly."""
+    h1 = rollup_raw_to_tier(web, "url", "warc_ts", F.length("text"), "h")
+    d1 = rollup_tier_to_tier(h1, "D")
+    d7 = rollup_tier_to_tier(d1, "7D")
+    direct_d1 = rollup_raw_to_tier(web, "url", "warc_ts", F.length("text"), "D")
+    direct_d7 = rollup_raw_to_tier(web, "url", "warc_ts", F.length("text"), "7D")
+    for got_df, want_df in [(d1, direct_d1), (d7, direct_d7)]:
+        got = got_df.toPandas().sort_values(["url", "bucket_ts"]).reset_index(drop=True)
+        want = (
+            want_df.toPandas().sort_values(["url", "bucket_ts"]).reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want, check_exact=False, rtol=1e-12)
+
+
+def test_gap_fill_tier(spark, web):
+    h1 = rollup_raw_to_tier(web, "url", "warc_ts", F.length("text"), "h")
+    filled = gap_fill_tier(h1, "h")
+    one = (
+        filled.filter(F.col("url") == filled.select("url").first()["url"])
+        .orderBy("bucket_ts")
+        .toPandas()
+    )
+    diffs = one["bucket_ts"].diff().dropna()
+    assert (diffs == pd.Timedelta(hours=1)).all()
+    assert (one["cnt"] == 0).any()  # gaps materialized
+    assert one.loc[one["cnt"] == 0, "vsum"].isna().all()
+
+
+def test_compression_roundtrip_through_spark(spark, web):
+    h1 = rollup_raw_to_tier(web, "url", "warc_ts", F.length("text"), "h")
+    stats = ["cnt", "vsum", "vmin", "vmax"]
+    blocks = encode_tier_blocks(h1, stats)
+    back = decode_tier_blocks(blocks, stats)
+    got = back.toPandas().sort_values(["url", "bucket_ts"]).reset_index(drop=True)
+    want = (
+        h1.select("url", "bucket_ts", *[F.col(s).cast("double") for s in stats])
+        .toPandas()
+        .sort_values(["url", "bucket_ts"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_exact=True)
+    # blocks actually compress: total blob bytes < raw 8B/point/stream
+    sizes = blocks.select(
+        F.sum(F.length("ts_block")).alias("tsb"),
+        F.sum(F.aggregate(F.map_values("stat_blocks"), F.lit(0), lambda a, b: a + F.length(b))).alias("vb"),
+        F.sum("n_points").alias("n"),
+    ).first()
+    raw_bytes = sizes["n"] * 8 * (1 + len(stats))
+    assert (sizes["tsb"] + sizes["vb"]) < raw_bytes
+
+
+def test_run_rollup_resume_and_retention(spark, web, tmp_path):
+    store = TierStore(str(tmp_path / "tiers"))
+    written = run_rollup(spark, web, store, value_col=F.length("text"))
+    tiers_written = {m.tier for m in written}
+    assert tiers_written == {"1h", "1d", "7d"}
+    n_days = len(store.completed_partitions("1h"))
+    assert n_days >= 20
+    for m in written:
+        assert m.points_per_sec > 0 and m.input_fingerprint
+
+    # resume: second run with identical input writes NO new 1h manifests
+    again = run_rollup(spark, web, store, value_col=F.length("text"))
+    assert [m for m in again if m.tier == "1h"] == []
+
+    # tier read-back: 1d tier equals direct aggregation of raw
+    d1 = store.read_tier(spark, "1d").drop("bucket_date")
+    direct = rollup_raw_to_tier(web, "url", "warc_ts", F.length("text"), "D")
+    got = d1.toPandas().sort_values(["url", "bucket_ts"]).reset_index(drop=True)
+    want = direct.toPandas().sort_values(["url", "bucket_ts"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[want.columns], want, check_exact=False, rtol=1e-12
+    )
+
+    # retention: drop 1h partitions older than cutoff
+    import datetime as dt
+
+    some_dates = sorted(store.completed_partitions("1h"))
+    cutoff_days = 3
+    now = dt.date.fromisoformat(some_dates[-1])
+    dropped = apply_retention(
+        store, {"1h": cutoff_days}, now=now
+    )
+    assert len(dropped.get("1h", [])) > 0
+    remaining = (
+        store.read_tier(spark, "1h")
+        .agg(F.min(F.to_date("bucket_ts")).alias("lo"))
+        .first()["lo"]
+    )
+    assert remaining >= now - dt.timedelta(days=cutoff_days)
+
+
+def test_text_invariant_through_pipeline(spark, web, tmp_path):
+    """sha256(text) per url is unchanged by rollup reads/writes (FIXTURES §1)."""
+    before = (
+        web.select("url", F.sha2("text", 256).alias("h")).distinct().toPandas()
+    )
+    path = str(tmp_path / "raw")
+    web.write.mode("overwrite").parquet(path)
+    after = (
+        spark.read.parquet(path)
+        .select("url", F.sha2("text", 256).alias("h"))
+        .distinct()
+        .toPandas()
+    )
+    b = before.sort_values(["url", "h"]).reset_index(drop=True)
+    a = after.sort_values(["url", "h"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert (b.groupby("url")["h"].nunique() == 1).all()

@@ -1,0 +1,199 @@
+"""Tests for dedup / similarity / text analysis / multimodal plumbing over
+the driver testdata (documents.parquet, embeddings.parquet) plus planted
+synthetic duplicates."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pytimetk_spark.webtext.dedup import (
+    dedup_exact,
+    embedding_near_dup_pairs,
+    exact_duplicate_groups,
+    minhash_dedup,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_dup_pairs,
+)
+from pytimetk_spark.webtext.multimodal import byte_stats_features, decode_image_batch, sample_video_frames
+from pytimetk_spark.webtext.similarity import cosine_topk_bruteforce, lsh_bucket_ann
+from pytimetk_spark.webtext.textstats import (
+    document_fingerprint,
+    language_id,
+    quality_score,
+    token_stats,
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    """documents + planted exact and near duplicates with known ids."""
+    base = spark.read.parquet(f"{SF}/documents.parquet")
+    rows = base.orderBy("doc_id").limit(3).collect()
+    extra = []
+    for i, r in enumerate(rows):
+        extra.append((10_000 + i, r["text"], r["lang"], r["source"], r["n_chars"]))
+    # near-dup: copy with one word swapped at the end
+    near = rows[0]["text"] + " zzz"
+    extra.append((10_100, near, rows[0]["lang"], rows[0]["source"], len(near)))
+    extra_df = spark.createDataFrame(
+        extra, schema="doc_id long, text string, lang string, source string, n_chars long"
+    )
+    return base.unionByName(extra_df)
+
+
+def test_exact_dedup(spark, planted):
+    groups = exact_duplicate_groups(planted).toPandas()
+    assert len(groups) == 3
+    assert set(groups["n_docs"]) == {2}
+    assert (groups["keeper_id"] < 10_000).all()
+    kept = dedup_exact(planted)
+    assert kept.count() == planted.count() - 3
+    assert kept.filter(F.col("doc_id").isin([10_000, 10_001, 10_002])).count() == 0
+
+
+def test_minhash_dedup_finds_planted_near_dup(spark, planted):
+    sigs = minhash_signatures(planted, n_hashes=64, shingle_size=5)
+    assert sigs.select(F.size("signature")).first()[0] == 64
+    cands = minhash_lsh_candidates(sigs, bands=16, rows_per_band=4)
+    cand_pairs = set(map(tuple, cands.toPandas().values.tolist()))
+    assert (0, 10_000) in cand_pairs  # exact dup must collide
+    assert (0, 10_100) in cand_pairs  # near dup should collide
+    verified = ngram_jaccard_pairs(sigs, cands).toPandas()
+    j = verified.set_index(["id_a", "id_b"])["jaccard"]
+    assert j.loc[(0, 10_000)] == 1.0
+    assert j.loc[(0, 10_100)] > 0.8
+    cleaned = minhash_dedup(planted, threshold=0.8)
+    ids = {r["doc_id"] for r in cleaned.select("doc_id").collect()}
+    assert 0 in ids and 10_000 not in ids and 10_100 not in ids
+
+
+def test_simhash_near_dup(spark, planted):
+    sh = simhash(planted)
+    pairs = simhash_near_dup_pairs(sh, max_hamming=6).toPandas()
+    got = set(map(tuple, pairs[["id_a", "id_b"]].values.tolist()))
+    assert (0, 10_000) in got  # identical text → hamming 0
+    ham = pairs.set_index(["id_a", "id_b"])["hamming"]
+    assert ham.loc[(0, 10_000)] == 0
+
+
+def test_embedding_near_dup(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    dup = emb.limit(2).select(
+        (F.col("vec_id") + 20_000).alias("vec_id"),
+        "embedding",
+        "label",
+    )
+    all_vecs = emb.unionByName(dup)
+    pairs = embedding_near_dup_pairs(all_vecs, threshold=0.999, n_planes=8).toPandas()
+    got = set(map(tuple, pairs[["id_a", "id_b"]].values.tolist()))
+    assert (0, 20_000) in got and (1, 20_001) in got
+
+
+def test_cosine_topk_exact_vs_numpy(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.limit(3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = cosine_topk_bruteforce(emb, queries, k=5).toPandas()
+    assert set(out["query_id"]) == {0, 1, 2}
+    assert (out.groupby("query_id").size() == 5).all()
+    # self always ranks first with cosine ~1
+    firsts = out[out["rank"] == 1]
+    assert (firsts["query_id"].values == firsts["vec_id"].values).all()
+    np.testing.assert_allclose(firsts["cosine"], 1.0, rtol=1e-6)
+
+    # numpy oracle for query 0
+    pdf = emb.toPandas()
+    mat = np.vstack(pdf["embedding"].values).astype("float64")
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    q = mat[pdf.index[pdf["vec_id"] == 0][0]]
+    sims = mat @ q
+    top5 = pdf["vec_id"].values[np.lexsort((pdf["vec_id"].values, -sims))][:5]
+    got5 = out[out["query_id"] == 0].sort_values("rank")["vec_id"].values
+    np.testing.assert_array_equal(got5, top5)
+
+
+def test_lsh_ann_recall(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.limit(5).select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = cosine_topk_bruteforce(emb, queries, k=5).toPandas()
+    # random gaussian embeddings have weak neighbor structure — use few
+    # planes so candidate volume (≈ (1+planes)/2^planes of corpus) is
+    # meaningful, and assert recall far above the random-candidate baseline
+    approx = lsh_bucket_ann(emb, queries, k=5, n_planes=5, multiprobe=True).toPandas()
+    recall = 0.0
+    for qid in range(5):
+        e = set(exact[exact["query_id"] == qid]["vec_id"])
+        a = set(approx[approx["query_id"] == qid]["vec_id"])
+        recall += len(e & a) / 5
+    recall /= 5
+    assert recall >= 0.3, recall  # random baseline would be ~(6/32)·k/N ≈ 0.2%
+
+
+def test_token_stats_and_quality(spark, docs):
+    out = token_stats(docs).toPandas()
+    assert (out["n_tokens_ws"] > 0).all()
+    assert (out["n_tokens_bpe"] >= out["n_tokens_ws"]).all()
+    assert (out["n_chars"] == out["text"].str.len()).all()
+
+    q = quality_score(docs).toPandas()
+    assert q["quality_score"].between(0, 1).all()
+    assert (q["q_stopword_hits"] > 0).mean() > 0.5  # synthetic docs contain 'the'
+
+
+def test_language_id(spark):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "the cat is on the mat and it is happy with this",
+                "der Hund ist nicht mit der Katze im Haus und das ist gut",
+                "le chat est dans la maison et il est avec les enfants pour le jeu",
+            ],
+        }
+    )
+    out = language_id(spark.createDataFrame(pdf)).toPandas().sort_values("doc_id")
+    assert out["lang_pred"].tolist() == ["en", "de", "fr"]
+
+
+def test_document_fingerprint(spark, planted):
+    fp = document_fingerprint(planted).toPandas().set_index("doc_id")
+    assert fp.loc[0, "fingerprint64"] == fp.loc[10_000, "fingerprint64"]
+    # near-dup shares most minima but may differ in the combined hash
+    a = set(fp.loc[0, "fingerprint_minhashes"])
+    b = set(fp.loc[10_100, "fingerprint_minhashes"])
+    assert len(a & b) >= 6
+
+
+def test_multimodal_byte_features(spark, docs):
+    src = docs.withColumn("blob", F.to_binary(F.col("text"), F.lit("utf-8")))
+    out = byte_stats_features(src, "blob").toPandas()
+    assert len(out) == docs.count()
+    assert (out["n_bytes"] > 0).all()
+    assert out["byte_entropy"].between(0, 4).all()
+    assert (out["hist16"].apply(len) == 16).all()
+
+
+def test_multimodal_decode_stub(spark, docs):
+    src = docs.withColumn("blob", F.to_binary(F.col("text"), F.lit("utf-8"))).limit(20)
+    fake = decode_image_batch(src, "blob", fake=True).toPandas()
+    assert list(fake.columns) == ["doc_id", "n_bytes", "width", "height", "features"]
+    assert (fake["width"] == 224).all()
+    assert (fake["features"].apply(len) == 8).all()
+    with pytest.raises(Exception, match="NotImplementedError|decode requires"):
+        decode_image_batch(src, "blob", fake=False).collect()
+    with pytest.raises(Exception, match="NotImplementedError|ffmpeg"):
+        sample_video_frames(src, "blob").collect()

@@ -1,0 +1,95 @@
+"""Local mirror of the driver's correctness gate: run every queries() entry
+and its oracle_sql() side-by-side on DuckDB at sf0.01, compare row count,
+sorted-column schema, and order-insensitive value content."""
+
+from __future__ import annotations
+
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, "/root/repo")
+import __spark_entry__ as entrymod
+import pytimetk_spark as tk
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+ONLY = sys.argv[2:] or None
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            try:
+                df[c] = df[c].dt.tz_localize(None)
+            except TypeError:
+                pass
+            df[c] = df[c].astype("datetime64[us]")
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].round(6)
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def main():
+    spark = tk.get_spark(master="local[4]", shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    qs, osql = entrymod.queries(), entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if ONLY and name not in ONLY:
+            continue
+        try:
+            got = fn(spark, SF_DIR).toPandas()
+        except Exception as e:
+            failures.append((name, f"SPARK ERROR: {e}"))
+            print(f"{name:34s} SPARK-ERROR {str(e)[:120]}")
+            continue
+        if name not in osql:
+            print(f"{name:34s} rows-only    {len(got):>8} rows")
+            continue
+        try:
+            want = con.execute(osql[name]).df()
+        except Exception as e:
+            failures.append((name, f"DUCKDB ERROR: {e}"))
+            print(f"{name:34s} DUCK-ERROR  {str(e)[:120]}")
+            continue
+        g, w = normalize(got), normalize(want)
+        status = []
+        if len(g) != len(w):
+            status.append(f"ROWS {len(g)} vs {len(w)}")
+        if list(g.columns) != list(w.columns):
+            status.append(f"SCHEMA {list(g.columns)} vs {list(w.columns)}")
+        if not status:
+            try:
+                pd.testing.assert_frame_equal(
+                    g, w, check_dtype=False, check_exact=False, rtol=1e-6, atol=1e-6
+                )
+            except AssertionError as e:
+                status.append("VALUES " + str(e).splitlines()[0][:150])
+        if status:
+            failures.append((name, "; ".join(status)))
+            print(f"{name:34s} MISMATCH    {'; '.join(status)[:160]}")
+        else:
+            print(f"{name:34s} OK          {len(g):>8} rows")
+    spark.stop()
+    if failures:
+        print(f"\n{len(failures)} FAILURES")
+        sys.exit(1)
+    print("\nALL MATCH")
+
+
+if __name__ == "__main__":
+    main()
