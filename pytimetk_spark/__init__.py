@@ -67,6 +67,12 @@ from pytimetk_spark.operators.signatures import (
     augment_timeseries_signature,
     get_timeseries_signature,
     holiday_dim,
+    is_holiday,
+)
+from pytimetk_spark.functions.pandas_helpers import (
+    drop_zero_variance,
+    sort_dataframe,
+    transform_columns,
 )
 from pytimetk_spark.operators.anomalize import anomalize
 from pytimetk_spark.operators.binarize import binarize, correlate
@@ -89,5 +95,17 @@ from pytimetk_spark.operators.finance import (
     augment_stochastic_oscillator,
 )
 from pytimetk_spark.operators.crossvalidation import TimeSeriesCV
+from pytimetk_spark.operators.diagnostics import (
+    acf_diagnostics,
+    seasonal_diagnostics,
+    stl_diagnostics,
+    ts_features,
+)
+from pytimetk_spark.operators.transforms import (
+    augment_hilbert,
+    augment_spline,
+    augment_wavelet,
+)
+from pytimetk_spark.feature_store import FeatureStore
 
 __version__ = "0.1.0"

@@ -27,6 +27,12 @@ def get_spark(
         # overhead at test scale; on a real cluster this is set per job.
         n = master[master.find("[") + 1 : master.find("]")] if "[" in master else "32"
         shuffle_partitions = os.cpu_count() or 32 if n == "*" else int(n)
+    # shuffle/spill dir: prefer RAM-backed tmpfs when present (the local-mode
+    # analogue of per-executor NVMe — disk /tmp serializes 32 concurrent
+    # shuffle writers on this VM); SPARK_LOCAL_DIRS overrides.
+    local_dir = os.environ.get("SPARK_LOCAL_DIRS")
+    if not local_dir and os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+        local_dir = "/dev/shm/spark-local"
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
@@ -41,6 +47,8 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
     )
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

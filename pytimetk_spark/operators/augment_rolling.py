@@ -221,19 +221,28 @@ def _grouped_apply(
     date_column: str,
     group_cols: Sequence[str],
     new_cols: dict[str, Callable[[pd.DataFrame], pd.Series]],
+    multi_kernel: Callable[[pd.DataFrame], dict[str, pd.Series]] | None = None,
+    multi_names: Sequence[str] | None = None,
 ) -> DataFrame:
-    """Run per-group pandas kernels producing one new double column each;
-    original columns pass through. One Arrow round-trip per group."""
+    """Run per-group pandas kernels producing new double columns; original
+    columns pass through. One Arrow round-trip per group. Either a dict of
+    per-column kernels, or one ``multi_kernel`` returning {name: Series}
+    (cheaper when outputs share intermediate state, e.g. EMA chains)."""
+    out_names = list(multi_names) if multi_kernel else list(new_cols)
     schema = T.StructType(
-        [*df.schema.fields, *[T.StructField(n, T.DoubleType()) for n in new_cols]]
+        [*df.schema.fields, *[T.StructField(n, T.DoubleType()) for n in out_names]]
     )
-    names = dict(new_cols)
+    names = dict(new_cols or {})
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.drop(columns=["__gg__"], errors="ignore")
         pdf = pdf.sort_values(date_column).reset_index(drop=True)
-        for name, kernel in names.items():
-            pdf[name] = pd.to_numeric(kernel(pdf), errors="coerce")
+        if multi_kernel is not None:
+            for name, series in multi_kernel(pdf).items():
+                pdf[name] = pd.to_numeric(series, errors="coerce")
+        else:
+            for name, kernel in names.items():
+                pdf[name] = pd.to_numeric(kernel(pdf), errors="coerce")
         return pdf
 
     if group_cols:

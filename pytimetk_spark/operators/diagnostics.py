@@ -1,0 +1,289 @@
+"""Statistical diagnostics: ACF/PACF/CCF, seasonal & STL-style diagnostics,
+ts_features — numpy ports (statsmodels/tsfeatures are unavailable here; the
+formulas are the standard public definitions, matching statsmodels'
+defaults where noted).
+
+Reference surface: /root/reference/src/pytimetk/core/acf_diagnostics.py,
+seasonal_diagnostics.py, stl_diagnostics.py, ts_features.py.
+
+Spark: one Arrow grouped-map per group — each per-series kernel needs the
+whole history in one task (same dispatch as the reference's per-group
+apply, minus Ray).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pytimetk_spark.operators.anomalize import _classical_decompose, _numeric_period
+
+
+# ---------------------------------------------------------------------------
+# numpy kernels
+
+
+def acf_np(x: np.ndarray, nlags: int) -> np.ndarray:
+    """Autocorrelation (statsmodels acf default: denominator n, overall
+    mean)."""
+    x = np.asarray(x, dtype=float)
+    n = len(x)
+    xm = x - x.mean()
+    denom = (xm * xm).sum()
+    out = np.empty(nlags + 1)
+    for k in range(nlags + 1):
+        out[k] = (xm[: n - k] * xm[k:]).sum() / denom if denom else np.nan
+    return out
+
+
+def pacf_np(x: np.ndarray, nlags: int) -> np.ndarray:
+    """Partial autocorrelation via Durbin–Levinson (statsmodels 'ldb')."""
+    r = acf_np(x, nlags)
+    pacf = np.zeros(nlags + 1)
+    pacf[0] = 1.0
+    phi = np.zeros((nlags + 1, nlags + 1))
+    for k in range(1, nlags + 1):
+        num = r[k] - np.dot(phi[k - 1, 1:k], r[1:k][::-1])
+        den = 1.0 - np.dot(phi[k - 1, 1:k], r[1:k])
+        phi[k, k] = num / den if den != 0 else np.nan
+        for j in range(1, k):
+            phi[k, j] = phi[k - 1, j] - phi[k, k] * phi[k - 1, k - j]
+        pacf[k] = phi[k, k]
+    return pacf
+
+
+def ccf_np(x: np.ndarray, y: np.ndarray, nlags: int) -> np.ndarray:
+    """Cross-correlation x vs lagged y (statsmodels ccf convention)."""
+    x, y = np.asarray(x, float), np.asarray(y, float)
+    n = len(x)
+    xm, ym = x - x.mean(), y - y.mean()
+    denom = n * x.std() * y.std()
+    return np.array(
+        [(xm[: n - k] * ym[k:]).sum() / denom if denom else np.nan for k in range(nlags + 1)]
+    )
+
+
+# ---------------------------------------------------------------------------
+# operators
+
+
+def acf_diagnostics(
+    df: DataFrame,
+    date_column: str,
+    value_column: str,
+    group_cols: Sequence[str] | None = None,
+    lags: int = 40,
+    ccf_columns: Sequence[str] | None = None,
+) -> DataFrame:
+    """Long frame (group..., lag, acf, pacf[, ccf_{col}...]) per group
+    (reference acf_diagnostics.py:8-53)."""
+    group_cols = list(group_cols or [])
+    ccf_columns = list(ccf_columns or [])
+    group_fields = [f for f in df.schema.fields if f.name in group_cols]
+    schema = T.StructType(
+        [
+            *group_fields,
+            T.StructField("lag", T.IntegerType()),
+            T.StructField("acf", T.DoubleType()),
+            T.StructField("pacf", T.DoubleType()),
+            *[T.StructField(f"ccf_{c}", T.DoubleType()) for c in ccf_columns],
+        ]
+    )
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.drop(columns=["__gg__"], errors="ignore")
+        pdf = pdf.sort_values(date_column)
+        x = pdf[value_column].to_numpy(dtype=float)
+        nl = min(lags, len(x) - 1)
+        out = pd.DataFrame(
+            {
+                "lag": np.arange(nl + 1, dtype="int32"),
+                "acf": acf_np(x, nl),
+                "pacf": pacf_np(x, nl),
+            }
+        )
+        for c in ccf_columns:
+            out[f"ccf_{c}"] = ccf_np(x, pdf[c].to_numpy(dtype=float), nl)
+        for g in group_cols:
+            out.insert(0, g, pdf[g].iloc[0])
+        return out
+
+    if group_cols:
+        grouped = df.groupBy(*group_cols)
+    else:
+        grouped = df.withColumn("__gg__", F.lit(1)).groupBy("__gg__")
+    return grouped.applyInPandas(fn, schema=schema)
+
+
+def stl_diagnostics(
+    df: DataFrame,
+    date_column: str,
+    value_column: str,
+    group_cols: Sequence[str] | None = None,
+    period: int | None = None,
+) -> DataFrame:
+    """observed/seasonal/seasadj/trend/remainder per row (reference
+    stl_diagnostics.py:9-114; classical decomposition stands in for
+    statsmodels STL — same substitution as anomalize)."""
+    group_cols = list(group_cols or [])
+    ts_field = next(f for f in df.schema.fields if f.name == date_column)
+    group_fields = [f for f in df.schema.fields if f.name in group_cols]
+    schema = T.StructType(
+        [
+            *group_fields,
+            ts_field,
+            *[
+                T.StructField(n, T.DoubleType())
+                for n in ("observed", "seasonal", "seasadj", "trend", "remainder")
+            ],
+        ]
+    )
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.drop(columns=["__gg__"], errors="ignore")
+        pdf = pdf.sort_values(date_column).reset_index(drop=True)
+        p = period or _numeric_period(pd.to_datetime(pdf[date_column]), 0)
+        values = pdf[value_column].to_numpy(dtype=float)
+        seasonal, trend = _classical_decompose(values, int(p))
+        out = pd.DataFrame(
+            {
+                date_column: pdf[date_column],
+                "observed": values,
+                "seasonal": seasonal,
+                "seasadj": values - seasonal,
+                "trend": trend,
+                "remainder": values - seasonal - trend,
+            }
+        )
+        for g in group_cols:
+            out.insert(0, g, pdf[g].iloc[0])
+        return out
+
+    if group_cols:
+        grouped = df.groupBy(*group_cols)
+    else:
+        grouped = df.withColumn("__gg__", F.lit(1)).groupBy("__gg__")
+    return grouped.applyInPandas(fn, schema=schema)
+
+
+_TS_FEATURES = [
+    "n_obs",
+    "mean",
+    "std",
+    "acf1",
+    "acf10_sumsq",
+    "pacf5_sumsq",
+    "trend_strength",
+    "seasonal_strength",
+    "entropy",
+    "hurst",
+    "lumpiness",
+    "stability",
+]
+
+
+def ts_features(
+    df: DataFrame,
+    date_column: str,
+    value_column: str,
+    group_cols: Sequence[str] | None = None,
+    period: int | None = None,
+) -> DataFrame:
+    """Per-group feature vector (reference ts_features.py wraps the
+    `tsfeatures` package; this is a numpy port of the standard features:
+    acf/pacf summaries, STL-based trend/seasonal strength, spectral
+    entropy, simplified R/S hurst, lumpiness/stability)."""
+    group_cols = list(group_cols or [])
+    group_fields = [f for f in df.schema.fields if f.name in group_cols]
+    schema = T.StructType(
+        [*group_fields, *[T.StructField(n, T.DoubleType()) for n in _TS_FEATURES]]
+    )
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.drop(columns=["__gg__"], errors="ignore")
+        pdf = pdf.sort_values(date_column)
+        x = pdf[value_column].to_numpy(dtype=float)
+        n = len(x)
+        feats: dict[str, float] = {"n_obs": float(n), "mean": x.mean(), "std": x.std(ddof=1) if n > 1 else np.nan}
+        nl = max(min(10, n - 1), 1)
+        r = acf_np(x, nl)
+        feats["acf1"] = r[1] if nl >= 1 else np.nan
+        feats["acf10_sumsq"] = float((r[1:] ** 2).sum())
+        p5 = pacf_np(x, min(5, nl))
+        feats["pacf5_sumsq"] = float((p5[1:] ** 2).sum())
+        p = period or max(_numeric_period(pd.to_datetime(pdf[date_column]), 0), 2)
+        if n > 2 * p:
+            seasonal, trend = _classical_decompose(x, int(p))
+            remainder = x - seasonal - trend
+            vr = np.var(remainder)
+            feats["trend_strength"] = max(0.0, 1 - vr / np.var(x - seasonal)) if np.var(x - seasonal) else np.nan
+            feats["seasonal_strength"] = max(0.0, 1 - vr / np.var(x - trend)) if np.var(x - trend) else np.nan
+        else:
+            feats["trend_strength"] = np.nan
+            feats["seasonal_strength"] = np.nan
+        # spectral entropy (normalized Shannon entropy of the periodogram)
+        if n >= 8:
+            fft = np.fft.rfft(x - x.mean())
+            psd = (np.abs(fft) ** 2)[1:]
+            if psd.sum() > 0:
+                pnorm = psd / psd.sum()
+                pnz = pnorm[pnorm > 0]
+                feats["entropy"] = float(-(pnz * np.log(pnz)).sum() / np.log(len(pnorm)))
+            else:
+                feats["entropy"] = np.nan
+        else:
+            feats["entropy"] = np.nan
+        # simplified R/S hurst (same kernel as finance.augment_hurst_exponent)
+        if n >= 8 and x.std() > 0:
+            c = np.cumsum(x - x.mean())
+            rs = (c.max() - c.min()) / x.std()
+            feats["hurst"] = float(np.log(rs) / np.log(n)) if rs > 0 else np.nan
+        else:
+            feats["hurst"] = np.nan
+        # lumpiness/stability over tiles of size p
+        tiles = [x[i : i + int(p)] for i in range(0, n - int(p) + 1, int(p))]
+        if len(tiles) > 1:
+            feats["lumpiness"] = float(np.var([np.var(t) for t in tiles]))
+            feats["stability"] = float(np.var([np.mean(t) for t in tiles]))
+        else:
+            feats["lumpiness"] = np.nan
+            feats["stability"] = np.nan
+        out = pd.DataFrame({k: [v] for k, v in feats.items()})
+        for g in group_cols:
+            out.insert(0, g, pdf[g].iloc[0])
+        return out
+
+    if group_cols:
+        grouped = df.groupBy(*group_cols)
+    else:
+        grouped = df.withColumn("__gg__", F.lit(1)).groupBy("__gg__")
+    return grouped.applyInPandas(fn, schema=schema)
+
+
+def seasonal_diagnostics(
+    df: DataFrame,
+    date_column: str,
+    value_column: str,
+    group_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Seasonal bucket features auto-selected by inferred frequency
+    (reference seasonal_diagnostics.py:59-104): adds categorical time
+    buckets (hour, wday, week, month, quarter, year) — pure projection."""
+    group_cols = list(group_cols or [])
+    ts = F.col(date_column)
+    return df.select(
+        *group_cols,
+        date_column,
+        F.col(value_column),
+        F.hour(ts).alias("hour"),
+        (F.expr(f"weekday({date_column})") + 1).alias("wday"),
+        F.weekofyear(ts).alias("week"),
+        F.month(ts).alias("month"),
+        F.quarter(ts).alias("quarter"),
+        F.year(ts).alias("year"),
+    )

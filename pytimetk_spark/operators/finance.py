@@ -237,6 +237,7 @@ def augment_rolling_risk_metrics(
     windows=252,
     risk_free_rate: float = 0.0,
     annualization_factor: int = 252,
+    benchmark_column: str | None = None,
     group_cols: Sequence[str] | None = None,
 ) -> DataFrame:
     """``{c}_sharpe_ratio_{w}, _sortino_ratio_{w}, _volatility_annualized_{w},
@@ -254,6 +255,15 @@ def augment_rolling_risk_metrics(
         .withColumn("__pos__", F.when(ret > 0, ret).otherwise(F.lit(0.0)))
         .withColumn("__neg__", F.when(ret < 0, ret).otherwise(F.lit(0.0)))
     )
+    if benchmark_column is not None:
+        bprev = F.lag(benchmark_column).over(w)
+        bret = F.col(benchmark_column) / bprev - 1
+        out = (
+            out.withColumn("__bret__", bret)
+            .withColumn("__rb_prod__", F.col("__ret__") * bret)
+            .withColumn("__b_sq__", bret * bret)
+            .withColumn("__active__", F.col("__ret__") - bret)
+        )
     ann = float(np.sqrt(annualization_factor))
     wb = _base(group_cols, date_column)
     c = close_column
@@ -290,7 +300,29 @@ def augment_rolling_risk_metrics(
                 f"{c}_kurtosis_{win}", F.when(gate, F.kurtosis("__ret__").over(frame))
             )
         )
-    return out.drop("__ret__", "__neg_sq__", "__pos__", "__neg__")
+        if benchmark_column is not None:
+            # treynor = (mean_ret - rf)/beta · ann; beta = cov(r,b)/var(b)
+            # (population moments over the window — reference
+            # rolling_risk_metrics.py:757-789)
+            b_mean = F.avg("__bret__").over(frame)
+            cov = F.avg("__rb_prod__").over(frame) - mean_ret * b_mean
+            b_var = F.avg("__b_sq__").over(frame) - b_mean * b_mean
+            beta = F.when(b_var != 0, cov / b_var)
+            te = F.stddev_samp("__active__").over(frame)
+            out = (
+                out.withColumn(
+                    f"{c}_treynor_ratio_{win}",
+                    (mean_ret - risk_free_rate) / beta * ann,
+                )
+                .withColumn(
+                    f"{c}_information_ratio_{win}",
+                    F.when(te != 0, (mean_ret - b_mean) / te),
+                )
+            )
+    drops = ["__ret__", "__neg_sq__", "__pos__", "__neg__"]
+    if benchmark_column is not None:
+        drops += ["__bret__", "__rb_prod__", "__b_sq__", "__active__"]
+    return out.drop(*drops)
 
 
 # ---------------------------------------------------------------------------
@@ -314,20 +346,16 @@ def augment_macd(
     signal = f"{c}_macd_signal_line_{f_}_{s}_{sig}"
     hist = f"{c}_macd_histogram_{f_}_{s}_{sig}"
 
-    def macd_line(pdf: pd.DataFrame) -> pd.Series:
+    def macd_all(pdf: pd.DataFrame) -> dict[str, pd.Series]:
         ema_f = pdf[c].ewm(span=f_, adjust=False, min_periods=0).mean()
         ema_s = pdf[c].ewm(span=s, adjust=False, min_periods=0).mean()
-        return ema_f - ema_s
-
-    def macd_signal(pdf: pd.DataFrame) -> pd.Series:
-        return macd_line(pdf).ewm(span=sig, adjust=False, min_periods=0).mean()
-
-    def macd_hist(pdf: pd.DataFrame) -> pd.Series:
-        ml = macd_line(pdf)
-        return ml - ml.ewm(span=sig, adjust=False, min_periods=0).mean()
+        ml = ema_f - ema_s
+        sl = ml.ewm(span=sig, adjust=False, min_periods=0).mean()
+        return {line: ml, signal: sl, hist: ml - sl}
 
     return _grouped_apply(
-        df, date_column, group_cols, {line: macd_line, signal: macd_signal, hist: macd_hist}
+        df, date_column, group_cols, {},
+        multi_kernel=macd_all, multi_names=[line, signal, hist],
     )
 
 
@@ -366,41 +394,39 @@ def augment_adx(
     (finance/adx.py:300-344)."""
     group_cols = list(group_cols or [])
     c, h, lo = close_column, high_column, low_column
-    new_cols = {}
-    for p in _norm_periods(periods):
+    plist = _norm_periods(periods)
+    names = [
+        n for p in plist
+        for n in (f"{c}_plus_di_{p}", f"{c}_minus_di_{p}", f"{c}_adx_{p}")
+    ]
 
-        def make(p=p):
-            def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-                prev_h = pdf[h].shift(1)
-                prev_l = pdf[lo].shift(1)
-                prev_c = pdf[c].shift(1)
-                tr = pd.concat(
-                    [pdf[h] - pdf[lo], (pdf[h] - prev_c).abs(), (pdf[lo] - prev_c).abs()],
-                    axis=1,
-                ).max(axis=1)
-                up, down = pdf[h] - prev_h, prev_l - pdf[lo]
-                plus_dm = pd.Series(
-                    np.where(up > down, np.maximum(up, 0), 0), index=pdf.index
-                )
-                minus_dm = pd.Series(
-                    np.where(down > up, np.maximum(down, 0), 0), index=pdf.index
-                )
-                alpha = 1 / p
-                sm = lambda s_: s_.ewm(alpha=alpha, adjust=False, min_periods=p).mean()
-                tr_s, pdm_s, mdm_s = sm(tr), sm(plus_dm), sm(minus_dm)
-                plus_di = 100 * pdm_s / tr_s
-                minus_di = 100 * mdm_s / tr_s
-                dx = 100 * (plus_di - minus_di).abs() / (plus_di + minus_di)
-                adx = dx.ewm(alpha=alpha, adjust=False, min_periods=p).mean()
-                return plus_di, minus_di, adx
+    def adx_all(pdf: pd.DataFrame) -> dict[str, pd.Series]:
+        prev_h = pdf[h].shift(1)
+        prev_l = pdf[lo].shift(1)
+        prev_c = pdf[c].shift(1)
+        tr = pd.concat(
+            [pdf[h] - pdf[lo], (pdf[h] - prev_c).abs(), (pdf[lo] - prev_c).abs()],
+            axis=1,
+        ).max(axis=1)
+        up, down = pdf[h] - prev_h, prev_l - pdf[lo]
+        plus_dm = pd.Series(np.where(up > down, np.maximum(up, 0), 0), index=pdf.index)
+        minus_dm = pd.Series(np.where(down > up, np.maximum(down, 0), 0), index=pdf.index)
+        out: dict[str, pd.Series] = {}
+        for p in plist:
+            alpha = 1 / p
+            sm = lambda s_: s_.ewm(alpha=alpha, adjust=False, min_periods=p).mean()
+            tr_s, pdm_s, mdm_s = sm(tr), sm(plus_dm), sm(minus_dm)
+            plus_di = 100 * pdm_s / tr_s
+            minus_di = 100 * mdm_s / tr_s
+            dx = 100 * (plus_di - minus_di).abs() / (plus_di + minus_di)
+            out[f"{c}_plus_di_{p}"] = plus_di
+            out[f"{c}_minus_di_{p}"] = minus_di
+            out[f"{c}_adx_{p}"] = dx.ewm(alpha=alpha, adjust=False, min_periods=p).mean()
+        return out
 
-            return kernel
-
-        kern = make()
-        new_cols[f"{c}_plus_di_{p}"] = lambda pdf, k=kern: k(pdf)[0]
-        new_cols[f"{c}_minus_di_{p}"] = lambda pdf, k=kern: k(pdf)[1]
-        new_cols[f"{c}_adx_{p}"] = lambda pdf, k=kern: k(pdf)[2]
-    return _grouped_apply(df, date_column, group_cols, new_cols)
+    return _grouped_apply(
+        df, date_column, group_cols, {}, multi_kernel=adx_all, multi_names=names
+    )
 
 
 def augment_ewma_volatility(

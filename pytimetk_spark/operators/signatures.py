@@ -189,6 +189,18 @@ def holiday_dim(spark, years: Sequence[int], country: str = "US") -> DataFrame:
     return spark.createDataFrame(rows, "holiday_date date, holiday_name string")
 
 
+def is_holiday(
+    df: DataFrame, date_column: str, country: str = "US"
+) -> DataFrame:
+    """Boolean ``is_holiday`` column (reference datetime_helpers
+    is_holiday) — broadcast join against the generated holiday dim."""
+    out = augment_holiday_signature(df, date_column, country)
+    keep = [c for c in df.columns] + ["is_holiday"]
+    return out.select(*keep).withColumn(
+        "is_holiday", F.col("is_holiday").cast("boolean")
+    )
+
+
 def augment_holiday_signature(
     df: DataFrame,
     date_column: str,

@@ -118,6 +118,66 @@ def summarize_by_time(
     single_agg = isinstance(agg_func, (str, tuple))
     aggs = [agg_func] if single_agg else list(agg_func)
 
+    # custom callable aggregations (reference: ("q25", lambda s: ...)) route
+    # through apply_by_time (Arrow grouped-map) and join back on the bucket
+    custom = [
+        a for a in aggs if isinstance(a, tuple) and callable(a[1])
+    ]
+    if custom:
+        from pytimetk_spark.operators.apply_by_time import apply_by_time
+
+        sql_aggs = [a for a in aggs if a not in custom]
+        named = {
+            f"{c}_{name}": (lambda d, fn=fn, c=c: fn(d[c]))
+            for c in value_cols
+            for name, fn in custom
+        }
+        custom_df = apply_by_time(
+            df, date_column, freq=freq, group_cols=group_cols,
+            fillna=fillna, **named,
+        )
+        if not sql_aggs:
+            result = custom_df
+        else:
+            sql_df = summarize_by_time(
+                df, date_column, value_column, group_cols, freq, sql_aggs,
+                wide_format=False, fillna=fillna, dense=dense, sort=False,
+            )
+            result = sql_df.join(
+                custom_df, on=[*group_cols, date_column], how="full"
+            )
+        if wide_format and group_cols:
+            # re-enter the pivot path with the combined long frame
+            out_cols = [
+                c for c in result.columns
+                if c not in (*group_cols, date_column)
+            ]
+            pivot_col = (
+                F.col(group_cols[0]) if len(group_cols) == 1
+                else F.concat_ws("_", *group_cols)
+            )
+            pivoted = (
+                result.withColumn("__pivot__", pivot_col)
+                .groupBy(date_column)
+                .pivot("__pivot__")
+                .agg(*[F.first(c).alias(c) for c in out_cols])
+            )
+            renames = {}
+            for c in pivoted.columns:
+                if c == date_column:
+                    continue
+                for ov in sorted(out_cols, key=len, reverse=True):
+                    if c.endswith("_" + ov):
+                        renames[c] = f"{ov}_{c[: -(len(ov) + 1)]}"
+                        break
+                else:
+                    renames[c] = f"{out_cols[0]}_{c}"
+            result = pivoted.select(
+                date_column, *[F.col(f"`{c}`").alias(n) for c, n in renames.items()]
+            )
+        order = [date_column] if wide_format else [*group_cols, date_column]
+        return result.orderBy(*order) if sort else result
+
     def out_name(col: str, func) -> str:
         if single_agg and len(value_cols) >= 1 and isinstance(agg_func, str):
             return col  # single string agg keeps the value column's name
@@ -178,6 +238,10 @@ def summarize_by_time(
         pivoted = pivoted.select(
             date_column, *[F.col(f"`{c}`").alias(n) for c, n in renames.items()]
         )
+        # pivot gaps (group absent in a bucket) honor fillna like the
+        # reference's post-unstack fillna (summarize_by_time.py:418)
+        if fillna is not None:
+            pivoted = pivoted.fillna(fillna, subset=list(renames.values()))
         result = pivoted
 
     if sort:

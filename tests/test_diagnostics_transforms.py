@@ -1,0 +1,219 @@
+"""Tests for acf/stl/seasonal diagnostics, ts_features, hilbert/wavelet/
+spline transforms, FeatureStore, and the streaming 1h tier."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pytimetk_spark import (
+    FeatureStore,
+    acf_diagnostics,
+    augment_hilbert,
+    augment_spline,
+    augment_wavelet,
+    seasonal_diagnostics,
+    stl_diagnostics,
+    ts_features,
+)
+from pytimetk_spark.operators.diagnostics import acf_np, ccf_np, pacf_np
+
+
+def test_acf_pacf_numpy_vs_direct():
+    rng = np.random.RandomState(3)
+    x = rng.randn(200).cumsum()
+    r = acf_np(x, 10)
+    assert r[0] == 1.0
+    # direct definition check for lag 3
+    xm = x - x.mean()
+    expected = (xm[:-3] * xm[3:]).sum() / (xm * xm).sum()
+    np.testing.assert_allclose(r[3], expected, rtol=1e-12)
+    p = pacf_np(x, 5)
+    assert p[0] == 1.0
+    np.testing.assert_allclose(p[1], r[1], rtol=1e-9)  # pacf(1) == acf(1)
+    # random walk: acf1 near 1, pacf2 near 0
+    assert r[1] > 0.9 and abs(p[2]) < 0.3
+
+
+def test_acf_diagnostics_grouped(spark):
+    rng = np.random.RandomState(5)
+    pdf = pd.DataFrame(
+        {
+            "id": ["A"] * 100 + ["B"] * 100,
+            "date": list(pd.date_range("2020-01-01", periods=100, freq="D")) * 2,
+            "value": rng.randn(200).cumsum(),
+            "other": rng.randn(200),
+        }
+    )
+    out = acf_diagnostics(
+        spark.createDataFrame(pdf), "date", "value", group_cols=["id"], lags=12,
+        ccf_columns=["other"],
+    ).toPandas()
+    assert set(out["id"]) == {"A", "B"}
+    assert (out.groupby("id")["lag"].count() == 13).all()
+    z = out[(out["id"] == "A") & (out["lag"] == 0)]
+    np.testing.assert_allclose(z["acf"], 1.0)
+    ref = pdf[pdf.id == "A"].sort_values("date")
+    expected = acf_np(ref["value"].to_numpy(), 12)
+    got = out[out["id"] == "A"].sort_values("lag")["acf"].to_numpy()
+    np.testing.assert_allclose(got, expected, rtol=1e-9)
+    assert "ccf_other" in out.columns
+
+
+def test_stl_diagnostics_identity(spark):
+    rng = np.random.RandomState(7)
+    n = 120
+    pdf = pd.DataFrame(
+        {
+            "date": pd.date_range("2020-01-01", periods=n, freq="D"),
+            "value": 10 + np.sin(np.arange(n) * 2 * np.pi / 7) * 3 + rng.randn(n) * 0.1,
+        }
+    )
+    out = stl_diagnostics(spark.createDataFrame(pdf), "date", "value", period=7).toPandas()
+    out = out.sort_values("date")
+    np.testing.assert_allclose(
+        out["observed"], out["seasonal"] + out["trend"] + out["remainder"], rtol=1e-9
+    )
+    # the weekly seasonal must capture most of the sine variance
+    assert out["seasonal"].std() > 1.5
+    assert out["remainder"].abs().mean() < 0.5
+
+
+def test_ts_features(spark):
+    rng = np.random.RandomState(11)
+    n = 140
+    sine = 5 * np.sin(np.arange(n) * 2 * np.pi / 7)
+    pdf = pd.DataFrame(
+        {
+            "id": ["sine"] * n + ["noise"] * n,
+            "date": list(pd.date_range("2020-01-01", periods=n, freq="D")) * 2,
+            "value": np.concatenate([sine + 0.01 * rng.randn(n), rng.randn(n)]),
+        }
+    )
+    out = (
+        ts_features(spark.createDataFrame(pdf), "date", "value", group_cols=["id"])
+        .toPandas()
+        .set_index("id")
+    )
+    assert out.loc["sine", "seasonal_strength"] > 0.9
+    assert out.loc["noise", "seasonal_strength"] < 0.6
+    assert out.loc["sine", "entropy"] < out.loc["noise", "entropy"]
+    assert out.loc["sine", "n_obs"] == n
+
+
+def test_seasonal_diagnostics(spark):
+    pdf = pd.DataFrame(
+        {
+            "date": pd.date_range("2020-01-01", periods=48, freq="h"),
+            "value": np.arange(48.0),
+        }
+    )
+    out = seasonal_diagnostics(spark.createDataFrame(pdf), "date", "value").toPandas()
+    assert {"hour", "wday", "week", "month", "quarter", "year"} <= set(out.columns)
+    assert out["hour"].nunique() == 24
+
+
+def test_hilbert(spark):
+    n = 128
+    pdf = pd.DataFrame(
+        {
+            "date": pd.date_range("2020-01-01", periods=n, freq="h"),
+            "value": np.cos(np.arange(n) * 0.3),
+        }
+    )
+    out = augment_hilbert(spark.createDataFrame(pdf), "date", "value").toPandas()
+    out = out.sort_values("date")
+    np.testing.assert_allclose(out["value_hilbert_real"], out["value"], atol=1e-9)
+    # analytic signal of cos has |envelope| ~ 1 away from edges
+    env = np.hypot(out["value_hilbert_real"], out["value_hilbert_imag"])[10:-10]
+    np.testing.assert_allclose(env, 1.0, atol=0.1)
+
+
+def test_wavelet_and_spline(spark):
+    n = 64
+    pdf = pd.DataFrame(
+        {
+            "date": pd.date_range("2020-01-01", periods=n, freq="D"),
+            "value": np.sin(np.arange(n) * 0.5),
+        }
+    )
+    sdf = spark.createDataFrame(pdf)
+    w = augment_wavelet(sdf, "date", "value", scales=[4], method="morlet").toPandas()
+    assert {"morlet_scale_4_real", "morlet_scale_4_imag"} <= set(w.columns)
+    assert w["morlet_scale_4_real"].abs().sum() > 0
+
+    s = augment_spline(sdf, "date", "value", df_spline=5).toPandas()
+    basis_cols = [c for c in s.columns if c.startswith("value_spline_")]
+    assert len(basis_cols) == 5
+    sums = s[basis_cols].sum(axis=1)
+    np.testing.assert_allclose(sums, 1.0, atol=1e-9)  # B-spline partition of unity
+
+
+def test_feature_store(spark, tmp_path):
+    from pytimetk_spark import summarize_by_time
+
+    store = FeatureStore(str(tmp_path / "fs"))
+    calls = {"n": 0}
+
+    def pipeline(df):
+        calls["n"] += 1
+        return summarize_by_time(df, "ts", "value", group_cols=["event_type"],
+                                 freq="D", agg_func="sum", dense=False, fillna=None)
+
+    store.register("daily_rollup", pipeline)
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    out1, meta1 = store.materialize("daily_rollup", ev)
+    n1 = out1.count()
+    out2, meta2 = store.materialize("daily_rollup", ev)
+    assert calls["n"] == 1  # cache hit: pipeline not re-run
+    assert meta2.input_fingerprint == meta1.input_fingerprint
+    assert out2.count() == n1
+    sets = store.list_feature_sets()
+    assert len(sets) == 1 and sets[0].name == "daily_rollup"
+
+
+def test_streaming_tier_1h(spark, tmp_path):
+    """Drive the Structured Streaming 1h tier end-to-end with a file source
+    and compare against the batch tier."""
+    from pytimetk_spark.rollup.tiers import rollup_raw_to_tier
+    from pytimetk_spark.sources.webpages import generate_webpages
+    from pytimetk_spark.streaming.tiers_stream import streaming_tier_1h
+
+    web = generate_webpages(spark, n_urls=20, crawls_per_url=10, days=3, n_domains=4)
+    src_dir = str(tmp_path / "src")
+    web.withColumn("plen", F.length("text")).select(
+        "url", "warc_ts", "plen"
+    ).write.mode("overwrite").parquet(src_dir)
+
+    stream = (
+        spark.readStream.schema("url string, warc_ts timestamp, plen long")
+        .parquet(src_dir)
+    )
+    agg = streaming_tier_1h(stream, value_col="plen", watermark="1 hour")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("tier1h_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.table("tier1h_stream")
+        .toPandas()
+        .sort_values(["url", "bucket_ts"])
+        .reset_index(drop=True)
+    )
+    want = (
+        rollup_raw_to_tier(
+            web.withColumn("plen", F.length("text")), "url", "warc_ts", "plen", "h"
+        )
+        .toPandas()
+        .sort_values(["url", "bucket_ts"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[want.columns], want, check_dtype=False, rtol=1e-9
+    )

@@ -76,6 +76,31 @@ def test_grouped_wide_quantile_tuple(sbt_data):
                      expected[["date", *sorted(c for c in expected.columns if c != "date")]])
 
 
+def test_grouped_wide_lambda_agg(sbt_data):
+    """Reference golden test_summarize_by_time.py:129-152 — callable agg."""
+    result = summarize_by_time(
+        sbt_data,
+        "date",
+        "value",
+        group_cols=["groups"],
+        freq="MS",
+        agg_func=["sum", ("q25", lambda s: s.quantile(0.25))],
+        wide_format=True,
+    )
+    expected = pd.DataFrame(
+        {
+            "date": pd.to_datetime(["2020-01-01", "2020-02-01"]),
+            "value_q25_Group_1": [8.5, 39.5],
+            "value_q25_Group_2": [9.0, 39.0],
+            "value_sum_Group_1": [256, 644],
+            "value_sum_Group_2": [240, 690],
+        }
+    )
+    pdf = result.toPandas()
+    cols = ["date", *sorted(c for c in pdf.columns if c != "date")]
+    assert_pdf_equal(pdf[cols], expected[cols])
+
+
 def test_grouped_long(sbt_data):
     result = summarize_by_time(
         sbt_data, "date", "value", group_cols=["groups"], freq="MS", agg_func="sum"
