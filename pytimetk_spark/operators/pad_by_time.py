@@ -43,6 +43,7 @@ def pad_by_time(
     end_date=None,
     fillna: float | None = None,
     per_group_bounds: bool = False,
+    sort: bool = False,
 ) -> DataFrame:
     """Insert missing timestamps at ``freq`` so every (group,) series is
     regular.
@@ -96,6 +97,8 @@ def pad_by_time(
     out = calendar.join(df, on=[*group_cols, date_column], how="left")
     if fillna is not None:
         out = out.fillna(fillna, subset=value_cols)
-    return out.select(*group_cols, date_column, *value_cols).orderBy(
-        *group_cols, date_column
-    )
+    out = out.select(*group_cols, date_column, *value_cols)
+    # a global orderBy is a full range-shuffle + sort — only pay it when the
+    # caller explicitly wants ordered output (Spark frames are unordered;
+    # the reference's row-order contract doesn't apply — SURVEY.md §1.4)
+    return out.orderBy(*group_cols, date_column) if sort else out

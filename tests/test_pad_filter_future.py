@@ -23,7 +23,7 @@ def test_pad_single_series(spark):
             "value": [1.0, 2, 3, 4, 5],
         }
     )
-    out = pad_by_time(spark.createDataFrame(pdf), "date", freq="D").toPandas()
+    out = pad_by_time(spark.createDataFrame(pdf), "date", freq="D", sort=True).toPandas()
     assert_pdf_equal(out, pdf)
 
 
@@ -31,7 +31,7 @@ def test_pad_single_series_with_gap(spark):
     pdf = pd.DataFrame(
         {"date": pd.to_datetime(["2022-01-01", "2022-01-04"]), "value": [1.0, 4.0]}
     )
-    out = pad_by_time(spark.createDataFrame(pdf), "date", freq="D").toPandas()
+    out = pad_by_time(spark.createDataFrame(pdf), "date", freq="D", sort=True).toPandas()
     expected = pd.DataFrame(
         {
             "date": pd.date_range("2022-01-01", periods=4, freq="D"),
@@ -52,7 +52,7 @@ def test_pad_grouped_global_bounds(spark):
         }
     )
     out = pad_by_time(
-        spark.createDataFrame(pdf), "date", freq="D", group_cols=["group"]
+        spark.createDataFrame(pdf), "date", freq="D", group_cols=["group"], sort=True
     ).toPandas()
     expected = pd.DataFrame(
         {
@@ -69,7 +69,7 @@ def test_pad_fillna(spark):
         {"date": pd.to_datetime(["2022-01-01", "2022-01-03"]), "value": [1.0, 3.0]}
     )
     out = pad_by_time(
-        spark.createDataFrame(pdf), "date", freq="D", fillna=0.0
+        spark.createDataFrame(pdf), "date", freq="D", fillna=0.0, sort=True
     ).toPandas()
     assert out["value"].tolist() == [1.0, 0.0, 3.0]
 
