@@ -112,17 +112,45 @@ def main():
         fn()
         timings[name] = round(time.time() - t0, 4)
 
-    # north-rule metric: rolled-up points/sec across the tier chain
-    # (each tier materialized once, as run_rollup's tier writes would;
-    # user_id is the series key — the highest-cardinality key available)
+    # north-rule metric: rolled-up points/sec across the tier chain over a
+    # web-scale-shaped table (events at sf0.1 is too small — fixed overhead
+    # dominates). Deterministic synthetic web table, cached across runs.
+    import tempfile
+
+    from pytimetk_spark.sources.webpages import generate_webpages
+
+    work = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+    src = f"{work}/bench_webpages_60k"
+    if not os.path.exists(f"{src}/_SUCCESS"):
+        generate_webpages(
+            spark, n_urls=60_000, crawls_per_url=40, days=45,
+            n_domains=1200, seed=42,
+        ).write.mode("overwrite").parquet(src)
+    web = spark.read.parquet(src)
+    pre = web.select("url", "warc_ts", F.length("text").alias("plen")).repartition(
+        int(CPUS) * 2, F.col("url")
+    )
+    tier_dir = tempfile.mkdtemp(dir=work)
+    def tier_job():
+        h1 = rollup_raw_to_tier(pre, "url", "warc_ts", "plen", "h")
+        h1.write.mode("overwrite").parquet(f"{tier_dir}/h1")
+        d1 = rollup_tier_to_tier(spark.read.parquet(f"{tier_dir}/h1"), "D")
+        d1.write.mode("overwrite").parquet(f"{tier_dir}/d1")
+        rollup_tier_to_tier(spark.read.parquet(f"{tier_dir}/d1"), "7D").write.mode(
+            "overwrite"
+        ).parquet(f"{tier_dir}/d7")
+
+    tier_job()  # warm-up
     t0 = time.time()
-    h1 = rollup_raw_to_tier(ev, "user_id", "ts", "value", "h").cache()
-    d1 = rollup_tier_to_tier(h1, "D").cache()
-    d7 = rollup_tier_to_tier(d1, "7D")
-    points = h1.count() + d1.count() + d7.count()
+    tier_job()
     tier_elapsed = time.time() - t0
+    points = sum(
+        spark.read.parquet(f"{tier_dir}/{t}").count() for t in ("h1", "d1", "d7")
+    )
     pps = points / tier_elapsed if tier_elapsed > 0 else 0.0
-    h1.unpersist(), d1.unpersist()
+    import shutil
+
+    shutil.rmtree(tier_dir, ignore_errors=True)
 
     total = round(sum(timings.values()), 4)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
