@@ -24,6 +24,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import pytimetk_spark as tk
 from pytimetk_spark.rollup.tiers import (
     derived_stats,
+    encode_tier_blocks,
     gap_fill_tier,
     rollup_raw_to_tier,
     rollup_tier_to_tier,
@@ -95,6 +96,12 @@ def bench_queries(spark):
         "timeseries_signature": lambda: _force(
             tk.augment_timeseries_signature(
                 li.select("l_orderkey", "l_shipdate"), "l_shipdate"
+            )
+        ),
+        "gorilla_encode_tier": lambda: _force(
+            encode_tier_blocks(
+                rollup_raw_to_tier(ev, "user_id", "ts", "value", "h"),
+                ["cnt", "vsum", "vmin", "vmax"],
             )
         ),
     }

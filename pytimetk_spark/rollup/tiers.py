@@ -153,14 +153,16 @@ def gap_fill_tier(tier_df: DataFrame, freq: str, fill_zero: bool = False) -> Dat
 # ---------------------------------------------------------------------------
 # Gorilla block packing (Arrow grouped-map)
 
-_BLOCK_SCHEMA = T.StructType(
-    [
-        T.StructField("url", T.StringType()),
-        T.StructField("n_points", T.IntegerType()),
-        T.StructField("ts_block", T.BinaryType()),
-        T.StructField("stat_blocks", T.MapType(T.StringType(), T.BinaryType())),
-    ]
-)
+def _block_schema(tier_df: DataFrame) -> T.StructType:
+    url_field = next(f for f in tier_df.schema.fields if f.name == "url")
+    return T.StructType(
+        [
+            url_field,
+            T.StructField("n_points", T.IntegerType()),
+            T.StructField("ts_block", T.BinaryType()),
+            T.StructField("stat_blocks", T.MapType(T.StringType(), T.BinaryType())),
+        ]
+    )
 
 
 def encode_tier_blocks(
@@ -188,15 +190,16 @@ def encode_tier_blocks(
             }
         )
 
-    return tier_df.groupBy("url").applyInPandas(encode, schema=_BLOCK_SCHEMA)
+    return tier_df.groupBy("url").applyInPandas(encode, schema=_block_schema(tier_df))
 
 
 def decode_tier_blocks(blocks_df: DataFrame, stats: Sequence[str]) -> DataFrame:
     """Inverse of encode_tier_blocks → long (url, bucket_ts, *stats)."""
     stats = list(stats)
+    url_field = next(f for f in blocks_df.schema.fields if f.name == "url")
     schema = T.StructType(
         [
-            T.StructField("url", T.StringType()),
+            url_field,
             T.StructField("bucket_ts", T.TimestampType()),
             *[T.StructField(s, T.DoubleType()) for s in stats],
         ]

@@ -71,6 +71,72 @@ def cosine_topk_bruteforce(
     )
 
 
+def ivf_ann(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: KMeans-partition the corpus into ``n_cells``
+    Voronoi cells (pyspark.ml, trained on a sample), search only the
+    ``n_probe`` cells nearest each query. The classic FAISS-IVF recall/cost
+    dial: cost ≈ corpus·n_probe/n_cells per query batch.
+
+    At scale the corpus is stored partitioned by ``ivf_cell`` so probing
+    prunes file scans (same pruning story as the tier tables)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    c = normalize_embeddings(corpus, vec_col)
+    ml_df = c.select(
+        F.col(id_col), F.col(vec_col), array_to_vector(F.col(vec_col)).alias("__feat__")
+    )
+    km = KMeans(k=n_cells, seed=seed, featuresCol="__feat__", predictionCol="ivf_cell")
+    model = km.fit(ml_df.select("__feat__"))
+    assigned = model.transform(ml_df).select(
+        id_col, F.col(vec_col).alias("__cv__"), "ivf_cell"
+    )
+
+    centers = [[float(x) for x in ctr] for ctr in model.clusterCenters()]
+    q = normalize_embeddings(queries, vec_col).select(
+        F.col(query_id_col), F.col(vec_col).alias("__qv__")
+    )
+    # distance of each query to every centroid → keep n_probe nearest cells
+    cell_structs = [
+        F.struct(
+            F.lit(i).alias("cell"),
+            _dot(F.col("__qv__"), F.array(*[F.lit(x) for x in ctr])).alias("sim"),
+        )
+        for i, ctr in enumerate(centers)
+    ]
+    probes = q.select(
+        query_id_col,
+        "__qv__",
+        F.explode(
+            F.slice(
+                F.reverse(F.array_sort(F.array(*cell_structs), lambda a, b: F.when(a["sim"] < b["sim"], -1).when(a["sim"] > b["sim"], 1).otherwise(0))),
+                1,
+                n_probe,
+            )
+        ).alias("__p__"),
+    ).select(query_id_col, "__qv__", F.col("__p__.cell").alias("ivf_cell"))
+
+    scored = assigned.join(F.broadcast(probes), on="ivf_cell").select(
+        query_id_col, id_col, _dot(F.col("__cv__"), F.col("__qv__")).alias("cosine")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy(query_id_col, "rank")
+    )
+
+
 def _hyperplanes(n_planes: int, dim: int, seed: int) -> list[list[float]]:
     rng = random.Random(seed)
     return [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_planes)]

@@ -143,6 +143,23 @@ def test_lsh_ann_recall(spark):
     assert recall >= 0.3, recall  # random baseline would be ~(6/32)·k/N ≈ 0.2%
 
 
+def test_ivf_ann_recall(spark):
+    from pytimetk_spark.webtext.similarity import ivf_ann
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.limit(5).select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = cosine_topk_bruteforce(emb, queries, k=5).toPandas()
+    approx = ivf_ann(emb, queries, k=5, n_cells=8, n_probe=3).toPandas()
+    firsts = approx[approx["rank"] == 1]
+    assert (firsts["query_id"].values == firsts["vec_id"].values).all()
+    recall = 0.0
+    for qid in range(5):
+        e = set(exact[exact["query_id"] == qid]["vec_id"])
+        a = set(approx[approx["query_id"] == qid]["vec_id"])
+        recall += len(e & a) / 5
+    assert recall / 5 >= 0.4  # probing 3/8 cells of random vectors
+
+
 def test_token_stats_and_quality(spark, docs):
     out = token_stats(docs).toPandas()
     assert (out["n_tokens_ws"] > 0).all()
