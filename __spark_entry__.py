@@ -26,16 +26,25 @@ from pytimetk_spark.rollup.tiers import (
 )
 
 
+def _prep(spark: SparkSession) -> SparkSession:
+    """Engine invariants on whatever session the driver provides (both are
+    runtime-settable confs): UTC tz for epoch arithmetic, Arrow for the
+    grouped-map kernels."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    return spark
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/events.parquet")
+    return _prep(spark).read.parquet(f"{sf_dir}/events.parquet")
 
 
 def _orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return _prep(spark).read.parquet(f"{sf_dir}/orders.parquet")
 
 
 def _lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return _prep(spark).read.parquet(f"{sf_dir}/lineitem.parquet")
 
 
 def _r6(df: DataFrame, *cols: str) -> DataFrame:
@@ -238,14 +247,14 @@ def q_roc(spark, sf_dir):
 def q_dedup_exact(spark, sf_dir):
     from pytimetk_spark.webtext.dedup import dedup_exact
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _prep(spark).read.parquet(f"{sf_dir}/documents.parquet")
     return dedup_exact(docs)
 
 
 def q_token_stats(spark, sf_dir):
     from pytimetk_spark.webtext.textstats import token_stats
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _prep(spark).read.parquet(f"{sf_dir}/documents.parquet")
     return token_stats(docs).select(
         "doc_id", "n_chars", "n_tokens_ws", "n_tokens_bpe"
     )
@@ -254,7 +263,7 @@ def q_token_stats(spark, sf_dir):
 def q_language_scores(spark, sf_dir):
     from pytimetk_spark.webtext.textstats import language_id
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _prep(spark).read.parquet(f"{sf_dir}/documents.parquet")
     out = language_id(docs).select("doc_id", "langscore_en", "langscore_de")
     return _r6(out, "langscore_en", "langscore_de")
 
@@ -262,7 +271,7 @@ def q_language_scores(spark, sf_dir):
 def q_cosine_topk(spark, sf_dir):
     from pytimetk_spark.webtext.similarity import cosine_topk_bruteforce
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _prep(spark).read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -273,21 +282,21 @@ def q_cosine_topk(spark, sf_dir):
 def q_minhash_dedup(spark, sf_dir):
     from pytimetk_spark.webtext.dedup import minhash_dedup
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _prep(spark).read.parquet(f"{sf_dir}/documents.parquet")
     return minhash_dedup(docs, threshold=0.85)
 
 
 def q_simhash(spark, sf_dir):
     from pytimetk_spark.webtext.dedup import simhash
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _prep(spark).read.parquet(f"{sf_dir}/documents.parquet")
     return simhash(docs)
 
 
 def q_quality_score(spark, sf_dir):
     from pytimetk_spark.webtext.textstats import quality_score
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _prep(spark).read.parquet(f"{sf_dir}/documents.parquet")
     out = quality_score(docs).select(
         "doc_id", "q_n_chars", "q_digit_ratio", "q_upper_ratio", "quality_score"
     )
@@ -297,7 +306,7 @@ def q_quality_score(spark, sf_dir):
 def q_byte_features(spark, sf_dir):
     from pytimetk_spark.webtext.multimodal import byte_stats_features
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+    docs = _prep(spark).read.parquet(f"{sf_dir}/documents.parquet").withColumn(
         "blob", F.to_binary(F.col("text"), F.lit("utf-8"))
     )
     return byte_stats_features(docs, "blob")

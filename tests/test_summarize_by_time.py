@@ -136,6 +136,32 @@ def test_dense_buckets_fillna(spark):
     assert_pdf_equal(result.toPandas(), expected)
 
 
+def test_first_last_nunique_median(spark):
+    """Order-dependent and distinct aggs vs pandas resample."""
+    import numpy as np
+
+    pdf = pd.DataFrame(
+        {
+            "date": pd.date_range("2020-01-01", periods=60, freq="7h"),
+            "value": np.arange(60.0) % 7,
+        }
+    )
+    out = summarize_by_time(
+        spark.createDataFrame(pdf), "date", "value", freq="D",
+        agg_func=["first", "last", "nunique", "median"],
+    ).toPandas()
+    exp = (
+        pdf.set_index("date")
+        .resample("D")["value"]
+        .agg(["first", "last", "nunique", "median"])
+        .reset_index()
+    )
+    np.testing.assert_allclose(out["value_first"], exp["first"])
+    np.testing.assert_allclose(out["value_last"], exp["last"])
+    assert (out["value_nunique"] == exp["nunique"]).all()
+    np.testing.assert_allclose(out["value_median"], exp["median"])
+
+
 def test_weekly_end_labels(spark):
     """pandas resample('W') labels Sundays (right-closed, right-labeled)."""
     pdf = pd.DataFrame(
