@@ -107,5 +107,25 @@ from pytimetk_spark.operators.transforms import (
     augment_wavelet,
 )
 from pytimetk_spark.feature_store import FeatureStore
+from pytimetk_spark import rollup, sources, streaming, webtext
+from pytimetk_spark.webtext import (
+    cosine_topk_bruteforce,
+    dedup_exact,
+    document_fingerprint,
+    ivf_ann,
+    language_id,
+    lsh_bucket_ann,
+    minhash_dedup,
+    quality_score,
+    simhash,
+    token_stats,
+)
+from pytimetk_spark.rollup import (
+    gap_fill_tier,
+    rollup_raw_to_tier,
+    rollup_tier_to_tier,
+    run_rollup,
+    TierStore,
+)
 
 __version__ = "0.1.0"
