@@ -53,6 +53,19 @@ def _r6(df: DataFrame, *cols: str) -> DataFrame:
     return df
 
 
+def _r4(df: DataFrame, *cols: str) -> DataFrame:
+    """Coarser 4-dp rounding for long running aggregates (expanding/EWM
+    sums): Spark's streaming window sum and DuckDB's segment-tree window
+    sum accumulate in different orders, so the two doubles differ by
+    ~1e-11 on 10^4-long series; the probability that a 6-dp half-boundary
+    separates them (hash flip) is ~d/1e-6 ≈ 1e-5 per row — too high across
+    10^4 rows. At 4 dp the flip probability drops to ~1e-7 per row while
+    still checking 8-9 significant digits."""
+    for c in cols:
+        df = df.withColumn(c, F.round(F.col(f"`{c}`").cast("double"), 4))
+    return df
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: events → 1h tier (re-aggregable stats) → derived stats,
     gap-filled per series — the north-rule rollup on the smoke dataset."""
@@ -144,7 +157,8 @@ def q_augment_expanding(spark, sf_dir):
     out = tk.augment_expanding(
         ev, "ts", "value", window_func=["mean", "sum"], group_cols=["user_id"]
     )
-    return _r6(out, "value", "value_expanding_mean", "value_expanding_sum")
+    out = _r6(out, "value")
+    return _r4(out, "value_expanding_mean", "value_expanding_sum")
 
 
 def q_timeseries_signature(spark, sf_dir):
@@ -304,23 +318,38 @@ def q_quality_score(spark, sf_dir):
 
 
 def q_byte_features(spark, sf_dir):
+    """hist16 is exploded to (bin, hist_frac) rows — the driver's canon
+    sorts on every column and chokes on array cells (round-1 TypeError),
+    and the exploded shape is exactly DuckDB-oracle-checkable."""
     from pytimetk_spark.webtext.multimodal import byte_stats_features
 
     docs = _prep(spark).read.parquet(f"{sf_dir}/documents.parquet").withColumn(
         "blob", F.to_binary(F.col("text"), F.lit("utf-8"))
     )
-    return byte_stats_features(docs, "blob")
+    feats = byte_stats_features(docs, "blob")
+    out = feats.select(
+        "doc_id",
+        "n_bytes",
+        F.round("byte_entropy", 6).alias("byte_entropy"),
+        F.posexplode("hist16").alias("bin", "hist_frac"),
+    )
+    return out.withColumn("hist_frac", F.round("hist_frac", 6))
 
 
 # --- non-SQL-expressible (rows-only check) ---
 
 
 def q_ewm(spark, sf_dir):
+    """The engine runs the pandas EWM recurrence (Arrow grouped-map); the
+    oracle is the closed form y_t = Σ(1-α)^i·x_{t-i} / Σ(1-α)^i. Measured
+    |recurrence − closed form| ≤ 1.2e-13 on this data, so 4-dp rounding is
+    bit-stable on both sides."""
     ev = _events(spark, sf_dir).select("user_id", "ts", "value")
     out = tk.augment_ewm(
         ev, "ts", "value", window_func="mean", alpha=0.2, group_cols=["user_id"]
     )
-    return _r6(out, "value", "value_ewm_mean_alpha_0.2")
+    out = _r6(out, "value")
+    return _r4(out, "value_ewm_mean_alpha_0.2")
 
 
 def q_anomalize(spark, sf_dir):
@@ -334,14 +363,18 @@ def q_anomalize(spark, sf_dir):
 
 
 def q_gorilla_roundtrip(spark, sf_dir):
-    """Encode the 1h tier to Gorilla blocks and decode back — returned frame
-    is the decoded tier (rows-only check; exactness is pinned by pytest)."""
+    """Encode the 1h tier to Gorilla blocks and decode back. The codec is
+    bit-exact, so decode(encode(tier)) must equal the tier itself — the
+    oracle is therefore the plain raw-aggregation SQL (full rows + schema +
+    hash check of the whole compression round trip)."""
     from pytimetk_spark.rollup.tiers import decode_tier_blocks, encode_tier_blocks
 
     ev = _events(spark, sf_dir)
     tier = rollup_raw_to_tier(ev, "event_type", "ts", "value", "h")
     stats = ["cnt", "vsum", "vmin", "vmax"]
-    return decode_tier_blocks(encode_tier_blocks(tier, stats), stats)
+    out = decode_tier_blocks(encode_tier_blocks(tier, stats), stats)
+    out = out.withColumn("cnt", F.col("cnt").cast("long"))
+    return _r6(out, "vsum", "vmin", "vmax")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -451,8 +484,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "augment_expanding": """
             SELECT user_id, ts, round(value, 6) AS value,
-                   round(avg(value) OVER w, 6) AS value_expanding_mean,
-                   round(sum(value) OVER w, 6) AS value_expanding_sum
+                   round(avg(value) OVER w, 4) AS value_expanding_mean,
+                   round(sum(value) OVER w, 4) AS value_expanding_sum
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
@@ -611,16 +644,81 @@ def oracle_sql() -> dict[str, str]:
             FROM toks
         """,
         "cosine_topk_bruteforce": """
-            WITH q AS (SELECT vec_id AS query_id, embedding AS qv
-                       FROM embeddings WHERE vec_id < 3),
-            s AS (SELECT q.query_id, e.vec_id,
-                         list_cosine_similarity(e.embedding, q.qv) AS cosine
-                  FROM embeddings e CROSS JOIN q),
+            -- mirrors the Spark plan op-for-op: widen float32→double, L2-
+            -- normalize each vector (sequential fold for the norm), then a
+            -- sequential-fold dot of the two normalized vectors. DuckDB's
+            -- list_cosine_similarity computes in float32 (~1e-7 noise) which
+            -- flipped 6-dp rounding in round 1.
+            WITH n AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> x::DOUBLE /
+                       sqrt(list_reduce(
+                         list_transform(embedding, y -> y::DOUBLE * y::DOUBLE),
+                         (a, b) -> a + b))) AS nv
+              FROM embeddings),
+            q AS (SELECT vec_id AS query_id, nv AS qv FROM n WHERE vec_id < 3),
+            s AS (SELECT q.query_id, c.vec_id,
+                         list_reduce(
+                           list_transform(list_zip(c.nv, q.qv),
+                                          p -> p[1] * p[2]),
+                           (a, b) -> a + b) AS cosine
+                  FROM n c CROSS JOIN q),
             r AS (SELECT *, row_number() OVER
                     (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
                   FROM s)
             SELECT query_id, vec_id, round(cosine, 6) AS cosine, rank
             FROM r WHERE rank <= 5
+        """,
+        "augment_ewm": """
+            -- closed-form adjusted EWM (pandas adjust=True semantics):
+            -- y_t = (1-a)^t · Σ x_j (1-a)^{-j} / ((1-(1-a)^{t+1})/a)
+            WITH r AS (
+              SELECT user_id, ts, value,
+                     row_number() OVER (PARTITION BY user_id ORDER BY ts) - 1
+                       AS t
+              FROM events)
+            SELECT user_id, ts, round(value, 6) AS value,
+                   round(
+                     sum(value * power(0.8, -t)) OVER
+                       (PARTITION BY user_id ORDER BY ts
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     * power(0.8, t) / ((1 - power(0.8, t + 1)) / 0.2),
+                     4) AS "value_ewm_mean_alpha_0.2"
+            FROM r
+        """,
+        "gorilla_roundtrip": """
+            SELECT event_type AS url,
+                   date_trunc('hour', ts) AS bucket_ts,
+                   count(value) AS cnt,
+                   round(sum(value), 6) AS vsum,
+                   round(min(value), 6) AS vmin,
+                   round(max(value), 6) AS vmax
+            FROM events GROUP BY 1, 2
+        """,
+        "byte_stats_features": """
+            -- documents.text is pure ASCII at every SF (octet_length ==
+            -- length), so byte == ascii(char); bin = byte >> 4.
+            WITH by AS (
+              SELECT doc_id,
+                     unnest(list_transform(split(text, ''),
+                                           c -> ascii(c) // 16)) AS bin
+              FROM documents),
+            h AS (SELECT doc_id, bin, count(*)::DOUBLE AS cnt
+                  FROM by GROUP BY 1, 2),
+            tot AS (SELECT doc_id, sum(cnt) AS total FROM h GROUP BY 1),
+            ent AS (SELECT h.doc_id,
+                           -sum((cnt/total) * log2(cnt/total)) AS byte_entropy
+                    FROM h JOIN tot USING (doc_id) GROUP BY 1)
+            SELECT d.doc_id,
+                   length(d.text) AS n_bytes,
+                   round(ent.byte_entropy, 6) AS byte_entropy,
+                   b.bin,
+                   round(coalesce(h.cnt / tot.total, 0.0), 6) AS hist_frac
+            FROM documents d
+            CROSS JOIN (SELECT unnest(range(16)) AS bin) b
+            JOIN tot ON tot.doc_id = d.doc_id
+            JOIN ent ON ent.doc_id = d.doc_id
+            LEFT JOIN h ON h.doc_id = d.doc_id AND h.bin = b.bin
         """,
         "quality_score": """
             WITH f AS (

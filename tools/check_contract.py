@@ -74,9 +74,10 @@ def main():
             status.append(f"SCHEMA {list(g.columns)} vs {list(w.columns)}")
         if not status:
             try:
-                pd.testing.assert_frame_equal(
-                    g, w, check_dtype=False, check_exact=False, rtol=1e-6, atol=1e-6
-                )
+                # EXACT equality after the round-6 canon — mirrors the
+                # driver's value-hash (round-1 lesson: rtol here hid two
+                # hash_match=false rows)
+                pd.testing.assert_frame_equal(g, w, check_dtype=False)
             except AssertionError as e:
                 status.append("VALUES " + str(e).splitlines()[0][:150])
         if status:
