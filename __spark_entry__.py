@@ -294,17 +294,22 @@ def q_cosine_topk(spark, sf_dir):
 
 
 def q_minhash_dedup(spark, sf_dir):
+    """hash_variant="md5" — the exact same MinHash+LSH+Jaccard pipeline, but
+    with a hash DuckDB can reproduce bit-for-bit, so the WHOLE dedup
+    decision (signatures → banded buckets → candidate pairs → exact-Jaccard
+    verify → keep-first) is oracle-checked, not just row-counted."""
     from pytimetk_spark.webtext.dedup import minhash_dedup
 
     docs = _prep(spark).read.parquet(f"{sf_dir}/documents.parquet")
-    return minhash_dedup(docs, threshold=0.85)
+    return minhash_dedup(docs, threshold=0.85, hash_variant="md5")
 
 
 def q_simhash(spark, sf_dir):
+    """md5 hash variant (60 usable bits) — cross-engine reproducible."""
     from pytimetk_spark.webtext.dedup import simhash
 
     docs = _prep(spark).read.parquet(f"{sf_dir}/documents.parquet")
-    return simhash(docs)
+    return simhash(docs, bits=60, hash_variant="md5")
 
 
 def q_quality_score(spark, sf_dir):
@@ -353,12 +358,22 @@ def q_ewm(spark, sf_dir):
 
 
 def q_anomalize(spark, sf_dir):
+    """Explicit period/trend (the auto-inference path is pytest-covered) so
+    the whole twitter decomposition — centered MA + OLS edge extrapolation,
+    per-position seasonal means, span medians, IQR flags, min_max clean —
+    is replicated in the DuckDB oracle. 4-dp rounding absorbs the
+    np.polyfit-vs-regr_slope last-bit noise."""
     ev = _events(spark, sf_dir)
     daily = tk.summarize_by_time(
         ev, "ts", "value", group_cols=["event_type"], freq="D", agg_func="count"
     )
-    return tk.anomalize(
-        daily, "ts", "value", group_cols=["event_type"], method="twitter"
+    out = tk.anomalize(
+        daily, "ts", "value", group_cols=["event_type"], method="twitter",
+        period=7, trend=14,
+    )
+    return _r4(
+        out, "observed", "seasonal", "seasadj", "trend", "remainder",
+        "anomaly_score", "recomposed_l1", "recomposed_l2", "observed_clean",
     )
 
 
@@ -411,8 +426,191 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def _minhash_oracle_sql() -> str:
+    """DuckDB mirror of minhash_dedup(hash_variant="md5") — same shingles,
+    same 60-bit md5 base hash, same 64 universal-hash permutations (params
+    from the same seeded generator), same 16×4 banding, same max_bucket
+    prune, same exact-Jaccard keep-first decision."""
+    from pytimetk_spark.webtext.dedup import _perm_params
+
+    params = _perm_params(64, 42)
+    sig_exprs = ",\n           ".join(
+        f"list_min(list_transform(base, h -> ({a} * h + {b}) % 2147483647))"
+        for a, b in params
+    )
+    return f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 string_split(trim(regexp_replace(lower(text), '\\s+', ' ',
+                                                  'g')), ' ') AS tk
+          FROM documents),
+        sh AS (
+          SELECT doc_id,
+                 list_distinct(
+                   CASE WHEN len(tk) - 4 > 0
+                        THEN list_transform(range(len(tk) - 4),
+                               i -> array_to_string(tk[i+1:i+5], ' '))
+                        ELSE [array_to_string(tk, ' ')] END) AS shingles
+          FROM toks),
+        hs AS (
+          SELECT doc_id, shingles,
+                 list_transform(shingles,
+                   s -> ('0x' || substr(md5(s), 1, 15))::BIGINT
+                        % 2147483647) AS base
+          FROM sh),
+        sig AS (
+          SELECT doc_id, shingles,
+                 [{sig_exprs}] AS signature
+          FROM hs),
+        bb AS (
+          SELECT doc_id, band,
+                 ('0x' || substr(md5(band::VARCHAR || ':' ||
+                    array_to_string(signature[band*4+1:band*4+4], ',')),
+                    1, 15))::BIGINT AS bucket
+          FROM sig CROSS JOIN (SELECT unnest(range(16)) AS band)),
+        ok AS (SELECT band, bucket FROM bb GROUP BY 1, 2
+               HAVING count(*) <= 1000),
+        pb AS (SELECT bb.* FROM bb JOIN ok USING (band, bucket)),
+        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                 FROM pb a JOIN pb b
+                   ON a.band = b.band AND a.bucket = b.bucket
+                  AND a.doc_id < b.doc_id),
+        ver AS (SELECT c.id_a, c.id_b,
+                       len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+                       / (len(sa.shingles) + len(sb.shingles)
+                          - len(list_intersect(sa.shingles, sb.shingles)))
+                         AS jac
+                FROM cand c
+                JOIN sh sa ON sa.doc_id = c.id_a
+                JOIN sh sb ON sb.doc_id = c.id_b),
+        losers AS (SELECT DISTINCT id_b AS doc_id FROM ver WHERE jac >= 0.85)
+        SELECT d.* FROM documents d
+        WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
+    """
+
+
+def _simhash_oracle_sql(bits: int = 60) -> str:
+    bit_sums = ",\n                 ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(bits)
+    )
+    fp = " + ".join(
+        f"CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(bits)
+    )
+    return f"""
+        WITH tk AS (
+          SELECT doc_id,
+                 unnest(string_split(trim(regexp_replace(lower(text), '\\s+',
+                                                         ' ', 'g')), ' '))
+                   AS tok
+          FROM documents),
+        h AS (SELECT doc_id,
+                     ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+              FROM tk),
+        bs AS (SELECT doc_id,
+                 {bit_sums}
+               FROM h GROUP BY 1)
+        SELECT doc_id, ({fp})::BIGINT AS simhash FROM bs
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "minhash_dedup": _minhash_oracle_sql(),
+        "simhash": _simhash_oracle_sql(60),
+        "anomalize": """
+            -- twitter decomposition, period=7 trend=14 iqr_alpha=0.05
+            -- clean_alpha=0.75 (mirrors operators/anomalize.py kernel):
+            -- centered 7-MA -> OLS edge extrapolation -> per-(rn%7)
+            -- seasonal means centered by mean-of-means -> span medians as
+            -- trend -> IQR limits [-(q1+3*IQR), q3+3*IQR] -> min_max clean
+            WITH base AS (
+              SELECT event_type, date_trunc('day', ts) AS ts,
+                     count(value)::DOUBLE AS v
+              FROM events GROUP BY 1, 2),
+            r AS (SELECT *,
+                         row_number() OVER (PARTITION BY event_type
+                                            ORDER BY ts) - 1 AS rn,
+                         count(*) OVER (PARTITION BY event_type) AS n
+                  FROM base),
+            ma AS (SELECT *,
+                     CASE WHEN rn >= 3 AND rn <= n - 4 THEN
+                       avg(v) OVER (PARTITION BY event_type ORDER BY rn
+                                    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+                     END AS tma
+                   FROM r),
+            fit AS (SELECT event_type,
+                      regr_slope(tma, rn) FILTER (
+                        rn BETWEEN 3 AND 2 + least(7, n - 6)) AS b0,
+                      regr_intercept(tma, rn) FILTER (
+                        rn BETWEEN 3 AND 2 + least(7, n - 6)) AS a0,
+                      regr_slope(tma, rn) FILTER (
+                        rn BETWEEN n - 3 - least(7, n - 6) AND n - 4) AS b1,
+                      regr_intercept(tma, rn) FILTER (
+                        rn BETWEEN n - 3 - least(7, n - 6) AND n - 4) AS a1
+                    FROM ma GROUP BY 1),
+            tr AS (SELECT ma.*,
+                     CASE WHEN rn < 3 THEN b0 * rn + a0
+                          WHEN rn > n - 4 THEN b1 * rn + a1
+                          ELSE tma END AS trend_ma
+                   FROM ma JOIN fit USING (event_type)),
+            det AS (SELECT *, v - trend_ma AS detr, rn % 7 AS pos FROM tr),
+            sm AS (SELECT event_type, pos, avg(detr) AS m
+                   FROM det GROUP BY 1, 2),
+            sc AS (SELECT event_type, avg(m) AS center FROM sm GROUP BY 1),
+            seas AS (SELECT det.*, sm.m - sc.center AS seasonal
+                     FROM det JOIN sm USING (event_type, pos)
+                     JOIN sc USING (event_type)),
+            sa AS (SELECT *, v - seasonal AS seasadj,
+                          greatest(CAST(round(n / 14.0) AS BIGINT), 1) AS ms
+                   FROM seas),
+            sp AS (SELECT *,
+                     CASE WHEN rn < (n % ms) * (n // ms + 1)
+                          THEN rn // (n // ms + 1)
+                          ELSE (n % ms)
+                               + (rn - (n % ms) * (n // ms + 1)) // (n // ms)
+                     END AS span
+                   FROM sa),
+            t2m AS (SELECT event_type, span,
+                           quantile_cont(seasadj, 0.5) AS trend2
+                    FROM sp GROUP BY 1, 2),
+            rem AS (SELECT sp.*, t2m.trend2,
+                           sp.seasadj - t2m.trend2 AS remainder
+                    FROM sp JOIN t2m USING (event_type, span)),
+            iq AS (SELECT event_type,
+                          quantile_cont(remainder, 0.25) AS q1,
+                          quantile_cont(remainder, 0.75) AS q3
+                   FROM rem GROUP BY 1),
+            lim AS (SELECT event_type,
+                           -1 * (q1 + 3.0 * (q3 - q1)) AS l1,
+                           q3 + 3.0 * (q3 - q1) AS l2
+                    FROM iq),
+            fl AS (SELECT rem.*, lim.l1, lim.l2,
+                          (lim.l1 + lim.l2) / 2 AS centerline,
+                          CASE WHEN remainder > lim.l2 THEN 1
+                               WHEN remainder < lim.l1 THEN -1
+                               ELSE 0 END AS dir
+                   FROM rem JOIN lim USING (event_type))
+            SELECT event_type, ts,
+                   round(v, 4) AS observed,
+                   round(seasonal, 4) AS seasonal,
+                   round(seasadj, 4) AS seasadj,
+                   round(trend2, 4) AS trend,
+                   round(remainder, 4) AS remainder,
+                   CASE WHEN dir != 0 THEN 'Yes' ELSE 'No' END AS anomaly,
+                   round(abs(remainder - centerline), 4) AS anomaly_score,
+                   dir AS anomaly_direction,
+                   round(seasonal + trend2 + l1, 4) AS recomposed_l1,
+                   round(seasonal + trend2 + l2, 4) AS recomposed_l2,
+                   round(CASE WHEN dir = -1
+                              THEN seasonal + trend2 + l1
+                                   + 0.125 * (l2 - l1)
+                              WHEN dir = 1
+                              THEN seasonal + trend2 + l2
+                                   - 0.125 * (l2 - l1)
+                              ELSE v END, 4) AS observed_clean
+            FROM fl
+        """,
         "summarize_by_time_hourly": """
             SELECT event_type,
                    date_trunc('hour', ts) AS ts,

@@ -27,6 +27,24 @@ _MERSENNE = (1 << 61) - 1
 _MOD31 = 2147483647  # 2^31 - 1
 
 
+def _h64(col: Column, variant: str = "xxhash64") -> Column:
+    """64-bit-ish hash of a string column.
+
+    * ``xxhash64`` (default, fastest — JVM intrinsic) for production runs;
+    * ``md5`` — first 15 hex chars of MD5 as a 60-bit bigint. Slower, but
+      bit-reproducible OUTSIDE Spark (DuckDB:
+      ``('0x' || substr(md5(x), 1, 15))::BIGINT``), which is what the
+      driver's cross-engine oracle needs. Same LSH guarantees (uniform
+      bits), so correctness-critical tests run the exact same algorithm
+      through an independent engine.
+    """
+    if variant == "xxhash64":
+        return F.xxhash64(col)
+    if variant == "md5":
+        return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+    raise ValueError(f"unknown hash variant: {variant!r}")
+
+
 # ---------------------------------------------------------------------------
 # exact
 
@@ -97,12 +115,13 @@ def minhash_signatures(
     n_hashes: int = 64,
     shingle_size: int = 5,
     seed: int = 42,
+    hash_variant: str = "xxhash64",
 ) -> DataFrame:
     """(id, signature array<bigint>[n_hashes]) — base hash once per shingle
-    (xxhash64 mod 2^31-1), then n universal-hash permutations
+    (``hash_variant`` mod 2^31-1), then n universal-hash permutations
     ``(a·h + b) mod p`` evaluated as array transforms. Pure projection."""
     shingles = shingle_tokens(F.col(text_col), shingle_size)
-    base = F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_MOD31)))
+    base = F.transform(shingles, lambda s: F.pmod(_h64(s, hash_variant), F.lit(_MOD31)))
     sig = F.array(
         *[
             F.array_min(
@@ -120,6 +139,7 @@ def minhash_lsh_candidates(
     bands: int = 16,
     rows_per_band: int = 4,
     max_bucket: int = 1000,
+    hash_variant: str = "xxhash64",
 ) -> DataFrame:
     """Candidate pairs (id_a < id_b) sharing ≥1 LSH band bucket.
 
@@ -129,15 +149,25 @@ def minhash_lsh_candidates(
     caller via the returned ``dropped_buckets`` being countable from
     ``bucket_sizes`` (exposed for observability).
     """
+
+    def _band_bucket(b: int) -> Column:
+        sl = F.slice("signature", b * rows_per_band + 1, rows_per_band)
+        if hash_variant == "xxhash64":
+            return F.xxhash64(sl, F.lit(b))
+        # md5 variant: serialize the band deterministically ("b:v1,v2,...")
+        # so DuckDB can reproduce the exact bucket key
+        rendered = F.concat(
+            F.lit(f"{b}:"),
+            F.array_join(F.transform(sl, lambda x: x.cast("string")), ","),
+        )
+        return _h64(rendered, "md5")
+
     band_cols = F.explode(
         F.array(
             *[
                 F.struct(
                     F.lit(b).alias("band"),
-                    F.xxhash64(
-                        F.slice("signature", b * rows_per_band + 1, rows_per_band),
-                        F.lit(b),
-                    ).alias("bucket"),
+                    _band_bucket(b).alias("bucket"),
                 )
                 for b in range(bands)
             ]
@@ -203,13 +233,18 @@ def minhash_dedup(
     n_hashes: int = 64,
     bands: int = 16,
     shingle_size: int = 5,
+    hash_variant: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup removal: signatures → LSH candidates → exact-Jaccard verify
     → drop every doc that duplicates a smaller-id doc ("keep first";
     full transitive connected components would need an iterative
     label-propagation pass — documented simplification)."""
-    sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_size)
-    cands = minhash_lsh_candidates(sigs, id_col, bands, n_hashes // bands)
+    sigs = minhash_signatures(
+        df, text_col, id_col, n_hashes, shingle_size, hash_variant=hash_variant
+    )
+    cands = minhash_lsh_candidates(
+        sigs, id_col, bands, n_hashes // bands, hash_variant=hash_variant
+    )
     dups = ngram_jaccard_pairs(sigs, cands, id_col).filter(
         F.col("jaccard") >= threshold
     )
@@ -222,15 +257,20 @@ def minhash_dedup(
 
 
 def simhash(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+    hash_variant: str = "xxhash64",
 ) -> DataFrame:
     """64-bit SimHash per doc — tokens exploded once, per-bit ±1 sums as 64
     native conditional aggregates, fingerprint reassembled with shifts.
-    One shuffle on the doc id."""
+    One shuffle on the doc id. (``hash_variant="md5"`` yields 60 usable
+    bits — pass ``bits=60`` with it for a cross-engine-reproducible hash.)"""
     toks = F.explode(
         F.split(F.lower(F.trim(F.regexp_replace(text_col, r"\s+", " "))), " ")
     ).alias("tok")
-    h = F.xxhash64("tok")
+    h = _h64(F.col("tok"), hash_variant)
     per_tok = df.select(F.col(id_col), toks).select(id_col, h.alias("h"))
     bit_sums = per_tok.groupBy(id_col).agg(
         *[
