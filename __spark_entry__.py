@@ -341,6 +341,27 @@ def q_byte_features(spark, sf_dir):
     return out.withColumn("hist_frac", F.round("hist_frac", 6))
 
 
+def q_regime_detection(spark, sf_dir):
+    """HMM internals aren't SQL-expressible, so the oracle pins the
+    PLUMBING invariants exactly: row counts, the reference's stride-loop
+    label coverage ((floor((n-w)/step)+1)*step positions labeled when the
+    series is fully finite), and label validity (0..n_regimes-1). Label
+    quality is pinned by the pytest differential + planted-regime test."""
+    ev = _events(spark, sf_dir).select("event_type", "ts", "value")
+    out = tk.augment_regime_detection(
+        ev, "ts", "value", window=60, n_regimes=2, step_size=20,
+        group_cols=["event_type"],
+    )
+    lab = F.col("value_regime_60")
+    return out.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(lab).alias("n_labeled"),
+        F.sum(
+            F.when(lab.isNotNull() & ~lab.isin(0.0, 1.0), 1).otherwise(0)
+        ).alias("n_invalid_labels"),
+    )
+
+
 # --- non-SQL-expressible (rows-only check) ---
 
 
@@ -420,6 +441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup": q_minhash_dedup,
         "simhash": q_simhash,
         "byte_stats_features": q_byte_features,
+        "regime_detection": q_regime_detection,
         "augment_ewm": q_ewm,
         "anomalize": q_anomalize,
         "gorilla_roundtrip": q_gorilla_roundtrip,
@@ -518,6 +540,15 @@ def oracle_sql() -> dict[str, str]:
     return {
         "minhash_dedup": _minhash_oracle_sql(),
         "simhash": _simhash_oracle_sql(60),
+        "regime_detection": """
+            SELECT event_type,
+                   count(*) AS n_rows,
+                   CASE WHEN count(*) >= 60
+                        THEN ((count(*) - 60) // 20 + 1) * 20
+                        ELSE 0 END AS n_labeled,
+                   0 AS n_invalid_labels
+            FROM events GROUP BY 1
+        """,
         "anomalize": """
             -- twitter decomposition, period=7 trend=14 iqr_alpha=0.05
             -- clean_alpha=0.75 (mirrors operators/anomalize.py kernel):

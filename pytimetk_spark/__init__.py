@@ -89,6 +89,7 @@ from pytimetk_spark.operators.finance import (
     augment_macd,
     augment_ppo,
     augment_qsmomentum,
+    augment_regime_detection,
     augment_roc,
     augment_rolling_risk_metrics,
     augment_rsi,

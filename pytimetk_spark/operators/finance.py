@@ -585,10 +585,92 @@ def augment_qsmomentum(
     )
 
 
-def augment_regime_detection(*args, **kwargs):
-    """Rolling HMM regimes (finance/regime_detection.py:84-141) require
-    hmmlearn/pomegranate — unavailable in this environment; the Spark-side
-    plumbing would mirror augment_hurst_exponent's grouped-map shape."""
-    raise NotImplementedError(
-        "augment_regime_detection requires hmmlearn, which is not installed"
+def _detect_regimes(
+    log_returns: np.ndarray,
+    window: int,
+    n_regimes: int,
+    step_size: int,
+    n_iter: int,
+) -> np.ndarray:
+    """Rolling-refit HMM regimes over a log-return stream — mirrors the
+    reference's detect_regimes loop (regime_detection.py:390-453): at every
+    ``step_size``-th position fit on the window's finite values (warm-
+    starting from the previous fit), Viterbi-decode, and write the last
+    ``step_size`` labels back at their source positions."""
+    from pytimetk_spark.functions.hmm import GaussianHMM1D
+
+    values = np.asarray(log_returns, dtype=np.float64)
+    n = len(values)
+    regimes = np.full(n, np.nan)
+    min_obs = max(window // 2, n_regimes * 10)
+    model = GaussianHMM1D(n_regimes, n_iter=n_iter, tol=1e-3)
+    warm = False
+    for i in range(window - 1, n, step_size):
+        start = max(0, i - window + 1)
+        window_values = values[start : i + 1]
+        finite_idx = np.where(np.isfinite(window_values))[0]
+        if len(finite_idx) < min_obs:
+            continue
+        x = window_values[finite_idx]
+        try:
+            model.fit(x, warm_start=warm)
+            warm = True
+            predicted = model.predict(x)
+        except (ValueError, FloatingPointError):  # pragma: no cover
+            continue
+        tail_len = min(step_size, len(finite_idx))
+        regimes[finite_idx[-tail_len:] + start] = predicted[-tail_len:]
+    return regimes
+
+
+def augment_regime_detection(
+    df: DataFrame,
+    date_column: str,
+    close_column: str,
+    window: int | Sequence[int] = 252,
+    n_regimes: int = 2,
+    method: str = "hmm",
+    step_size: int = 1,
+    n_iter: int = 100,
+    group_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """HMM regime labels over rolling windows of log returns.
+
+    Reference: finance/regime_detection.py:84-141 (API), :356-470 (pandas
+    kernel: log returns → rolling re-fit GaussianHMM with warm start →
+    Viterbi labels at stride positions, NaN elsewhere). Column per window:
+    ``{close}_regime_{w}`` (float; labels 0..n_regimes-1).
+
+    Spark: per-group Arrow grouped-map (the fit is inherently sequential
+    per series); the HMM itself is the self-contained numpy Baum-Welch in
+    functions/hmm.py (hmmlearn is not installed — deterministic quantile
+    init replaces its seeded-random kmeans, a documented deviation; label
+    IDENTITY is backend-arbitrary in the reference too)."""
+    if method.lower() != "hmm":
+        raise ValueError("Only 'hmm' method is currently supported.")
+    if n_regimes < 2:
+        raise ValueError("n_regimes must be at least 2.")
+    if step_size < 1:
+        raise ValueError("step_size must be at least 1.")
+    windows = [window] if isinstance(window, int) else [int(w) for w in window]
+    group_cols = list(group_cols or [])
+    c = close_column
+    out_names = [f"{c}_regime_{w}" for w in windows]
+
+    def kernel(pdf: pd.DataFrame) -> dict[str, pd.Series]:
+        vals = pdf[c].to_numpy(dtype=np.float64)
+        prev = np.concatenate(([np.nan], vals[:-1]))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            lr = np.log(vals / prev)
+        lr[~np.isfinite(lr)] = np.nan
+        return {
+            f"{c}_regime_{w}": pd.Series(
+                _detect_regimes(lr, w, n_regimes, step_size, n_iter)
+            )
+            for w in windows
+        }
+
+    return _grouped_apply(
+        df, date_column, group_cols, {}, multi_kernel=kernel,
+        multi_names=out_names,
     )

@@ -182,3 +182,90 @@ def test_stochastic(ohlcv):
     np.testing.assert_allclose(
         out["close_stoch_k_14"].to_numpy(), expected_k.to_numpy(), rtol=1e-9
     )
+
+
+# ---------------------------------------------------------------------------
+# regime detection (numpy Gaussian-HMM backend — hmmlearn absent)
+
+
+def test_regime_detection_differential_and_quality(spark):
+    """Spark grouped-map output must equal the numpy kernel run directly
+    per group (distribution-layer differential), and on planted two-regime
+    data the labels must separate the volatility segments."""
+    from pytimetk_spark import augment_regime_detection
+    from pytimetk_spark.operators.finance import _detect_regimes
+
+    rng = np.random.RandomState(3)
+    frames = []
+    for sym in ["AAA", "BBB"]:
+        lr = np.concatenate(
+            [rng.randn(200) * 0.01, rng.randn(200) * 0.05, rng.randn(200) * 0.01]
+        )
+        close = 100 * np.exp(np.cumsum(lr))
+        frames.append(
+            pd.DataFrame(
+                {
+                    "symbol": sym,
+                    "date": pd.date_range("2020-01-01", periods=600, freq="D"),
+                    "close": close,
+                }
+            )
+        )
+    pdf = pd.concat(frames, ignore_index=True)
+    sdf = spark.createDataFrame(pdf)
+
+    out = (
+        augment_regime_detection(
+            sdf, "date", "close", window=150, n_regimes=2, step_size=25,
+            group_cols=["symbol"],
+        )
+        .toPandas()
+        .sort_values(["symbol", "date"])
+        .reset_index(drop=True)
+    )
+
+    for sym, g in pdf.groupby("symbol"):
+        vals = g["close"].to_numpy()
+        lr = np.log(vals / np.concatenate(([np.nan], vals[:-1])))
+        lr[~np.isfinite(lr)] = np.nan
+        expected = _detect_regimes(lr, 150, 2, 25, 100)
+        got = out.loc[out["symbol"] == sym, "close_regime_150"].to_numpy()
+        assert np.allclose(got, expected, equal_nan=True), sym
+
+    # operator-level: labels are in {0,1} and land exactly where the
+    # reference's stride loop puts them (step labels per fit)
+    g = out[out["symbol"] == "AAA"]["close_regime_150"].to_numpy()
+    lab = g[np.isfinite(g)]
+    assert set(np.unique(lab)) <= {0.0, 1.0}
+    n_fits = (600 - 150) // 25 + 1
+    assert len(lab) == n_fits * 25
+
+    # kernel-level: on one window spanning both regimes, Viterbi labels
+    # must separate the volatility segments (vol identification quality)
+    from pytimetk_spark.functions.hmm import GaussianHMM1D
+
+    rng2 = np.random.RandomState(11)
+    x = np.concatenate([rng2.randn(250) * 0.01, rng2.randn(250) * 0.05])
+    labels = GaussianHMM1D(2, n_iter=100).fit(x).predict(x)
+    lo_maj = np.bincount(labels[:250], minlength=2).argmax()
+    hi_maj = np.bincount(labels[250:], minlength=2).argmax()
+    assert lo_maj != hi_maj
+    assert (labels[:250] == lo_maj).mean() > 0.9
+    assert (labels[250:] == hi_maj).mean() > 0.9
+    # determinism across refits (task-retry safety)
+    assert np.array_equal(labels, GaussianHMM1D(2, n_iter=100).fit(x).predict(x))
+
+
+def test_regime_detection_validation(spark):
+    from pytimetk_spark import augment_regime_detection
+
+    pdf = pd.DataFrame(
+        {"date": pd.date_range("2020-01-01", periods=10), "close": np.arange(10.0)}
+    )
+    sdf = spark.createDataFrame(pdf)
+    with pytest.raises(ValueError):
+        augment_regime_detection(sdf, "date", "close", method="kalman")
+    with pytest.raises(ValueError):
+        augment_regime_detection(sdf, "date", "close", n_regimes=1)
+    with pytest.raises(ValueError):
+        augment_regime_detection(sdf, "date", "close", step_size=0)
