@@ -202,13 +202,17 @@ def parse_human_duration(text: str) -> Freq:
             raise ValueError(f"calendar units must be integer: {text!r}")
         base = unit.rstrip("s")
         return parse_freq(f"{int(qty)}{'W' if base == 'week' else base}")
-    sec_per = _FIXED_SECONDS.get(unit.rstrip("s"))
+    # prefer the singularized unit, but fall back to the literal one so
+    # bare "s" survives (rstrip("s") would strip it to "")
+    singular = unit.rstrip("s")
+    base = singular if singular in _FIXED_SECONDS else unit
+    sec_per = _FIXED_SECONDS.get(base)
     if sec_per is None:
         raise ValueError(f"unknown duration unit: {text!r}")
     total = qty * sec_per
     if total != int(total):
         raise ValueError(f"sub-second durations unsupported: {text!r}")
-    return Freq(int(qty) if qty == int(qty) else 1, unit.rstrip("s"), int(total), None, label_end=False)
+    return Freq(int(qty) if qty == int(qty) else 1, base, int(total), None, label_end=False)
 
 
 # ---------------------------------------------------------------------------

@@ -61,8 +61,14 @@ def augment_rsi(
         frame = wb.rowsBetween(-(p - 1), 0)
         g = _gated_avg(F.col("__gain__"), frame, p)
         l_ = _gated_avg(F.col("__loss__"), frame, p)
+        # zero rolling loss: reference yields 100.0 when gains exist
+        # (mean_gains/0 → inf → RSI 100; polars path does it explicitly),
+        # NULL only when gains AND losses are both zero
         out = out.withColumn(
-            f"{close_column}_rsi_{p}", 100 - (100 / (1 + g / l_))
+            f"{close_column}_rsi_{p}",
+            F.when(l_ == 0, F.when(g != 0, F.lit(100.0))).otherwise(
+                100 - (100 / (1 + g / l_))
+            ),
         )
     return out.drop("__gain__", "__loss__")
 
@@ -269,16 +275,15 @@ def augment_rolling_risk_metrics(
     c = close_column
     for win in _norm_periods(windows):
         frame = wb.rowsBetween(-(win - 1), 0)
-        gate = F.count("__ret__").over(frame) >= F.least(
-            F.lit(win), F.lit(2)
-        )  # pandas min_periods default for mean/std in reference = window? it
-        # uses rolling(window, min_periods=min(window, available)) — gate with 2
+        # reference warm-up: every rolling aggregate uses
+        # min_periods = max(1, window // 2) (rolling_risk_metrics.py:402,614)
+        gate = F.count("__ret__").over(frame) >= F.lit(max(1, win // 2))
         mean_ret = F.when(gate, F.avg("__ret__").over(frame))
         std_ret = F.when(gate, F.stddev_samp("__ret__").over(frame))
-        downside_var = F.avg("__neg_sq__").over(frame)
+        downside_var = F.when(gate, F.avg("__neg_sq__").over(frame))
         downside_dev = F.when(downside_var > 1e-12, F.sqrt(downside_var))
-        pos_sum = F.sum("__pos__").over(frame)
-        neg_sum = F.sum("__neg__").over(frame)
+        pos_sum = F.when(gate, F.sum("__pos__").over(frame))
+        neg_sum = F.when(gate, F.sum("__neg__").over(frame))
         out = (
             out.withColumn(
                 f"{c}_sharpe_ratio_{win}",

@@ -65,9 +65,12 @@ def signature_exprs(date_column: str) -> dict[str, Column]:
         f"{name}_hour": F.hour(ts),
         f"{name}_minute": F.minute(ts),
         f"{name}_second": F.second(ts).cast("int"),
-        f"{name}_msecond": F.round(
-            (ts.cast("timestamp").cast("double") % 1) * 1000000
-        ).cast("long"),
+        # integer path (reference emits dt.microsecond in 0..999999): the
+        # double round-trip loses exact microseconds at current-era epochs
+        # and Spark's % keeps the dividend's sign for pre-1970 timestamps
+        f"{name}_msecond": F.pmod(
+            F.unix_micros(ts.cast("timestamp")), F.lit(1_000_000)
+        ),
         # Spark timestamps are μs precision; ns field is always 0 (documented
         # deviation — SURVEY.md §7 risk register)
         f"{name}_nsecond": F.lit(0),

@@ -217,31 +217,38 @@ def summarize_by_time(
             else F.concat_ws("_", *group_cols)
         )
         work2 = result.withColumn("__pivot__", pivot_col)
+        # explicit pivot values (one bounded distinct — Spark's auto-pivot
+        # collects the same set internally), so the output column ORDER is
+        # known ([date] + pivot_vals × aggs) and renaming is positional —
+        # no suffix parsing, which mislabeled group values that themselves
+        # end in "_{value}_{agg}"
+        pivot_vals = sorted(
+            r["__pivot__"]
+            for r in work2.select("__pivot__").distinct().collect()
+            if r["__pivot__"] is not None
+        )
         pivoted = (
             work2.groupBy(date_column)
-            .pivot("__pivot__")
-            .agg(*[F.first(c).alias(c) for c in out_value_cols])
+            .pivot("__pivot__", pivot_vals)
+            .agg(
+                *[
+                    F.first(c).alias(f"__v{i}__")
+                    for i, c in enumerate(out_value_cols)
+                ]
+            )
         )
-        # Spark names pivot cols "{groupval}_{agg_alias}" (or "{groupval}"
-        # when a single agg expr) — rename to the reference contract
-        # "{value}[_{agg}]_{groupval}".
-        renames = {}
-        for c in pivoted.columns:
-            if c == date_column:
-                continue
-            for ov in sorted(out_value_cols, key=len, reverse=True):
-                if c.endswith("_" + ov):
-                    renames[c] = f"{ov}_{c[: -(len(ov) + 1)]}"
-                    break
-            else:
-                renames[c] = f"{out_value_cols[0]}_{c}"
+        new_names = [f"{ov}_{v}" for v in pivot_vals for ov in out_value_cols]
         pivoted = pivoted.select(
-            date_column, *[F.col(f"`{c}`").alias(n) for c, n in renames.items()]
+            date_column,
+            *[
+                F.col(f"`{c}`").alias(n)
+                for c, n in zip(pivoted.columns[1:], new_names)
+            ],
         )
         # pivot gaps (group absent in a bucket) honor fillna like the
         # reference's post-unstack fillna (summarize_by_time.py:418)
         if fillna is not None:
-            pivoted = pivoted.fillna(fillna, subset=list(renames.values()))
+            pivoted = pivoted.fillna(fillna, subset=new_names)
         result = pivoted
 
     if sort:

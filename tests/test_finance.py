@@ -269,3 +269,27 @@ def test_regime_detection_validation(spark):
         augment_regime_detection(sdf, "date", "close", n_regimes=1)
     with pytest.raises(ValueError):
         augment_regime_detection(sdf, "date", "close", step_size=0)
+
+
+def test_rsi_zero_loss_window(spark):
+    """Monotonically rising window → RSI 100.0 (reference: avg_loss==0 with
+    gains → 100); flat window (no gains, no losses) → NULL."""
+    from pytimetk_spark import augment_rsi
+
+    pdf = pd.DataFrame(
+        {
+            "date": pd.date_range("2021-01-01", periods=12, freq="D"),
+            "close": [100.0] * 6 + [101, 102, 103, 104, 105, 106],
+        }
+    )
+    out = (
+        augment_rsi(spark.createDataFrame(pdf), "date", "close", periods=3)
+        .toPandas()
+        .sort_values("date")
+        .reset_index(drop=True)
+    )
+    col = out["close_rsi_3"]
+    # rows 3..5 sit in an all-flat window: gains == losses == 0 → NaN
+    assert col.iloc[3:6].isna().all()
+    # rows 8.. sit in an all-gain window: RSI == 100.0
+    assert (col.iloc[8:] == 100.0).all()

@@ -189,8 +189,9 @@ def test_rolling_risk_metrics(prices):
     rets = ref.groupby("symbol")["close"].transform(lambda s: s / s.shift(1) - 1)
     ref = ref.assign(ret=rets)
     g = ref.groupby("symbol")["ret"]
-    mean20 = g.transform(lambda s: s.rolling(20, min_periods=2).mean())
-    std20 = g.transform(lambda s: s.rolling(20, min_periods=2).std())
+    # reference warm-up: min_periods = max(1, window // 2)
+    mean20 = g.transform(lambda s: s.rolling(20, min_periods=10).mean())
+    std20 = g.transform(lambda s: s.rolling(20, min_periods=10).std())
     ann = np.sqrt(252)
     expected_sharpe = mean20 / std20 * ann
     np.testing.assert_allclose(

@@ -138,3 +138,11 @@ def test_frame_utils(spark):
     doubled = transform_columns(sdf, ["a"], lambda c: c * 2).toPandas()
     assert doubled["a"].tolist() == [2.0, 4.0, 6.0]
     assert doubled["b"].tolist() == [5.0, 5.0, 5.0]
+
+
+def test_parse_human_duration_bare_seconds():
+    from pytimetk_spark.functions.datetime import parse_human_duration
+
+    assert parse_human_duration("3s").seconds == 3
+    assert parse_human_duration("90 s").seconds == 90
+    assert parse_human_duration("2 seconds").seconds == 2
