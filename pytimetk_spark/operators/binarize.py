@@ -7,12 +7,21 @@ category levels (< thresh_infreq) → ``-OTHER``; bool → int; categorical →
 one-hot ``col__level``), correlate :224-247,407-417 (corr of every binary
 column vs target, sorted by |corr| desc, names split on "__").
 
-Spark: bin edges via ``approxQuantile`` (exact percentile at relativeError
-0 is available but the reference's qcut itself is estimation — sketches are
-the scale-correct choice), level frequencies via one groupBy, one-hot as
-``when/otherwise`` projections — a single pass, no UDFs. ``correlate`` is
-one aggregate computing ``corr(c, target)`` for every column
-simultaneously (one shuffle), Spearman via rank-transform windows first.
+Scale design (round-2 rework — round 1 issued 2 Spark jobs PER COLUMN):
+
+* ``binarize`` runs exactly THREE jobs regardless of column count:
+  (1) one aggregate with ``approx_count_distinct`` for every numeric
+  column (+ total count), (2) one multi-column ``approxQuantile`` sketch
+  pass for all binned columns, (3) one posexplode→groupBy "melt" that
+  returns exact level frequencies for every categorical / low-cardinality
+  candidate column at once. The one-hot projection itself is pure
+  Catalyst.
+* ``correlate(method="spearman")`` never sorts globally: average ranks
+  come from a per-column value-frequency aggregate, range-bucketed by
+  approxQuantile edges so the cumulative count is a window PARTITIONED BY
+  bucket (distributed) plus a tiny driver-side offset map — then one hash
+  join back. rank(v) = (#rows < v) + (#rows == v + 1)/2, the standard
+  tie-average, so it matches pandas ``rank(method="average")`` exactly.
 """
 
 from __future__ import annotations
@@ -20,8 +29,12 @@ from __future__ import annotations
 import re
 
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+_NUMERIC_BASES = (
+    "int", "bigint", "smallint", "tinyint", "double", "float", "decimal"
+)
 
 
 def _fmt(v: float) -> str:
@@ -37,40 +50,88 @@ def binarize(
     name_infreq: str = "-OTHER",
     one_hot: bool = True,
 ) -> DataFrame:
-    numeric_types = ("int", "bigint", "smallint", "tinyint", "double", "float", "decimal")
-    total = df.count()
-    out_cols = []
+    if not one_hot:
+        raise NotImplementedError("one_hot=False (ordinal) not supported")
+
+    bool_cols, numeric_cols, string_cols = [], [], []
+    for c, t in df.dtypes:
+        base = t.split("(")[0]
+        if base == "boolean":
+            bool_cols.append(c)
+        elif base in _NUMERIC_BASES:
+            numeric_cols.append(c)
+        else:
+            string_cols.append(c)
+
+    # job 1: total count + approximate distinct count of every numeric
+    # column in ONE aggregate
+    probe = df.agg(
+        F.count(F.lit(1)).alias("__n__"),
+        *[F.approx_count_distinct(c).alias(c) for c in numeric_cols],
+    ).first()
+    total = probe["__n__"]
+    # candidates for categorical treatment: approx distinct could be up to
+    # ~5% off, so anything below a padded threshold goes through the exact
+    # melt below before the final decision
+    approx_thresh = int((n_bins + 3) * 1.3) + 8
+    maybe_categ = [c for c in numeric_cols if probe[c] <= approx_thresh]
+    bin_cols = [c for c in numeric_cols if c not in maybe_categ]
+
+    # job 2: quantile sketches for every binned column in one pass
+    edges_by_col: dict[str, list[float]] = {}
+    if bin_cols:
+        qs = [i / n_bins for i in range(n_bins + 1)]
+        sketches = df.stat.approxQuantile(bin_cols, qs, 0.0001)
+        edges_by_col = dict(zip(bin_cols, sketches))
+
+    # job 3: exact level frequencies for all categorical candidates at once
+    freq_cols = string_cols + maybe_categ
+    level_counts: dict[str, list[tuple[str | None, int]]] = {c: [] for c in freq_cols}
+    if freq_cols:
+        melted = df.select(
+            F.posexplode(
+                F.array(*[F.col(c).cast("string") for c in freq_cols])
+            ).alias("__ci__", "__lvl__")
+        )
+        for row in (
+            melted.groupBy("__ci__", "__lvl__").count().collect()
+        ):
+            level_counts[freq_cols[row["__ci__"]]].append(
+                (row["__lvl__"], row["count"])
+            )
+
+    out_cols: list[Column] = []
     for c, t in df.dtypes:
         base = t.split("(")[0]
         if base == "boolean":
             out_cols.append(F.col(c).cast("int").alias(c))
             continue
-        if base in numeric_types:
-            uniques = df.select(c).distinct().limit(n_bins + 4).count()
-            if uniques > n_bins + 3:
+        if c in edges_by_col or (
+            c in maybe_categ and len(level_counts[c]) > n_bins + 3
+        ):
+            # numeric, enough uniques → quantile bins. A maybe_categ column
+            # that turned out high-cardinality gets its edges from a tiny
+            # extra sketch (rare: only when the approx sketch undercounted)
+            edges = edges_by_col.get(c)
+            if edges is None:
                 qs = [i / n_bins for i in range(n_bins + 1)]
                 edges = df.stat.approxQuantile(c, qs, 0.0001)
-                # dedupe edges (qcut duplicates="drop")
-                uniq_edges = sorted(set(edges))
-                for lo, hi in zip(uniq_edges[:-1], uniq_edges[1:]):
-                    nm = f"{c}__{_fmt(lo)}_{_fmt(hi)}"
-                    first = lo == uniq_edges[0]
-                    cond = (
-                        (F.col(c) >= lo) if first else (F.col(c) > lo)
-                    ) & (F.col(c) <= hi)
-                    out_cols.append(cond.cast("int").alias(nm))
-                continue
-            # low-cardinality numeric → categorical
-        # categorical (string or low-card numeric): trim infrequent levels
-        freqs = (
-            df.groupBy(F.col(c).cast("string").alias("lvl")).count().collect()
-        )
+            uniq_edges = sorted(set(edges))  # qcut duplicates="drop"
+            for lo, hi in zip(uniq_edges[:-1], uniq_edges[1:]):
+                nm = f"{c}__{_fmt(lo)}_{_fmt(hi)}"
+                first = lo == uniq_edges[0]
+                cond = (
+                    (F.col(c) >= lo) if first else (F.col(c) > lo)
+                ) & (F.col(c) <= hi)
+                out_cols.append(cond.cast("int").alias(nm))
+            continue
+        # categorical (string or low-cardinality numeric): trim infrequent
         levels, infreq = [], False
-        for row in freqs:
-            if row["count"] / total < thresh_infreq:
+        for lvl, cnt in level_counts[c]:
+            if cnt / total < thresh_infreq:
                 infreq = True
             else:
-                levels.append(row["lvl"])
+                levels.append(lvl)
         for lvl in sorted(x for x in levels if x is not None):
             safe = re.sub(r"\s+", " ", str(lvl))
             out_cols.append(
@@ -83,9 +144,54 @@ def binarize(
                     f"{c}__{name_infreq}"
                 )
             )
-    if not one_hot:
-        raise NotImplementedError("one_hot=False (ordinal) not supported")
     return df.select(*out_cols)
+
+
+def _edges_below(value: Column, edges: list[float]) -> Column:
+    """Range-bucket id = number of edges strictly below ``value`` (equal
+    values always share a bucket). Small literal-array fold — pure
+    projection."""
+    arr = F.array(*[F.lit(float(e)) for e in edges])
+    return F.aggregate(
+        arr, F.lit(0), lambda acc, e: acc + F.when(e < value, 1).otherwise(0)
+    )
+
+
+def _with_avg_rank(df: DataFrame, col: str, out: str, n_buckets: int = 32) -> DataFrame:
+    """Append pandas-style average rank of ``col`` without any global sort:
+    value-frequency aggregate → bucket by quantile edges → per-bucket
+    cumulative window (PARTITIONED, so no single-reducer funnel) + a
+    driver-side bucket-offset map → hash join back on the value."""
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    edges = sorted(set(df.stat.approxQuantile(col, qs, 0.001)))
+    freq = df.groupBy(col).agg(F.count(F.lit(1)).alias("__cnt__"))
+    freq = freq.withColumn("__bkt__", _edges_below(F.col(f"`{col}`"), edges))
+    bucket_tot = {
+        r["__bkt__"]: r["s"]
+        for r in freq.groupBy("__bkt__").agg(F.sum("__cnt__").alias("s")).collect()
+    }
+    running, offsets = 0, {}
+    for b in sorted(bucket_tot):
+        offsets[b] = running
+        running += bucket_tot[b]
+    off = F.lit(0)
+    for b, o in offsets.items():
+        off = F.when(F.col("__bkt__") == b, F.lit(o)).otherwise(off)
+    w = (
+        Window.partitionBy("__bkt__")
+        .orderBy(col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ranks = freq.select(
+        F.col(f"`{col}`"),
+        (
+            off
+            + F.sum("__cnt__").over(w)
+            - F.col("__cnt__")
+            + (F.col("__cnt__") + 1) / 2.0
+        ).cast("double").alias(out),
+    )
+    return df.join(ranks, on=col, how="left")
 
 
 def correlate(
@@ -98,11 +204,9 @@ def correlate(
     if method == "spearman":
         ranked = df
         for c in [*cols, target]:
-            ranked = ranked.withColumn(
-                c + "__rk", F.avg(F.row_number().over(Window.orderBy(c)).cast("double")).over(Window.partitionBy(c))
-            )
+            ranked = _with_avg_rank(ranked, c, c + "__rk")
         df = ranked.select(
-            *[F.col(c + "__rk").alias(c) for c in [*cols, target]]
+            *[F.col(f"`{c}__rk`").alias(c) for c in [*cols, target]]
         )
     elif method != "pearson":
         raise ValueError("method must be 'pearson' or 'spearman'")

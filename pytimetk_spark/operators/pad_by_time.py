@@ -44,6 +44,7 @@ def pad_by_time(
     fillna: float | None = None,
     per_group_bounds: bool = False,
     sort: bool = False,
+    fill_group_constants: bool = True,
 ) -> DataFrame:
     """Insert missing timestamps at ``freq`` so every (group,) series is
     regular.
@@ -53,7 +54,11 @@ def pad_by_time(
     * ``per_group_bounds=True``: each group padded only over its own span
       (cheaper at scale; reference pandas kernel behavior when bounds are
       omitted and groups don't overlap).
-    * value columns in inserted rows are NULL, or ``fillna``.
+    * value columns in inserted rows are NULL, or ``fillna``; columns
+      CONSTANT within their group are filled with the group constant
+      (reference pad.py:431-438) unless ``fill_group_constants=False``
+      (gap_fill_tier disables it: a gap bucket's stats must stay
+      NULL/zero, not inherit a coincidentally-constant neighbor).
     """
     group_cols = list(group_cols or [])
     f = parse_freq(freq)
@@ -61,14 +66,44 @@ def pad_by_time(
 
     value_cols = [c for c in df.columns if c != date_column and c not in group_cols]
 
+    # group-constant forward-fill (reference pad.py:431-438): when fillna
+    # is None, a column whose value is constant WITHIN a group
+    # (nunique(dropna=False) == 1 on the pre-pad group) is filled into the
+    # inserted rows. One aggregate computes the constancy flag + the
+    # constant per group; it doubles as the distinct-groups source so the
+    # default-bounds path costs no extra shuffle. (The reference's
+    # UNgrouped variant checks constancy on the already-padded frame —
+    # inserted NaNs always break it, a provable no-op — so grouped only.)
+    need_const_fill = (
+        fill_group_constants
+        and fillna is None
+        and bool(group_cols)
+        and bool(value_cols)
+    )
+    group_stats = None
+    if group_cols:
+        stat_aggs = []
+        if need_const_fill:
+            for c in value_cols:
+                stat_aggs += [
+                    F.countDistinct(F.col(c)).alias(f"__nd_{c}__"),
+                    F.max(F.col(c).isNull().cast("int")).alias(f"__hn_{c}__"),
+                    F.first(c, ignorenulls=True).alias(f"__cv_{c}__"),
+                ]
+        group_stats = df.groupBy(*group_cols).agg(
+            F.min(ts).alias("__glo__"), F.max(ts).alias("__ghi__"), *stat_aggs
+        )
+
     if per_group_bounds and group_cols:
-        bounds = df.groupBy(*group_cols).agg(
-            F.min(ts).alias("__lo__"), F.max(ts).alias("__hi__")
+        bounds = group_stats.select(
+            *group_cols,
+            F.col("__glo__").alias("__lo__"),
+            F.col("__ghi__").alias("__hi__"),
         )
     else:
         gmin, gmax = F.min(ts).alias("__lo__"), F.max(ts).alias("__hi__")
         if group_cols:
-            distinct_groups = df.select(*group_cols).distinct()
+            distinct_groups = group_stats.select(*group_cols)
             glob = df.agg(gmin, gmax)
             bounds = distinct_groups.crossJoin(F.broadcast(glob))
         else:
@@ -97,6 +132,20 @@ def pad_by_time(
     out = calendar.join(df, on=[*group_cols, date_column], how="left")
     if fillna is not None:
         out = out.fillna(fillna, subset=value_cols)
+    elif need_const_fill:
+        consts = group_stats.select(
+            *group_cols,
+            *[
+                F.when(
+                    (F.col(f"__nd_{c}__") + F.col(f"__hn_{c}__")) == 1,
+                    F.col(f"__cv_{c}__"),
+                ).alias(f"__cv_{c}__")
+                for c in value_cols
+            ],
+        )
+        out = out.join(consts, on=group_cols, how="left")
+        for c in value_cols:
+            out = out.withColumn(c, F.coalesce(F.col(c), F.col(f"__cv_{c}__")))
     out = out.select(*group_cols, date_column, *value_cols)
     # a global orderBy is a full range-shuffle + sort — only pay it when the
     # caller explicitly wants ordered output (Spark frames are unordered;

@@ -143,6 +143,7 @@ def gap_fill_tier(tier_df: DataFrame, freq: str, fill_zero: bool = False) -> Dat
         freq=freq,
         group_cols=["url"],
         per_group_bounds=True,
+        fill_group_constants=False,
     )
     filled = filled.fillna(0, subset=["cnt"])
     if fill_zero:

@@ -114,3 +114,59 @@ def test_binarize_and_correlate(spark):
     assert (corr["correlation"].abs().diff().dropna() <= 1e-12).all() or (
         corr["correlation"].abs().is_monotonic_decreasing
     )
+
+
+def test_spearman_matches_pandas_and_avoids_global_sort(spark):
+    """Distributed average-rank spearman must equal pandas
+    df.corr(method='spearman') including ties, and the plan must contain
+    no partition-less Window sort."""
+    rng = np.random.RandomState(5)
+    n = 500
+    pdf = pd.DataFrame(
+        {
+            "x": rng.randn(n).round(1),          # plenty of ties
+            "y": rng.randn(n),
+            "t": rng.randint(0, 3, n).astype(float),
+        }
+    )
+    pdf["y"] = pdf["y"] + 0.5 * pdf["x"]
+    sdf = spark.createDataFrame(pdf)
+    got = correlate(sdf, target="t", method="spearman")
+    expected = pdf.corr(method="spearman")["t"]
+    for _, row in got.iterrows():
+        np.testing.assert_allclose(
+            row["correlation"], expected[row["feature"]], rtol=1e-9
+        )
+
+    # plan check: every Window sort is partitioned
+    from pytimetk_spark.operators.binarize import _with_avg_rank
+
+    ranked = _with_avg_rank(sdf, "x", "x__rk")
+    plan = ranked._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Window" in line and "partitionBy" not in line:
+            assert "windowspecdefinition(__bkt__" in plan or "__bkt__" in line
+    # pandas parity of the rank column itself
+    rk = ranked.toPandas().sort_values("x").reset_index(drop=True)
+    exp_rk = pdf.sort_values("x").reset_index(drop=True)["x"].rank(method="average")
+    np.testing.assert_allclose(rk["x__rk"].to_numpy(), exp_rk.to_numpy())
+
+
+def test_binarize_job_count(spark):
+    """binarize must issue a bounded number of jobs (3-4) regardless of
+    column count — round 1 issued 2 per column."""
+    rng = np.random.RandomState(1)
+    n = 300
+    data = {f"num{i}": rng.randn(n) for i in range(8)}
+    data.update({f"cat{i}": rng.choice(list("abcde"), n) for i in range(8)})
+    sdf = spark.createDataFrame(pd.DataFrame(data))
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    sc.setJobGroup("binarize-count", "binarize job count probe")
+    binarize(sdf, n_bins=4)  # plan construction runs the probe jobs
+    jobs = len(tracker.getJobIdsForGroup("binarize-count") or [])
+    sc.setJobGroup(None, None)
+    # 3 logical queries; AQE may split each into ~2 jobs. Round 1 issued
+    # 2 jobs PER COLUMN (32 here), so <=8 proves the single-pass design.
+    assert jobs <= 8, f"binarize issued {jobs} jobs for 16 columns"

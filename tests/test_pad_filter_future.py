@@ -133,3 +133,40 @@ def test_future_frame_monthly(spark):
         spark.createDataFrame(pdf), "date", length_out=2, freq="MS"
     ).toPandas()
     assert sorted(out["date"]) == list(pd.to_datetime(["2022-05-01", "2022-06-01"]))
+
+
+def test_pad_by_time_group_constant_ffill(spark):
+    """Reference pad.py:431-438: columns constant WITHIN a group (by
+    nunique(dropna=False)==1) are filled into inserted rows; varying
+    columns stay NULL; fill_group_constants=False disables it."""
+    pdf = pd.DataFrame(
+        {
+            "date": pd.to_datetime(
+                ["2022-01-01", "2022-01-03", "2022-01-02", "2022-01-04"]
+            ),
+            "group": ["A", "A", "B", "B"],
+            "value": [1.0, 3.0, 2.0, 4.0],      # varies per group
+            "label": ["x", "x", "y", "y"],       # constant per group
+        }
+    )
+    sdf = spark.createDataFrame(pdf)
+    out = (
+        pad_by_time(sdf, "date", freq="D", group_cols=["group"])
+        .toPandas()
+        .sort_values(["group", "date"])
+        .reset_index(drop=True)
+    )
+    # global bounds → both groups span 01-01..01-04 (4 rows each)
+    assert len(out) == 8
+    a = out[out["group"] == "A"]
+    assert a["label"].tolist() == ["x"] * 4          # constant filled
+    assert a["value"].isna().sum() == 2              # varying stays NULL
+
+    off = (
+        pad_by_time(
+            sdf, "date", freq="D", group_cols=["group"],
+            fill_group_constants=False,
+        )
+        .toPandas()
+    )
+    assert off[off["group"] == "A"]["label"].isna().sum() == 2
