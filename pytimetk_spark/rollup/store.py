@@ -16,6 +16,7 @@ matches — a killed job resumes from the next unprocessed partition.
 
 from __future__ import annotations
 
+import datetime as _dt
 import json
 import shutil
 import time
@@ -97,14 +98,24 @@ class TierStore:
         return spark.read.parquet(self.tier_path(tier))
 
 
-def _fingerprint(df: DataFrame, day: str) -> tuple[str, int]:
-    """Cheap deterministic lineage fingerprint of one source partition:
-    row count + xor of row hashes (one aggregate, no collect of data)."""
-    row = df.select(F.xxhash64(*df.columns).alias("__h__")).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.expr("bit_xor(__h__)").alias("h"),  # order-independent, no overflow
-    ).first()
-    return f"{day}:{row['n']}:{row['h']}", int(row["n"])
+def _day_fingerprints(source: DataFrame, ts_col: str) -> dict[str, tuple[str, int]]:
+    """ONE scan over the source computes every day's lineage fingerprint
+    (row count + order-independent xor of row hashes). Round-1 version
+    rescanned the source once per day — O(days × table) on an
+    unpartitioned source."""
+    rows = (
+        source.select(
+            F.to_date(ts_col).alias("__d__"),
+            F.xxhash64(*source.columns).alias("__h__"),
+        )
+        .groupBy("__d__")
+        .agg(F.count(F.lit(1)).alias("n"), F.expr("bit_xor(__h__)").alias("h"))
+        .collect()
+    )
+    return {
+        str(r["__d__"]): (f"{r['__d__']}:{r['n']}:{r['h']}", int(r["n"]))
+        for r in rows
+    }
 
 
 def run_rollup(
@@ -117,59 +128,82 @@ def run_rollup(
     tiers: tuple[str, ...] = ("1h", "1d", "7d"),
     salt_partials: int | None = None,
     resume: bool = True,
+    batch_days: int | None = None,
 ) -> list[PartitionManifest]:
-    """Process the source day-by-day (the raw table's partition grain):
-    1h from raw per day; then rebuild 1d/7d FROM the 1h tier (cheap —
-    tier cardinality, and exact because stats re-aggregate).
+    """Roll the source into the fine tier, then rebuild coarser tiers FROM
+    the tier below (cheap — tier cardinality, and exact because stats
+    re-aggregate).
 
-    Returns the manifests written this run (empty entries skipped via
-    resume are not re-listed).
+    Scan discipline (round-2 rework): exactly TWO passes over the source
+    regardless of day count — one grouped aggregate for all per-day
+    fingerprints, one aggregation job covering every pending day (the
+    day filter is a partition-pruning predicate when the raw table is
+    laid out by ``days(warc_ts)``, the assumed Iceberg partitioning).
+    ``batch_days`` restores finer checkpoint granularity: pending days are
+    processed in chunks of that size (one job per chunk), trading extra
+    scans for smaller redo units after a mid-batch failure. Per-day
+    manifests are still written either way — a killed run resumes from
+    whichever days lack a matching fingerprint.
+
+    Returns the manifests written this run (entries skipped via resume are
+    not re-listed).
     """
     if value_col is None:
         value_col = F.length("text")
 
-    days = [
-        r["d"]
-        for r in source.select(F.to_date(ts_col).alias("d")).distinct().orderBy("d").collect()
-    ]
     written: list[PartitionManifest] = []
     fine = tiers[0]
-    for day in days:
-        day_str = str(day)
-        if resume:
-            existing = store.read_manifest(fine, day_str)
-        else:
-            existing = None
-        day_df = source.filter(F.to_date(ts_col) == F.lit(day)).cache()
-        fingerprint, n_rows = _fingerprint(day_df, day_str)
-        if existing and existing.input_fingerprint == fingerprint:
-            day_df.unpersist()
+    day_info = _day_fingerprints(source, ts_col)
+    pending = []
+    for day in sorted(day_info):
+        existing = store.read_manifest(fine, day) if resume else None
+        if existing and existing.input_fingerprint == day_info[day][0]:
             continue  # already rolled up, inputs unchanged → resume skips
+        pending.append(day)
+
+    chunk = batch_days if batch_days else max(len(pending), 1)
+    for i in range(0, len(pending), chunk):
+        batch = pending[i : i + chunk]
+        batch_dates = [_dt.date.fromisoformat(d) for d in batch]
         t0 = time.time()
+        batch_df = source.filter(F.to_date(ts_col).isin(batch_dates))
         tier_df = rollup_raw_to_tier(
-            day_df, url_col, ts_col, value_col, TIER_FREQS[fine], salt_partials
+            batch_df, url_col, ts_col, value_col, TIER_FREQS[fine], salt_partials
         ).withColumn("bucket_date", F.to_date("bucket_ts"))
         tier_df.write.mode("overwrite").partitionBy("bucket_date").option(
             "partitionOverwriteMode", "dynamic"
         ).parquet(store.tier_path(fine))
-        out_rows = spark.read.parquet(store.tier_path(fine)).filter(
-            F.to_date("bucket_ts") == F.lit(day)
-        ).count()
         elapsed = time.time() - t0
-        m = PartitionManifest(
-            snapshot_id=uuid.uuid4().hex,
-            tier=fine,
-            partition=day_str,
-            input_fingerprint=fingerprint,
-            input_rows=n_rows,
-            output_rows=out_rows,
-            elapsed_sec=elapsed,
-            points_per_sec=(out_rows / elapsed) if elapsed > 0 else 0.0,
-            written_at=time.time(),
-        )
-        store.write_manifest(m)
-        written.append(m)
-        day_df.unpersist()
+        # per-day output rows from the written files (partition-pruned,
+        # parquet count pushdown — metadata-cheap)
+        out_counts = {
+            str(r["bucket_date"]): r["cnt"]
+            for r in spark.read.parquet(store.tier_path(fine))
+            .filter(F.col("bucket_date").isin(batch_dates))
+            .groupBy("bucket_date")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
+        total_out = sum(out_counts.values()) or 1
+        now = time.time()
+        for day in batch:
+            out_rows = out_counts.get(day, 0)
+            # amortized share of the batch job's wall-clock
+            day_elapsed = elapsed * (out_rows / total_out)
+            fingerprint, n_rows = day_info[day]
+            m = PartitionManifest(
+                snapshot_id=uuid.uuid4().hex,
+                tier=fine,
+                partition=day,
+                input_fingerprint=fingerprint,
+                input_rows=n_rows,
+                output_rows=out_rows,
+                elapsed_sec=day_elapsed,
+                points_per_sec=(out_rows / day_elapsed) if day_elapsed > 0 else 0.0,
+                written_at=now,
+            )
+            store.write_manifest(m)
+            written.append(m)
 
     # coarser tiers: rebuild from the tier below (full rewrite — tier
     # cardinality is tiny relative to raw; incremental per-partition
