@@ -65,6 +65,7 @@ from pytimetk_spark.operators.signatures import (
     augment_fourier,
     augment_holiday_signature,
     augment_timeseries_signature,
+    get_holiday_signature,
     get_timeseries_signature,
     holiday_dim,
     is_holiday,
@@ -95,7 +96,10 @@ from pytimetk_spark.operators.finance import (
     augment_rsi,
     augment_stochastic_oscillator,
 )
-from pytimetk_spark.operators.crossvalidation import TimeSeriesCV
+from pytimetk_spark.operators.crossvalidation import (
+    TimeSeriesCV,
+    TimeSeriesCVSplitter,
+)
 from pytimetk_spark.operators.diagnostics import (
     acf_diagnostics,
     seasonal_diagnostics,

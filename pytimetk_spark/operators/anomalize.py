@@ -281,7 +281,7 @@ def anomalize(
         grouped = df.withColumn("__gg__", F.lit(1)).groupBy("__gg__")
     result = grouped.applyInPandas(fn, schema=schema)
     if bind_data:
-        passengers = [c for c in df.columns if c not in (*group_cols, date_column)]
+        # passenger columns ride along: original df columns + the
+        # decomposition columns, joined on (group, date)
         result = df.join(result, on=[*group_cols, date_column], how="inner")
-        _ = passengers
     return result

@@ -29,11 +29,14 @@ def apply_by_time(
     freq: str = "D",
     group_cols: Sequence[str] | None = None,
     fillna: float | None = 0,
+    wide_format: bool = False,
     **named_funcs: Callable[[pd.DataFrame], float],
 ) -> DataFrame:
     """Per (group, bucket): ``out[name] = func(sub_frame)`` for each named
     function. Output: group cols + date (bucket label) + one double column
-    per function."""
+    per function. ``wide_format=True`` (reference apply_by_time.py:56-70,
+    :346-348 unstack) pivots grouped output to one row per bucket with
+    columns ``{func}_{groupval}``."""
     if not named_funcs:
         raise ValueError("apply_by_time requires at least one named function")
     group_cols = list(group_cols or [])
@@ -67,9 +70,36 @@ def apply_by_time(
         if f.label_end
         else F.col("__bucket_start__")
     )
-    return (
+    result = (
         result.withColumn(date_column, label)
         .drop("__bucket_start__")
         .select(*group_cols, date_column, *names)
-        .orderBy(*group_cols, date_column)
     )
+    if wide_format and group_cols:
+        pivot_col = (
+            F.col(group_cols[0])
+            if len(group_cols) == 1
+            else F.concat_ws("_", *group_cols)
+        )
+        work2 = result.withColumn("__pivot__", pivot_col)
+        pivot_vals = sorted(
+            r["__pivot__"]
+            for r in work2.select("__pivot__").distinct().collect()
+            if r["__pivot__"] is not None
+        )
+        pivoted = work2.groupBy(date_column).pivot("__pivot__", pivot_vals).agg(
+            *[F.first(n).alias(f"__v{i}__") for i, n in enumerate(names)]
+        )
+        # positional rename (explicit pivot values → known column order)
+        new_names = [f"{n}_{v}" for v in pivot_vals for n in names]
+        result = pivoted.select(
+            date_column,
+            *[
+                F.col(f"`{c}`").alias(nm)
+                for c, nm in zip(pivoted.columns[1:], new_names)
+            ],
+        )
+        if fillna is not None:
+            result = result.fillna(fillna, subset=new_names)
+        return result.orderBy(date_column)
+    return result.orderBy(*group_cols, date_column)

@@ -172,23 +172,134 @@ def _us_federal_holidays(year: int) -> list[tuple[_dt.date, str]]:
     ]
 
 
-def holiday_dim(spark, years: Sequence[int], country: str = "US") -> DataFrame:
-    if country != "US":
-        try:
-            import holidays as _hol  # optional dependency
+def _easter(year: int) -> _dt.date:
+    """Gregorian Easter Sunday — Anonymous Gregorian (Meeus/Jones/Butcher)
+    computus, public algorithm."""
+    a = year % 19
+    b, c = divmod(year, 100)
+    d, e = divmod(b, 4)
+    g = (8 * b + 13) // 25
+    h = (19 * a + b - d - g + 15) % 30
+    i, k = divmod(c, 4)
+    l = (32 + 2 * e + 2 * i - h - k) % 7
+    m = (a + 11 * h + 22 * l) // 451
+    month, day = divmod(h + l - 7 * m + 114, 31)
+    return _dt.date(year, month, day + 1)
 
-            rows = [
-                (d, n)
-                for y in years
-                for d, n in sorted(_hol.country_holidays(country, years=y).items())
-            ]
-        except ImportError as exc:
-            raise NotImplementedError(
-                "only the built-in US calendar is available without the "
-                "`holidays` package"
-            ) from exc
+
+def _nth_weekday(year, month, weekday, n):
+    d = _dt.date(year, month, 1)
+    offset = (weekday - d.weekday()) % 7
+    return d + _dt.timedelta(days=offset + 7 * (n - 1))
+
+
+def _last_weekday(year, month, weekday):
+    if month == 12:
+        d = _dt.date(year, 12, 31)
     else:
-        rows = [(d, n) for y in years for d, n in _us_federal_holidays(y)]
+        d = _dt.date(year, month + 1, 1) - _dt.timedelta(days=1)
+    return d - _dt.timedelta(days=(d.weekday() - weekday) % 7)
+
+
+def _de_holidays(year):
+    e = _easter(year)
+    td = _dt.timedelta
+    return [
+        (_dt.date(year, 1, 1), "Neujahr"),
+        (e - td(days=2), "Karfreitag"),
+        (e + td(days=1), "Ostermontag"),
+        (_dt.date(year, 5, 1), "Erster Mai"),
+        (e + td(days=39), "Christi Himmelfahrt"),
+        (e + td(days=50), "Pfingstmontag"),
+        (_dt.date(year, 10, 3), "Tag der Deutschen Einheit"),
+        (_dt.date(year, 12, 25), "Erster Weihnachtstag"),
+        (_dt.date(year, 12, 26), "Zweiter Weihnachtstag"),
+    ]
+
+
+def _uk_holidays(year):
+    e = _easter(year)
+    td = _dt.timedelta
+    return [
+        (_dt.date(year, 1, 1), "New Year's Day"),
+        (e - td(days=2), "Good Friday"),
+        (e + td(days=1), "Easter Monday"),
+        (_nth_weekday(year, 5, 0, 1), "May Day"),
+        (_last_weekday(year, 5, 0), "Spring Bank Holiday"),
+        (_last_weekday(year, 8, 0), "Summer Bank Holiday"),
+        (_dt.date(year, 12, 25), "Christmas Day"),
+        (_dt.date(year, 12, 26), "Boxing Day"),
+    ]
+
+
+def _fr_holidays(year):
+    e = _easter(year)
+    td = _dt.timedelta
+    return [
+        (_dt.date(year, 1, 1), "Jour de l'an"),
+        (e + td(days=1), "Lundi de Pâques"),
+        (_dt.date(year, 5, 1), "Fête du Travail"),
+        (_dt.date(year, 5, 8), "Victoire 1945"),
+        (e + td(days=39), "Ascension"),
+        (e + td(days=50), "Lundi de Pentecôte"),
+        (_dt.date(year, 7, 14), "Fête nationale"),
+        (_dt.date(year, 8, 15), "Assomption"),
+        (_dt.date(year, 11, 1), "Toussaint"),
+        (_dt.date(year, 11, 11), "Armistice 1918"),
+        (_dt.date(year, 12, 25), "Noël"),
+    ]
+
+
+def _ca_holidays(year):
+    e = _easter(year)
+    td = _dt.timedelta
+    # Victoria Day: the Monday preceding May 25
+    vd = _dt.date(year, 5, 24)
+    vd -= td(days=(vd.weekday() - 0) % 7)
+    return [
+        (_dt.date(year, 1, 1), "New Year's Day"),
+        (e - td(days=2), "Good Friday"),
+        (vd, "Victoria Day"),
+        (_dt.date(year, 7, 1), "Canada Day"),
+        (_nth_weekday(year, 9, 0, 1), "Labour Day"),
+        (_nth_weekday(year, 10, 0, 2), "Thanksgiving"),
+        (_dt.date(year, 12, 25), "Christmas Day"),
+        (_dt.date(year, 12, 26), "Boxing Day"),
+    ]
+
+
+_BUILTIN_CALENDARS = {
+    "US": _us_federal_holidays,
+    "DE": _de_holidays,
+    "UK": _uk_holidays,
+    "GB": _uk_holidays,
+    "FR": _fr_holidays,
+    "CA": _ca_holidays,
+}
+
+
+def holiday_dim(spark, years: Sequence[int], country: str = "US") -> DataFrame:
+    """Holiday dimension (date, name). Built-in algorithmic calendars for
+    US/DE/UK/FR/CA (fixed dates + Easter computus + nth-weekday rules;
+    weekend-observance shifts are NOT applied — the `holidays` package is
+    used instead when installed); other countries require `holidays`."""
+    cc = country.upper()
+    try:
+        import holidays as _hol  # optional dependency — richer calendars
+
+        rows = [
+            (d, n)
+            for y in years
+            for d, n in sorted(_hol.country_holidays(cc, years=y).items())
+        ]
+    except ImportError:
+        builder = _BUILTIN_CALENDARS.get(cc)
+        if builder is None:
+            raise NotImplementedError(
+                f"country {country!r} needs the `holidays` package; built-in "
+                f"algorithmic calendars: {sorted(set(_BUILTIN_CALENDARS))}"
+            ) from None
+        rows = [(d, n) for y in years for d, n in builder(y)]
     return spark.createDataFrame(rows, "holiday_date date, holiday_name string")
 
 
@@ -202,6 +313,30 @@ def is_holiday(
     return out.select(*keep).withColumn(
         "is_holiday", F.col("is_holiday").cast("boolean")
     )
+
+
+def get_holiday_signature(
+    spark,
+    start_date,
+    end_date,
+    country: str = "US",
+    freq: str = "D",
+) -> DataFrame:
+    """Standalone calendar frame (reference holiday_signature.py:273-303
+    ``get_holiday_signature``): one row per date in [start, end] with
+    ``is_holiday, before_holiday, after_holiday, holiday_name`` — built by
+    generating the date sequence and running the same broadcast-join
+    signature as the augment variant."""
+    cal = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.to_timestamp(F.lit(str(start_date))),
+                F.to_timestamp(F.lit(str(end_date))),
+                F.expr(f"interval 1 {'day' if freq.upper() == 'D' else 'hour'}"),
+            )
+        ).alias("date")
+    )
+    return augment_holiday_signature(cal, "date", country)
 
 
 def augment_holiday_signature(

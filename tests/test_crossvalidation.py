@@ -58,3 +58,66 @@ def test_invalid_params():
         TimeSeriesCV(frequency="fortnights")
     with pytest.raises(ValueError):
         TimeSeriesCV(window="sliding")
+
+
+def test_cv_splitter_indices_and_modes(spark):
+    """TimeSeriesCVSplitter yields positional index arrays consistent with
+    TimeSeriesCV's range predicates; forward mode walks from the start."""
+    import numpy as np
+    from pytimetk_spark import TimeSeriesCVSplitter
+
+    ts = pd.Series(pd.date_range("2023-01-01", "2023-01-31", freq="D"))
+    cv = TimeSeriesCVSplitter(
+        time_series=ts, frequency="days", train_size=14,
+        forecast_horizon=7, gap=0, stride=7, window="rolling",
+    )
+    splits = list(cv.split())
+    assert cv.get_n_splits() == len(splits) > 0
+    for tr, te in splits:
+        # contiguous, ordered, non-overlapping, train strictly before test
+        assert len(tr) == 14 and len(te) == 7
+        assert tr.max() < te.min()
+        assert np.array_equal(te, np.arange(te.min(), te.max() + 1))
+    # size validation
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        cv.get_n_splits(X=np.zeros(5))
+
+    fwd = TimeSeriesCVSplitter(
+        time_series=ts, frequency="days", train_size=10,
+        forecast_horizon=5, stride=5, window="expanding", mode="forward",
+        split_limit=2,
+    )
+    fsplits = list(fwd.split())
+    assert len(fsplits) == 2
+    # expanding: first train is the smallest, trains grow
+    assert len(fsplits[0][0]) < len(fsplits[1][0])
+    assert fsplits[0][0].min() == 0 and fsplits[1][0].min() == 0
+
+
+def test_apply_by_time_wide_format(spark):
+    from pytimetk_spark import apply_by_time
+
+    pdf = pd.DataFrame(
+        {
+            "date": pd.to_datetime(
+                ["2020-01-01", "2020-01-02", "2020-01-01", "2020-01-05"]
+            ),
+            "g": ["a", "a", "b", "b"],
+            "v": [1.0, 2.0, 3.0, 4.0],
+        }
+    )
+    sdf = spark.createDataFrame(pdf)
+    out = (
+        apply_by_time(
+            sdf, "date", freq="D", group_cols=["g"], wide_format=True,
+            vsum=lambda d: d["v"].sum(),
+        )
+        .toPandas()
+        .sort_values("date")
+        .reset_index(drop=True)
+    )
+    assert list(out.columns) == ["date", "vsum_a", "vsum_b"]
+    assert out.loc[0, "vsum_a"] == 1.0 and out.loc[0, "vsum_b"] == 3.0
+    # fillna=0 default fills pivot gaps
+    assert out.loc[1, "vsum_b"] == 0.0

@@ -146,3 +146,37 @@ def test_parse_human_duration_bare_seconds():
     assert parse_human_duration("3s").seconds == 3
     assert parse_human_duration("90 s").seconds == 90
     assert parse_human_duration("2 seconds").seconds == 2
+
+
+def test_builtin_non_us_calendars_and_get_holiday_signature(spark):
+    """Algorithmic DE/UK/FR/CA calendars (Easter computus) + the
+    standalone get_holiday_signature calendar frame."""
+    from pytimetk_spark.operators.signatures import _easter, holiday_dim
+    from pytimetk_spark import get_holiday_signature
+    import datetime as dt
+
+    # known Easter dates (public record)
+    assert _easter(2024) == dt.date(2024, 3, 31)
+    assert _easter(2025) == dt.date(2025, 4, 20)
+    assert _easter(2000) == dt.date(2000, 4, 23)
+
+    de = {r["holiday_name"]: r["holiday_date"]
+          for r in holiday_dim(spark, [2024], "DE").collect()}
+    assert de["Karfreitag"] == dt.date(2024, 3, 29)
+    assert de["Pfingstmontag"] == dt.date(2024, 5, 20)
+    uk = {r["holiday_name"]: r["holiday_date"]
+          for r in holiday_dim(spark, [2024], "UK").collect()}
+    assert uk["Spring Bank Holiday"] == dt.date(2024, 5, 27)
+    ca = {r["holiday_name"]: r["holiday_date"]
+          for r in holiday_dim(spark, [2024], "CA").collect()}
+    assert ca["Victoria Day"] == dt.date(2024, 5, 20)
+
+    sig = get_holiday_signature(spark, "2024-12-20", "2024-12-31", "FR").toPandas()
+    sig["d"] = pd.to_datetime(sig["date"]).dt.date
+    xmas = sig[sig["d"] == dt.date(2024, 12, 25)].iloc[0]
+    assert xmas["is_holiday"] == 1 and xmas["holiday_name"] == "Noël"
+    eve = sig[sig["d"] == dt.date(2024, 12, 24)].iloc[0]
+    assert eve["before_holiday"] == 1 and eve["is_holiday"] == 0
+
+    with pytest.raises(NotImplementedError):
+        holiday_dim(spark, [2024], "JP")
