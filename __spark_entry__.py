@@ -341,6 +341,53 @@ def q_byte_features(spark, sf_dir):
     return out.withColumn("hist_frac", F.round("hist_frac", 6))
 
 
+def q_document_fingerprint(spark, sf_dir):
+    """Winnowing fingerprint with the md5 hash variant (cross-engine
+    reproducible); minima exploded to (rank, minhash) rows for canon."""
+    from pytimetk_spark.webtext.textstats import document_fingerprint
+
+    docs = _prep(spark).read.parquet(f"{sf_dir}/documents.parquet")
+    fp = document_fingerprint(docs, hash_variant="md5")
+    return fp.select(
+        "doc_id",
+        "fingerprint64",
+        F.posexplode("fingerprint_minhashes").alias("rank", "minhash"),
+    )
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    """Hyperplane-LSH near-dup pairs: the seeded hyperplanes are inlined
+    into the oracle, so buckets, candidate pairs, and the cosine verify
+    all replicate bit-for-bit in DuckDB. The testdata embeddings have no
+    natural near-dups (max off-diagonal cosine ≈ 0.51), so the query
+    plants exact duplicates of vec_id < 10 at id+100000 — the expected
+    pair set is non-empty and known."""
+    from pytimetk_spark.webtext.dedup import embedding_near_dup_pairs
+
+    emb = _prep(spark).read.parquet(f"{sf_dir}/embeddings.parquet")
+    planted = emb.filter(F.col("vec_id") < 10).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(100000)
+    )
+    corpus = emb.unionByName(planted)
+    out = embedding_near_dup_pairs(corpus, threshold=0.95, n_planes=12, seed=42)
+    return _r6(out, "cosine")
+
+
+def q_lsh_ann(spark, sf_dir):
+    """Multiprobe sign-bucket ANN, fully replicated in the oracle (same
+    inlined hyperplanes, same 1-bit-flip probes, same rank tie-break)."""
+    from pytimetk_spark.webtext.similarity import lsh_bucket_ann
+
+    emb = _prep(spark).read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = lsh_bucket_ann(
+        emb, queries, k=5, n_planes=10, multiprobe=True, seed=42
+    )
+    return _r6(out, "cosine")
+
+
 def q_regime_detection(spark, sf_dir):
     """HMM internals aren't SQL-expressible, so the oracle pins the
     PLUMBING invariants exactly: row counts, the reference's stride-loop
@@ -441,6 +488,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup": q_minhash_dedup,
         "simhash": q_simhash,
         "byte_stats_features": q_byte_features,
+        "document_fingerprint": q_document_fingerprint,
+        "embedding_near_dup_pairs": q_embedding_near_dup,
+        "lsh_bucket_ann": q_lsh_ann,
         "regime_detection": q_regime_detection,
         "augment_ewm": q_ewm,
         "anomalize": q_anomalize,
@@ -511,6 +561,121 @@ def _minhash_oracle_sql() -> str:
     """
 
 
+_NORM_EMB_CTE = """
+  SELECT vec_id,
+         list_transform(embedding, x -> x::DOUBLE /
+           sqrt(list_reduce(
+             list_transform(embedding, y -> y::DOUBLE * y::DOUBLE),
+             (acc, v) -> acc + v))) AS nv
+  FROM embeddings
+"""
+
+
+def _plane_lit(plane: list[float]) -> str:
+    return "[" + ",".join(repr(x) for x in plane) + "]::DOUBLE[]"
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(list_zip({a}, {b}),"
+        " p -> p[1] * p[2]), (acc, v) -> acc + v)"
+    )
+
+
+def _bucket_sql(vcol: str, planes: list[list[float]]) -> str:
+    """Sign-bit bucket — mirrors similarity._sign_bucket op-for-op."""
+    terms = [
+        f"(CASE WHEN {_dot_sql(vcol, _plane_lit(p))} >= 0"
+        f" THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    ]
+    return "(" + " + ".join(terms) + ")::BIGINT"
+
+
+def _near_dup_oracle_sql() -> str:
+    from pytimetk_spark.webtext.similarity import _hyperplanes
+
+    planes = _hyperplanes(12, 64, 42)
+    dot = _dot_sql("a.nv", "c.nv")
+    return f"""
+        WITH emb2 AS (
+          SELECT vec_id, embedding FROM embeddings
+          UNION ALL
+          SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id < 10),
+        n AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> x::DOUBLE /
+                   sqrt(list_reduce(
+                     list_transform(embedding, y -> y::DOUBLE * y::DOUBLE),
+                     (acc, v) -> acc + v))) AS nv
+          FROM emb2),
+        b AS (SELECT vec_id, nv, {_bucket_sql("nv", planes)} AS bkt FROM n)
+        SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+               round({dot}, 6) AS cosine
+        FROM b a JOIN b c ON a.bkt = c.bkt AND a.vec_id < c.vec_id
+        WHERE {dot} >= 0.95
+    """
+
+
+def _lsh_ann_oracle_sql() -> str:
+    from pytimetk_spark.webtext.similarity import _hyperplanes
+
+    planes = _hyperplanes(10, 64, 42)
+    probe_list = ", ".join(
+        ["qb"] + [f"xor(qb, {1 << i})" for i in range(10)]
+    )
+    return f"""
+        WITH n AS ({_NORM_EMB_CTE}),
+        c AS (SELECT vec_id, nv, {_bucket_sql("nv", planes)} AS bkt FROM n),
+        q0 AS (SELECT vec_id AS query_id, nv AS qv, bkt AS qb
+               FROM c WHERE vec_id < 3),
+        probes AS (SELECT query_id, qv,
+                          unnest([{probe_list}]) AS bkt
+                   FROM q0),
+        s AS (SELECT p.query_id, c.vec_id,
+                     max({_dot_sql("c.nv", "p.qv")}) AS cosine
+              FROM c JOIN probes p ON c.bkt = p.bkt
+              GROUP BY 1, 2),
+        r AS (SELECT *, row_number() OVER
+                (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+              FROM s)
+        SELECT query_id, vec_id, round(cosine, 6) AS cosine, rank
+        FROM r WHERE rank <= 5
+    """
+
+
+def _fingerprint_oracle_sql() -> str:
+    return """
+        WITH toks AS (
+          SELECT doc_id,
+                 string_split(trim(regexp_replace(lower(text), '\\s+', ' ',
+                                                  'g')), ' ') AS tk
+          FROM documents),
+        sh AS (
+          SELECT doc_id,
+                 list_distinct(
+                   CASE WHEN len(tk) - 3 > 0
+                        THEN list_transform(range(len(tk) - 3),
+                               i -> array_to_string(tk[i+1:i+4], ' '))
+                        ELSE [array_to_string(tk, ' ')] END) AS shingles
+          FROM toks),
+        mins AS (
+          SELECT doc_id,
+                 (list_sort(list_transform(shingles,
+                    s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)))[1:8]
+                   AS minima
+          FROM sh),
+        fp AS (
+          SELECT doc_id, minima,
+                 ('0x' || substr(md5(array_to_string(minima, ',')),
+                                 1, 15))::BIGINT AS fingerprint64
+          FROM mins)
+        SELECT doc_id, fingerprint64, i AS rank, minima[i + 1] AS minhash
+        FROM fp CROSS JOIN (SELECT unnest(range(8)) AS i)
+        WHERE i < len(minima)
+    """
+
+
 def _simhash_oracle_sql(bits: int = 60) -> str:
     bit_sums = ",\n                 ".join(
         f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
@@ -540,6 +705,9 @@ def oracle_sql() -> dict[str, str]:
     return {
         "minhash_dedup": _minhash_oracle_sql(),
         "simhash": _simhash_oracle_sql(60),
+        "document_fingerprint": _fingerprint_oracle_sql(),
+        "embedding_near_dup_pairs": _near_dup_oracle_sql(),
+        "lsh_bucket_ann": _lsh_ann_oracle_sql(),
         "regime_detection": """
             SELECT event_type,
                    count(*) AS n_rows,

@@ -135,16 +135,26 @@ def document_fingerprint(
     id_col: str = "doc_id",
     k: int = 8,
     shingle_size: int = 4,
+    hash_variant: str = "xxhash64",
 ) -> DataFrame:
     """Winnowing-style fingerprint: word shingles → rolling hash → the k
     smallest hashes (sorted) as array<bigint> + a single combined 64-bit
-    fingerprint. Deterministic; near-identical docs share most minima."""
-    from pytimetk_spark.webtext.dedup import shingle_tokens
+    fingerprint. Deterministic; near-identical docs share most minima.
+    ``hash_variant="md5"`` makes both levels reproducible outside Spark
+    (driver oracle); the combined hash then digests the comma-joined
+    minima string instead of the raw array."""
+    from pytimetk_spark.webtext.dedup import _h64, shingle_tokens
 
     sh = shingle_tokens(F.col(text_col), shingle_size)
-    hashes = F.transform(sh, lambda s: F.xxhash64(s))
+    hashes = F.transform(sh, lambda s: _h64(s, hash_variant))
     minima = F.slice(F.array_sort(hashes), 1, k)
-    combined = F.xxhash64(minima)
+    if hash_variant == "xxhash64":
+        combined = F.xxhash64(minima)
+    else:
+        combined = _h64(
+            F.array_join(F.transform(minima, lambda x: x.cast("string")), ","),
+            hash_variant,
+        )
     return df.select(
         F.col(id_col),
         minima.alias("fingerprint_minhashes"),
