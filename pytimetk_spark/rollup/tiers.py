@@ -152,50 +152,75 @@ def gap_fill_tier(tier_df: DataFrame, freq: str, fill_zero: bool = False) -> Dat
 
 
 # ---------------------------------------------------------------------------
-# Gorilla block packing (Arrow grouped-map)
-
-def _block_schema(tier_df: DataFrame) -> T.StructType:
-    url_field = next(f for f in tier_df.schema.fields if f.name == "url")
-    return T.StructType(
-        [
-            url_field,
-            T.StructField("n_points", T.IntegerType()),
-            T.StructField("ts_block", T.BinaryType()),
-            T.StructField("stat_blocks", T.MapType(T.StringType(), T.BinaryType())),
-        ]
-    )
+# Gorilla block packing (Arrow mapInPandas, many urls per batch)
 
 
 def encode_tier_blocks(
     tier_df: DataFrame, stats: Sequence[str] = ("cnt", "vsum", "vmin", "vmax")
 ) -> DataFrame:
     """Per url: delta-of-delta the bucket timestamps + Gorilla-XOR each stat
-    stream → one row (url, n_points, ts_block, map<stat, blob>).
+    stream → one row (url, n_points, ts_block, blk_<stat> binaries).
 
-    Runs as ONE Arrow grouped-map pass per url after the tier aggregate —
-    the url's whole (already tiny) bucket series fits a single task."""
+    Round-2 shape: repartition by url + sortWithinPartitions, then ONE
+    mapInPandas pass encoding MANY whole urls per Arrow batch (a group
+    spanning a batch boundary is carried into the next batch). The round-1
+    groupBy().applyInPandas paid one Arrow batch flush per url — ~1.8 ms
+    per group, 64% of the bench query at sf0.1 with 1500 tiny groups."""
     stats = list(stats)
+    url_field = next(f for f in tier_df.schema.fields if f.name == "url")
+    out_names = ["url", "n_points", "ts_block", *[f"blk_{s}" for s in stats]]
+    schema = T.StructType(
+        [
+            url_field,
+            T.StructField("n_points", T.IntegerType()),
+            T.StructField("ts_block", T.BinaryType()),
+            *[T.StructField(f"blk_{s}", T.BinaryType()) for s in stats],
+        ]
+    )
+    nparts = tier_df.sparkSession.sparkContext.defaultParallelism * 2
+    pre = tier_df.select("url", "bucket_ts", *stats).repartition(
+        nparts, "url"
+    ).sortWithinPartitions("url", "bucket_ts")
 
-    def encode(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("bucket_ts")
-        ts = (pdf["bucket_ts"].astype("int64") // 10**9).to_numpy()
-        blocks = {
-            s: encode_gorilla(pdf[s].to_numpy(dtype="float64")) for s in stats
-        }
-        return pd.DataFrame(
-            {
-                "url": [pdf["url"].iloc[0]],
-                "n_points": [len(pdf)],
-                "ts_block": [encode_timestamps(ts)],
-                "stat_blocks": [blocks],
-            }
-        )
+    def encode_groups(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for url, g in pdf.groupby("url", sort=False):
+            ts = (g["bucket_ts"].astype("int64") // 10**9).to_numpy()
+            rows.append(
+                (
+                    url,
+                    len(g),
+                    encode_timestamps(ts),
+                    *[
+                        encode_gorilla(g[s].to_numpy(dtype="float64"))
+                        for s in stats
+                    ],
+                )
+            )
+        return pd.DataFrame(rows, columns=out_names)
 
-    return tier_df.groupBy("url").applyInPandas(encode, schema=_block_schema(tier_df))
+    def encode_iter(batches):
+        carry = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if not len(pdf):
+                continue
+            last = pdf["url"].iloc[-1]
+            mask = pdf["url"] == last
+            carry = pdf[mask]
+            rest = pdf[~mask]
+            if len(rest):
+                yield encode_groups(rest)
+        if carry is not None and len(carry):
+            yield encode_groups(carry)
+
+    return pre.mapInPandas(encode_iter, schema=schema)
 
 
 def decode_tier_blocks(blocks_df: DataFrame, stats: Sequence[str]) -> DataFrame:
-    """Inverse of encode_tier_blocks → long (url, bucket_ts, *stats)."""
+    """Inverse of encode_tier_blocks → long (url, bucket_ts, *stats).
+    Block rows are independent, so this is a shuffle-free mapInPandas."""
     stats = list(stats)
     url_field = next(f for f in blocks_df.schema.fields if f.name == "url")
     schema = T.StructType(
@@ -206,16 +231,19 @@ def decode_tier_blocks(blocks_df: DataFrame, stats: Sequence[str]) -> DataFrame:
         ]
     )
 
-    def decode(pdf: pd.DataFrame) -> pd.DataFrame:
-        frames = []
-        for _, row in pdf.iterrows():
-            ts = decode_timestamps(bytes(row["ts_block"]))
-            data = {"url": row["url"], "bucket_ts": pd.to_datetime(ts, unit="s")}
-            for s in stats:
-                data[s] = decode_gorilla(bytes(row["stat_blocks"][s]))
-            frames.append(pd.DataFrame(data))
-        if not frames:
-            return pd.DataFrame({f.name: [] for f in schema.fields})
-        return pd.concat(frames, ignore_index=True)
+    def decode_iter(batches):
+        for pdf in batches:
+            frames = []
+            for _, row in pdf.iterrows():
+                ts = decode_timestamps(bytes(row["ts_block"]))
+                data = {
+                    "url": row["url"],
+                    "bucket_ts": pd.to_datetime(ts, unit="s"),
+                }
+                for s in stats:
+                    data[s] = decode_gorilla(bytes(row[f"blk_{s}"]))
+                frames.append(pd.DataFrame(data))
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
 
-    return blocks_df.groupBy("url").applyInPandas(decode, schema=schema)
+    return blocks_df.mapInPandas(decode_iter, schema=schema)

@@ -177,9 +177,13 @@ def test_compression_roundtrip_through_spark(spark, web):
     )
     pd.testing.assert_frame_equal(got, want, check_exact=True)
     # blocks actually compress: total blob bytes < raw 8B/point/stream
+    blk_total = None
+    for s in stats:
+        term = F.sum(F.length(f"blk_{s}"))
+        blk_total = term if blk_total is None else blk_total + term
     sizes = blocks.select(
         F.sum(F.length("ts_block")).alias("tsb"),
-        F.sum(F.aggregate(F.map_values("stat_blocks"), F.lit(0), lambda a, b: a + F.length(b))).alias("vb"),
+        blk_total.alias("vb"),
         F.sum("n_points").alias("n"),
     ).first()
     raw_bytes = sizes["n"] * 8 * (1 + len(stats))
