@@ -141,6 +141,13 @@ def measured_run(cores: int) -> None:
     spark.stop()
 
 
+def _spin(n: int) -> int:
+    x = 0
+    for i in range(n):
+        x += i * i
+    return x
+
+
 def host_parallel_capacity() -> dict[int, float]:
     """Best-of-3 aggregate Miter/s at 1/8/32 worker processes — measures how
     much parallel CPU the hypervisor actually delivers. On this sandbox the
@@ -148,12 +155,7 @@ def host_parallel_capacity() -> dict[int, float]:
     measurable 8→32 efficiency)."""
     import concurrent.futures as cf
 
-    def spin(n: int) -> int:
-        x = 0
-        for i in range(n):
-            x += i * i
-        return x
-
+    spin = _spin
     out: dict[int, float] = {}
     for threads in (1, 8, 32):
         best = 0.0
