@@ -388,6 +388,42 @@ def q_lsh_ann(spark, sf_dir):
     return _r6(out, "cosine")
 
 
+def q_frequency_summary(spark, sf_dir):
+    """Per-user median sampling interval + the reference's scale/unit
+    classification (incl. the M/Q/Y fractional-remainder → days switch) —
+    fully replicated in SQL."""
+    ev = _events(spark, sf_dir)
+    out = tk.get_frequency_summary(ev, "ts", group_cols=["user_id"])
+    return _r6(out, "freq_median_seconds", "freq_median_scale")
+
+
+def q_ivf_ann(spark, sf_dir):
+    """IVF (KMeans-cell) ANN. The cell assignment isn't SQL-expressible,
+    so the oracle pins plumbing invariants that must hold for any correct
+    IVF search with the query in the corpus: exactly k results per query,
+    and the query itself at rank 1 with cosine 1 (its own cell is always
+    the nearest centroid, hence always probed). Recall-vs-exact quality is
+    pytest-verified."""
+    from pytimetk_spark.webtext.similarity import ivf_ann
+
+    emb = _prep(spark).read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivf_ann(emb, queries, k=5, n_cells=8, n_probe=2, seed=42)
+    return out.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_results"),
+        F.max(
+            F.when(
+                (F.col("rank") == 1)
+                & (F.col("vec_id") == F.col("query_id"))
+                & (F.round("cosine", 4) == 1.0),
+                1,
+            ).otherwise(0)
+        ).alias("self_rank1"),
+    )
+
+
 def q_regime_detection(spark, sf_dir):
     """HMM internals aren't SQL-expressible, so the oracle pins the
     PLUMBING invariants exactly: row counts, the reference's stride-loop
@@ -491,6 +527,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "document_fingerprint": q_document_fingerprint,
         "embedding_near_dup_pairs": q_embedding_near_dup,
         "lsh_bucket_ann": q_lsh_ann,
+        "ivf_ann": q_ivf_ann,
+        "frequency_summary": q_frequency_summary,
         "regime_detection": q_regime_detection,
         "augment_ewm": q_ewm,
         "anomalize": q_anomalize,
@@ -708,6 +746,46 @@ def oracle_sql() -> dict[str, str]:
         "document_fingerprint": _fingerprint_oracle_sql(),
         "embedding_near_dup_pairs": _near_dup_oracle_sql(),
         "lsh_bucket_ann": _lsh_ann_oracle_sql(),
+        "frequency_summary": """
+            WITH d AS (
+              SELECT user_id,
+                     epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id
+                                                     ORDER BY ts)) AS diff
+              FROM events),
+            m AS (SELECT user_id, quantile_cont(diff, 0.5) AS sec
+                  FROM d GROUP BY 1),
+            c AS (SELECT user_id, sec,
+                    CASE WHEN sec < 60 THEN 'S' WHEN sec < 3600 THEN 'T'
+                         WHEN sec < 86400 THEN 'H' WHEN sec < 604800 THEN 'D'
+                         WHEN sec < 2419200 THEN 'W'
+                         WHEN sec < 7776000 THEN 'M'
+                         WHEN sec < 31536000 THEN 'Q' ELSE 'Y' END AS unit,
+                    CASE WHEN sec < 60 THEN sec
+                         WHEN sec < 3600 THEN sec / 60
+                         WHEN sec < 86400 THEN sec / 3600
+                         WHEN sec < 604800 THEN sec / 86400
+                         WHEN sec < 2419200 THEN sec / 604800
+                         WHEN sec < 7776000 THEN round(sec / 2678400, 1)
+                         WHEN sec < 31536000 THEN round(sec / 7948800, 1)
+                         ELSE round(sec / 31622400, 1) END AS scale
+                  FROM m),
+            s AS (SELECT *,
+                    (unit IN ('M', 'Q', 'Y')
+                     AND (scale - floor(scale)) >= 0.1
+                     AND (scale - floor(scale)) <= 0.9) AS switch
+                  FROM c)
+            SELECT user_id,
+                   round(sec, 6) AS freq_median_seconds,
+                   round(CASE WHEN switch THEN floor(sec / 86400)
+                              ELSE scale END, 6) AS freq_median_scale,
+                   CASE WHEN switch THEN 'D' ELSE unit END
+                     AS freq_median_unit
+            FROM s
+        """,
+        "ivf_ann": """
+            SELECT vec_id AS query_id, 5 AS n_results, 1 AS self_rank1
+            FROM embeddings WHERE vec_id < 3
+        """,
         "regime_detection": """
             SELECT event_type,
                    count(*) AS n_rows,

@@ -194,13 +194,78 @@ def _with_avg_rank(df: DataFrame, col: str, out: str, n_buckets: int = 32) -> Da
     return df.join(ranks, on=col, how="left")
 
 
+def _kendall_from_contingency(cont) -> float:
+    """Exact Kendall tau-b from a (sorted-x × sorted-y) contingency table —
+    the standard C/D/ties formulation, O(levels²) on the driver. Equals
+    pandas ``corr(method="kendall")`` (scipy tau-b) exactly."""
+    import numpy as np
+
+    cont = np.asarray(cont, dtype=np.float64)
+    n = cont.sum()
+    if n < 2:
+        return float("nan")
+
+    def _strict_suffix(m):
+        s = np.flip(np.flip(m, 0), 1).cumsum(0).cumsum(1)
+        s = np.flip(np.flip(s, 0), 1)
+        out = np.zeros((m.shape[0] + 1, m.shape[1] + 1))
+        out[: m.shape[0], : m.shape[1]] = s
+        return out
+
+    conc = (cont * _strict_suffix(cont)[1:, 1:]).sum()
+    cf = cont[:, ::-1]
+    disc = (cf * _strict_suffix(cf)[1:, 1:]).sum()
+    n0 = n * (n - 1) / 2
+    r, c = cont.sum(axis=1), cont.sum(axis=0)
+    n1 = (r * (r - 1) / 2).sum()
+    n2 = (c * (c - 1) / 2).sum()
+    denom = ((n0 - n1) * (n0 - n2)) ** 0.5
+    return float((conc - disc) / denom) if denom > 0 else float("nan")
+
+
 def correlate(
     df: DataFrame, target: str, method: str = "pearson"
 ) -> pd.DataFrame:
     """Correlation of every column vs ``target``, sorted by |corr| desc;
     returns a small pandas frame (feature, bin, correlation) — one
-    aggregate row collected, matching the reference's in-memory output."""
+    aggregate row collected, matching the reference's in-memory output.
+
+    ``kendall`` (reference correlationfunnel.py:402) is exact tau-b
+    computed from per-column (value, target) contingency tables — ONE
+    posexplode melt + groupBy over all columns, then the C/D/ties closed
+    form on the driver. Scales with Σ distinct (value, target) pairs (the
+    funnel's binarized inputs are 0/1, so the table per column is 2×k),
+    never with row count."""
     cols = [c for c, t in df.dtypes if c != target]
+    if method == "kendall":
+        melted = df.select(
+            F.posexplode(
+                F.array(*[F.col(f"`{c}`").cast("double") for c in cols])
+            ).alias("__ci__", "__x__"),
+            F.col(f"`{target}`").cast("double").alias("__y__"),
+        )
+        counts = melted.groupBy("__ci__", "__x__", "__y__").count().collect()
+        by_col: dict[int, dict[tuple, int]] = {}
+        for row in counts:
+            by_col.setdefault(row["__ci__"], {})[(row["__x__"], row["__y__"])] = row[
+                "count"
+            ]
+        taus = {}
+        for ci, cells in by_col.items():
+            xs = sorted({k[0] for k in cells}, key=lambda v: (v is None, v))
+            ys = sorted({k[1] for k in cells}, key=lambda v: (v is None, v))
+            cont = [[cells.get((x, y), 0) for y in ys] for x in xs]
+            taus[cols[ci]] = _kendall_from_contingency(cont)
+        out = pd.DataFrame(
+            {"feature_full": list(taus.keys()), "correlation": list(taus.values())}
+        )
+        split = out["feature_full"].str.split("__", n=1, expand=True)
+        out["feature"] = split[0]
+        out["bin"] = split[1] if split.shape[1] > 1 else None
+        out = out.sort_values(
+            "correlation", key=lambda s: s.abs(), ascending=False
+        ).reset_index(drop=True)
+        return out[["feature", "bin", "correlation"]]
     if method == "spearman":
         ranked = df
         for c in [*cols, target]:

@@ -1,0 +1,117 @@
+"""Streaming dedup + custom stateful operators.
+
+* ``streaming_dedup_exact`` — exact content dedup on a stream with BOUNDED
+  state: ``dropDuplicatesWithinWatermark`` keeps a key's hash only until
+  the watermark passes it, so state size is (arrival rate × watermark),
+  not corpus size. The batch engine's ``dedup_exact`` remains the
+  full-corpus path; this handles the ingest stream.
+* ``streaming_running_ewm`` — the ``applyInPandasWithState`` pattern for
+  operators Spark's windowed aggregates can't express: a per-url adjusted
+  EWM whose numerator/denominator accumulators persist in group state
+  across micro-batches. Semantics match pandas ``ewm(alpha).mean()``
+  (adjust=True) over the url's full history; verified against the batch
+  ``augment_ewm`` under an availableNow trigger.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def streaming_dedup_exact(
+    stream_df: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "warc_ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Keep the first-arriving row per exact text within the watermark
+    horizon. State is bounded: a seen-hash expires once event time moves
+    ``watermark`` past it (exact duplicates arriving later than that are
+    the batch engine's job)."""
+    hashed = stream_df.withColumn(
+        "__h__", F.sha2(F.col(text_col).cast("string"), 256)
+    ).withWatermark(ts_col, watermark)
+    return hashed.dropDuplicatesWithinWatermark(["__h__"]).drop("__h__")
+
+
+def streaming_running_ewm(
+    stream_df: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    value_col: str = "plen",
+    alpha: float = 0.2,
+    out_col: str = "ewm",
+) -> DataFrame:
+    """Per-url adjusted EWM over the stream via ``applyInPandasWithState``.
+
+    State per url = (w, y): w = Σ(1-α)^i (the adjusted denominator), y =
+    current EWM. Each micro-batch folds its rows (event-time order within
+    the batch) into the state, so the emitted value at row t equals the
+    batch EWM over the url's entire history — exactly what pandas
+    ``ewm(alpha, adjust=True).mean()`` yields when the stream arrives in
+    order. Out-of-order arrival within a batch is sorted; across batches
+    it is the documented approximation (same contract as any
+    run-once-per-arrival stateful operator)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    url_field = next(f for f in stream_df.schema.fields if f.name == url_col)
+    ts_field = next(f for f in stream_df.schema.fields if f.name == ts_col)
+    out_schema = T.StructType(
+        [
+            T.StructField("url", url_field.dataType),
+            T.StructField("ts", ts_field.dataType),
+            T.StructField("value", T.DoubleType()),
+            T.StructField(out_col, T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [T.StructField("w", T.DoubleType()), T.StructField("y", T.DoubleType())]
+    )
+    keep = 1.0 - alpha
+
+    def fn(key, pdfs, state):
+        if state.exists:
+            w, y = state.get
+        else:
+            w, y = 0.0, 0.0
+        frames = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("__ts__").reset_index(drop=True)
+            vals = pdf["__v__"].to_numpy(dtype=np.float64)
+            out = np.empty(len(vals))
+            for i, x in enumerate(vals):
+                # adjusted-EWM fold: y_t = (w·(1-α)·y_{t-1} + x) / (w·(1-α) + 1)
+                wk = w * keep
+                y = (wk * y + x) / (wk + 1.0)
+                w = wk + 1.0
+                out[i] = y
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "url": key[0],
+                        "ts": pdf["__ts__"],
+                        "value": vals,
+                        out_col: out,
+                    }
+                )
+            )
+        state.update((float(w), float(y)))
+        if frames:
+            yield pd.concat(frames, ignore_index=True)
+
+    src = stream_df.select(
+        F.col(url_col).alias("url"),
+        F.col(ts_col).alias("__ts__"),
+        F.col(value_col).cast("double").alias("__v__"),
+    )
+    return src.groupBy("url").applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -170,3 +170,37 @@ def test_binarize_job_count(spark):
     # 3 logical queries; AQE may split each into ~2 jobs. Round 1 issued
     # 2 jobs PER COLUMN (32 here), so <=8 proves the single-pass design.
     assert jobs <= 8, f"binarize issued {jobs} jobs for 16 columns"
+
+
+def test_correlate_kendall_tau_b(spark):
+    """Contingency-table Kendall tau-b equals brute-force pair counting
+    (scipy/pandas kendall is unavailable in this env)."""
+    rng = np.random.RandomState(2)
+    n = 150
+    pdf = pd.DataFrame(
+        {
+            "a": rng.randint(0, 2, n).astype(float),
+            "b": rng.randint(0, 4, n).astype(float),
+            "t": rng.randint(0, 3, n).astype(float),
+        }
+    )
+    pdf["b"] = np.round(pdf["b"] + pdf["t"])  # correlated with ties
+    got = correlate(spark.createDataFrame(pdf), target="t", method="kendall")
+
+    def brute_tau_b(x, y):
+        n_ = len(x)
+        c = d = 0
+        for i in range(n_):
+            for j in range(i + 1, n_):
+                s = np.sign(x[i] - x[j]) * np.sign(y[i] - y[j])
+                c += s > 0
+                d += s < 0
+        n0 = n_ * (n_ - 1) / 2
+        tx = sum((x == v).sum() * ((x == v).sum() - 1) / 2 for v in set(x))
+        ty = sum((y == v).sum() * ((y == v).sum() - 1) / 2 for v in set(y))
+        return (c - d) / np.sqrt((n0 - tx) * (n0 - ty))
+
+    for _, row in got.iterrows():
+        exp = brute_tau_b(pdf[row["feature"]].to_numpy(), pdf["t"].to_numpy())
+        np.testing.assert_allclose(row["correlation"], exp, rtol=1e-12)
+    assert got["correlation"].abs().is_monotonic_decreasing

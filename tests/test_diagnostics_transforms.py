@@ -217,3 +217,66 @@ def test_streaming_tier_1h(spark, tmp_path):
     pd.testing.assert_frame_equal(
         got[want.columns], want, check_dtype=False, rtol=1e-9
     )
+
+
+def test_streaming_dedup_and_stateful_ewm(spark, tmp_path):
+    """Streaming exact dedup (bounded dropDuplicatesWithinWatermark state)
+    and the applyInPandasWithState running EWM, both driven availableNow
+    and compared against their batch counterparts."""
+    from pytimetk_spark import augment_ewm
+    from pytimetk_spark.streaming.stateful import (
+        streaming_dedup_exact,
+        streaming_running_ewm,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "url": [f"u{i % 5}" for i in range(200)],
+            "warc_ts": pd.date_range("2024-01-01", periods=200, freq="h"),
+            "text": [f"doc-{i % 60}" for i in range(200)],  # exact dups
+            "plen": np.random.RandomState(0).randint(10, 500, 200).astype(float),
+        }
+    )
+    src_dir = str(tmp_path / "stream_src")
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(src_dir)
+    schema = "url string, warc_ts timestamp, text string, plen double"
+
+    # --- dedup: one survivor per distinct text within the watermark
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    dd = streaming_dedup_exact(stream, "text", "warc_ts", watermark="365 days")
+    q = (
+        dd.writeStream.format("memory").queryName("dedup_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("dedup_stream").toPandas()
+    assert len(got) == 60
+    assert got["text"].nunique() == 60
+
+    # --- stateful EWM vs the batch operator
+    stream2 = spark.readStream.schema(schema).parquet(src_dir)
+    ew = streaming_running_ewm(stream2, "url", "warc_ts", "plen", alpha=0.3)
+    q2 = (
+        ew.writeStream.format("memory").queryName("ewm_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q2.awaitTermination(120)
+    got = (
+        spark.table("ewm_stream").toPandas()
+        .sort_values(["url", "ts"]).reset_index(drop=True)
+    )
+    want = (
+        augment_ewm(
+            spark.createDataFrame(pdf).select("url", "warc_ts", "plen"),
+            "warc_ts", "plen", window_func="mean", alpha=0.3,
+            group_cols=["url"],
+        )
+        .toPandas()
+        .sort_values(["url", "warc_ts"])
+        .reset_index(drop=True)
+    )
+    np.testing.assert_allclose(
+        got["ewm"].to_numpy(),
+        want["plen_ewm_mean_alpha_0.3"].to_numpy(),
+        rtol=1e-9,
+    )
