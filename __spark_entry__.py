@@ -388,6 +388,20 @@ def q_lsh_ann(spark, sf_dir):
     return _r6(out, "cosine")
 
 
+def q_apply_by_time(spark, sf_dir):
+    """Arbitrary named-lambda downsampling (the Arrow grouped-map escape
+    hatch) — lambdas here are SQL-expressible on purpose so the whole path
+    (bucketing, per-bucket sub-frames, naming, fillna) is oracle-checked."""
+    ev = _events(spark, sf_dir).select("event_type", "ts", "value")
+    out = tk.apply_by_time(
+        ev, "ts", freq="D", group_cols=["event_type"],
+        value_sum=lambda d: d["value"].sum(),
+        value_range=lambda d: d["value"].max() - d["value"].min(),
+    )
+    out = _r4(out, "value_sum")
+    return _r6(out, "value_range")
+
+
 def q_frequency_summary(spark, sf_dir):
     """Per-user median sampling interval + the reference's scale/unit
     classification (incl. the M/Q/Y fractional-remainder → days switch) —
@@ -529,6 +543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_bucket_ann": q_lsh_ann,
         "ivf_ann": q_ivf_ann,
         "frequency_summary": q_frequency_summary,
+        "apply_by_time_lambdas": q_apply_by_time,
         "regime_detection": q_regime_detection,
         "augment_ewm": q_ewm,
         "anomalize": q_anomalize,
@@ -746,6 +761,13 @@ def oracle_sql() -> dict[str, str]:
         "document_fingerprint": _fingerprint_oracle_sql(),
         "embedding_near_dup_pairs": _near_dup_oracle_sql(),
         "lsh_bucket_ann": _lsh_ann_oracle_sql(),
+        "apply_by_time_lambdas": """
+            SELECT event_type,
+                   date_trunc('day', ts) AS ts,
+                   round(sum(value), 4) AS value_sum,
+                   round(max(value) - min(value), 6) AS value_range
+            FROM events GROUP BY 1, 2
+        """,
         "frequency_summary": """
             WITH d AS (
               SELECT user_id,

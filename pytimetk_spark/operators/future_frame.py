@@ -64,9 +64,12 @@ def future_frame(
     freq: str,
     group_cols: Sequence[str] | None = None,
     bind_data: bool = True,
+    sort: bool = False,
 ) -> DataFrame:
     """Extend ``df`` with ``length_out`` future rows per group; value columns
     NULL in the future rows, group keys carried (reference future.py:371-449).
+    ``sort`` pays the global range-shuffle only on request (Spark frames are
+    unordered; same policy as pad_by_time/summarize_by_time).
     """
     group_cols = list(group_cols or [])
     future = make_future_timeseries(df, date_column, length_out, freq, group_cols)
@@ -75,6 +78,5 @@ def future_frame(
         if c in value_cols:
             future = future.withColumn(c, F.lit(None).cast(t))
     future = future.select(*df.columns)
-    if not bind_data:
-        return future.orderBy(*group_cols, date_column)
-    return df.unionByName(future).orderBy(*group_cols, date_column)
+    out = future if not bind_data else df.unionByName(future)
+    return out.orderBy(*group_cols, date_column) if sort else out

@@ -1,0 +1,95 @@
+"""Physical-plan regression tests — the scale properties the engine
+promises must be visible in the executed plan, not just asserted in
+docstrings: parquet filter pushdown, shuffle-free tier chains after one
+url partitioning, and no single-partition exchanges (driver funnels) in
+grouped operator plans.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+import pytimetk_spark as tk
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def events(spark, tmp_path_factory):
+    """A small parquet-backed events table (pushdown needs a file scan)."""
+    p = str(tmp_path_factory.mktemp("plans") / "events.parquet")
+    rng = np.random.RandomState(0)
+    pdf = pd.DataFrame(
+        {
+            "user_id": rng.randint(0, 20, 2000),
+            "ts": pd.date_range("2024-01-01", periods=2000, freq="h"),
+            "value": rng.rand(2000) * 100,
+        }
+    )
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(p)
+    return spark.read.parquet(p)
+
+
+def test_filter_by_time_pushes_down(events):
+    out = tk.filter_by_time(events, "ts", "2024-01-05", "2024-01-12")
+    plan = _plan(out)
+    # the rendered PushedFilters list may be truncated with "..." — assert
+    # on the leading entries instead of parsing the bracket
+    assert "PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts" in plan
+
+
+def test_tier_chain_single_shuffle(events, spark):
+    """After one repartition by url, raw→1h→1d→7d must add NO further
+    exchanges: HashPartitioning(url) satisfies every tier grouping."""
+    from pytimetk_spark.rollup.tiers import rollup_raw_to_tier, rollup_tier_to_tier
+
+    pre = events.withColumn("url", F.col("user_id").cast("string")).repartition(
+        8, F.col("url")
+    )
+    h1 = rollup_raw_to_tier(pre, "url", "ts", "value", "h")
+    d7 = rollup_tier_to_tier(rollup_tier_to_tier(h1, "D"), "7D")
+    plan = _plan(d7)
+    n_exchanges = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_exchanges == 1, f"expected 1 exchange, plan has {n_exchanges}"
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_grouped_windows_never_single_partition(events):
+    out = tk.augment_rolling(
+        events, "ts", "value", window=5, window_func=["mean", "sum"],
+        group_cols=["user_id"],
+    )
+    plan = _plan(out)
+    assert "Exchange SinglePartition" not in plan
+    # every Window node is keyed by the group column
+    for m in re.finditer(r"Window \[", plan):
+        frag = plan[m.start() : m.start() + 400]
+        assert "user_id" in frag
+
+
+def test_spearman_rank_windows_are_partitioned(events):
+    from pytimetk_spark.operators.binarize import _with_avg_rank
+
+    ranked = _with_avg_rank(events.select("value"), "value", "value__rk")
+    plan = _plan(ranked)
+    # the cumulative window must be partitioned by the range bucket —
+    # never a partition-less (single task) sort
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_pad_calendar_is_generated_not_shuffled(events):
+    out = tk.pad_by_time(
+        events.select("user_id", "ts", "value"), "ts", freq="h",
+        group_cols=["user_id"],
+    )
+    plan = _plan(out)
+    # sequence+explode calendar generation present; no global sort by default
+    assert "explode" in plan.lower()
+    assert "rangepartitioning" not in plan.lower()
