@@ -205,33 +205,68 @@ def run_rollup(
             store.write_manifest(m)
             written.append(m)
 
-    # coarser tiers: rebuild from the tier below (full rewrite — tier
-    # cardinality is tiny relative to raw; incremental per-partition
-    # rewrite would mirror the same manifest pattern)
+    # coarser tiers: INCREMENTAL maintenance — only the coarse partitions
+    # whose below-tier inputs changed this run are re-aggregated and
+    # dynamic-partition-overwritten (the continuous-aggregate contract: a
+    # late-arriving day reprocesses one 1d bucket and one 7d bucket, never
+    # the whole tier). A fully-skipped resume run touches nothing.
+    epoch = _dt.date(1970, 1, 1)
     prev = fine
+    changed: list[_dt.date] = [
+        _dt.date.fromisoformat(m.partition) for m in written if m.tier == fine
+    ]
     for tier in tiers[1:]:
+        if not changed:
+            break
+        freq = TIER_FREQS[tier]
+        if freq == "D":
+            coarse_dates = sorted(set(changed))
+        elif freq == "7D":
+            # epoch-aligned 7-day floor (same alignment as floor_date)
+            coarse_dates = sorted(
+                {d - _dt.timedelta(days=(d - epoch).days % 7) for d in changed}
+            )
+        else:  # pragma: no cover — only 1d/7d coarse tiers are configured
+            raise ValueError(f"unsupported coarse tier freq: {freq}")
         t0 = time.time()
         below = store.read_tier(spark, prev).drop("bucket_date")
-        coarse = rollup_tier_to_tier(below, TIER_FREQS[tier]).withColumn(
+        from pytimetk_spark.functions.datetime import floor_date
+
+        coarse_key = F.to_date(floor_date(F.col("bucket_ts"), freq))
+        slice_df = below.filter(coarse_key.isin(coarse_dates))
+        coarse = rollup_tier_to_tier(slice_df, freq).withColumn(
             "bucket_date", F.to_date("bucket_ts")
         )
-        coarse.write.mode("overwrite").partitionBy("bucket_date").parquet(
-            store.tier_path(tier)
-        )
-        out_rows = spark.read.parquet(store.tier_path(tier)).count()
+        coarse.write.mode("overwrite").partitionBy("bucket_date").option(
+            "partitionOverwriteMode", "dynamic"
+        ).parquet(store.tier_path(tier))
         elapsed = time.time() - t0
-        m = PartitionManifest(
-            snapshot_id=uuid.uuid4().hex,
-            tier=tier,
-            partition="__full__",
-            input_fingerprint=f"tier:{prev}",
-            input_rows=-1,
-            output_rows=out_rows,
-            elapsed_sec=elapsed,
-            points_per_sec=(out_rows / elapsed) if elapsed > 0 else 0.0,
-            written_at=time.time(),
-        )
-        store.write_manifest(m)
-        written.append(m)
+        out_counts = {
+            str(r["bucket_date"]): r["cnt"]
+            for r in spark.read.parquet(store.tier_path(tier))
+            .filter(F.col("bucket_date").isin(coarse_dates))
+            .groupBy("bucket_date")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
+        total_out = sum(out_counts.values()) or 1
+        now = time.time()
+        for cd in coarse_dates:
+            out_rows = out_counts.get(str(cd), 0)
+            day_elapsed = elapsed * (out_rows / total_out)
+            m = PartitionManifest(
+                snapshot_id=uuid.uuid4().hex,
+                tier=tier,
+                partition=str(cd),
+                input_fingerprint=f"tier:{prev}:{cd}",
+                input_rows=-1,
+                output_rows=out_rows,
+                elapsed_sec=day_elapsed,
+                points_per_sec=(out_rows / day_elapsed) if day_elapsed > 0 else 0.0,
+                written_at=now,
+            )
+            store.write_manifest(m)
+            written.append(m)
         prev = tier
+        changed = coarse_dates
     return written

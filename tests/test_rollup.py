@@ -200,9 +200,26 @@ def test_run_rollup_resume_and_retention(spark, web, tmp_path):
     for m in written:
         assert m.points_per_sec > 0 and m.input_fingerprint
 
-    # resume: second run with identical input writes NO new 1h manifests
+    # resume: second run with identical input writes NOTHING — coarse
+    # tiers are incrementally maintained, so no changed fine day means no
+    # coarse rewrite either
     again = run_rollup(spark, web, store, value_col=F.length("text"))
-    assert [m for m in again if m.tier == "1h"] == []
+    assert again == []
+
+    # incremental: appending one row to ONE day reprocesses exactly that
+    # fine partition plus the single 1d and 7d buckets containing it
+    one = web.limit(1).withColumn("text", F.concat(F.col("text"), F.lit("!")))
+    touched_day = str(one.select(F.to_date("warc_ts")).first()[0])
+    delta = run_rollup(
+        spark, web.unionByName(one), store, value_col=F.length("text")
+    )
+    by_tier = {}
+    for m in delta:
+        by_tier.setdefault(m.tier, []).append(m.partition)
+    assert by_tier["1h"] == [touched_day]
+    assert len(by_tier["1d"]) == 1 and len(by_tier["7d"]) == 1
+    # restore the original content for the assertions below
+    run_rollup(spark, web, store, value_col=F.length("text"))
 
     # tier read-back: 1d tier equals direct aggregation of raw
     d1 = store.read_tier(spark, "1d").drop("bucket_date")
