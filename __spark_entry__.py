@@ -388,6 +388,41 @@ def q_lsh_ann(spark, sf_dir):
     return _r6(out, "cosine")
 
 
+def q_acf_diagnostics(spark, sf_dir):
+    """ACF over per-day counts — the Σ xm[t]·xm[t+k] / Σ xm² definition is
+    replicated with a row-number self-join in SQL (pacf is a
+    Durbin–Levinson recursion, pytest-verified, and omitted here)."""
+    ev = _events(spark, sf_dir)
+    daily = tk.summarize_by_time(
+        ev, "ts", "value", group_cols=["event_type"], freq="D", agg_func="count"
+    )
+    from pytimetk_spark import acf_diagnostics
+
+    out = acf_diagnostics(daily, "ts", "value", group_cols=["event_type"], lags=10)
+    return _r6(out.select("event_type", "lag", "acf"), "acf")
+
+
+def q_ts_features(spark, sf_dir):
+    """The SQL-expressible ts_features subset (n_obs, mean, std, acf1,
+    acf10_sumsq, R/S hurst, tile lumpiness/stability) oracle-checked;
+    spectral entropy / pacf / STL strengths are pytest-verified."""
+    from pytimetk_spark import ts_features
+
+    ev = _events(spark, sf_dir)
+    daily = tk.summarize_by_time(
+        ev, "ts", "value", group_cols=["event_type"], freq="D", agg_func="count"
+    )
+    out = ts_features(daily, "ts", "value", group_cols=["event_type"], period=7)
+    out = out.select(
+        "event_type", "n_obs", "mean", "std", "acf1", "acf10_sumsq",
+        "hurst", "lumpiness", "stability",
+    )
+    return _r6(
+        out, "n_obs", "mean", "std", "acf1", "acf10_sumsq", "hurst",
+        "lumpiness", "stability",
+    )
+
+
 def q_apply_by_time(spark, sf_dir):
     """Arbitrary named-lambda downsampling (the Arrow grouped-map escape
     hatch) — lambdas here are SQL-expressible on purpose so the whole path
@@ -544,6 +579,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann": q_ivf_ann,
         "frequency_summary": q_frequency_summary,
         "apply_by_time_lambdas": q_apply_by_time,
+        "acf_diagnostics": q_acf_diagnostics,
+        "ts_features_subset": q_ts_features,
         "regime_detection": q_regime_detection,
         "augment_ewm": q_ewm,
         "anomalize": q_anomalize,
@@ -761,6 +798,92 @@ def oracle_sql() -> dict[str, str]:
         "document_fingerprint": _fingerprint_oracle_sql(),
         "embedding_near_dup_pairs": _near_dup_oracle_sql(),
         "lsh_bucket_ann": _lsh_ann_oracle_sql(),
+        "acf_diagnostics": """
+            WITH daily AS (
+              SELECT event_type, date_trunc('day', ts) AS ts,
+                     count(value)::DOUBLE AS v
+              FROM events GROUP BY 1, 2),
+            b AS (SELECT event_type, ts, v,
+                         row_number() OVER (PARTITION BY event_type
+                                            ORDER BY ts) AS rn,
+                         avg(v) OVER (PARTITION BY event_type) AS mu
+                  FROM daily),
+            d AS (SELECT event_type, rn, v - mu AS xm FROM b),
+            den AS (SELECT event_type, sum(xm * xm) AS den FROM d GROUP BY 1),
+            ks AS (SELECT unnest(range(11)) AS lag),
+            num AS (SELECT a.event_type, ks.lag, sum(a.xm * c.xm) AS num
+                    FROM d a
+                    CROSS JOIN ks
+                    JOIN d c ON c.event_type = a.event_type
+                            AND c.rn = a.rn - ks.lag
+                    GROUP BY 1, 2)
+            SELECT n.event_type, n.lag::INT AS lag,
+                   round(n.num / den.den, 6) AS acf
+            FROM num n JOIN den USING (event_type)
+        """,
+        "ts_features_subset": """
+            WITH daily AS (
+              SELECT event_type, date_trunc('day', ts) AS ts,
+                     count(value)::DOUBLE AS v
+              FROM events GROUP BY 1, 2),
+            b AS (SELECT event_type, ts, v,
+                         row_number() OVER (PARTITION BY event_type
+                                            ORDER BY ts) AS rn,
+                         avg(v) OVER (PARTITION BY event_type) AS mu,
+                         count(*) OVER (PARTITION BY event_type) AS n
+                  FROM daily),
+            d AS (SELECT event_type, rn, n, v, v - mu AS xm FROM b),
+            base AS (SELECT event_type,
+                            max(n) AS n_obs,
+                            avg(v) AS mean,
+                            stddev_samp(v) AS std,
+                            stddev_pop(v) AS sd_pop,
+                            sum(xm * xm) AS den
+                     FROM d GROUP BY 1),
+            ks AS (SELECT unnest(range(1, 11)) AS lag),
+            num AS (SELECT a.event_type, ks.lag, sum(a.xm * c.xm) AS num
+                    FROM d a CROSS JOIN ks
+                    JOIN d c ON c.event_type = a.event_type
+                            AND c.rn = a.rn - ks.lag
+                    GROUP BY 1, 2),
+            acfs AS (SELECT n.event_type,
+                            max(CASE WHEN n.lag = 1
+                                     THEN n.num / base.den END) AS acf1,
+                            sum((n.num / base.den) ^ 2) AS acf10_sumsq
+                     FROM num n JOIN base USING (event_type) GROUP BY 1),
+            csum AS (SELECT event_type,
+                            sum(xm) OVER (PARTITION BY event_type ORDER BY rn
+                                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW) AS c
+                     FROM d),
+            hurst AS (SELECT cs.event_type,
+                             ln((max(cs.c) - min(cs.c)) / max(base.sd_pop))
+                               / ln(max(base.n_obs)) AS hurst
+                      FROM csum cs JOIN base USING (event_type) GROUP BY 1),
+            -- tiles of size 7 from rn0 = rn-1 in steps of 7, only FULL tiles
+            tile AS (SELECT event_type, (rn - 1) // 7 AS t,
+                            var_pop(v) AS tvar, avg(v) AS tmean
+                     FROM d
+                     WHERE (rn - 1) < ((n - 7) // 7 + 1) * 7
+                     GROUP BY 1, 2),
+            lump AS (SELECT event_type,
+                            var_pop(tvar) AS lumpiness,
+                            var_pop(tmean) AS stability
+                     FROM tile GROUP BY 1)
+            SELECT base.event_type,
+                   round(base.n_obs, 6) AS n_obs,
+                   round(base.mean, 6) AS mean,
+                   round(base.std, 6) AS std,
+                   round(acfs.acf1, 6) AS acf1,
+                   round(acfs.acf10_sumsq, 6) AS acf10_sumsq,
+                   round(hurst.hurst, 6) AS hurst,
+                   round(lump.lumpiness, 6) AS lumpiness,
+                   round(lump.stability, 6) AS stability
+            FROM base
+            JOIN acfs USING (event_type)
+            JOIN hurst USING (event_type)
+            JOIN lump USING (event_type)
+        """,
         "apply_by_time_lambdas": """
             SELECT event_type,
                    date_trunc('day', ts) AS ts,

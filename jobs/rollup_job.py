@@ -28,6 +28,11 @@ def main() -> None:
     ap.add_argument("--store", required=True, help="tier store directory")
     ap.add_argument("--tiers", default="1h,1d,7d")
     ap.add_argument("--salt", type=int, default=None, help="salt partials for hot urls")
+    ap.add_argument(
+        "--batch-days", type=int, default=None,
+        help="checkpoint granularity: process pending days in chunks of N "
+        "(default: all pending days in one aggregation job)",
+    )
     ap.add_argument("--retention", action="store_true", help="apply retention policy after rollup")
     ap.add_argument("--url-col", default="url")
     ap.add_argument("--ts-col", default="warc_ts")
@@ -51,6 +56,7 @@ def main() -> None:
         value_col=F.length("text"),
         tiers=tuple(args.tiers.split(",")),
         salt_partials=args.salt,
+        batch_days=args.batch_days,
     )
     for m in manifests:
         print(json.dumps({"tier": m.tier, "partition": m.partition,
