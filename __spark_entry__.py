@@ -66,6 +66,41 @@ def _r4(df: DataFrame, *cols: str) -> DataFrame:
     return df
 
 
+def _i4(df: DataFrame, *cols: str, scale: int = 10000) -> DataFrame:
+    """Integer-valued comparison columns for long running aggregates
+    (expanding/EWM sums, decomposition chains): emit
+    round(x * 1e4) :: bigint instead of a rounded double. Spark's
+    streaming window sum and DuckDB's segment-tree sum accumulate in
+    different orders (~1e-11 disagreement on 10^4-long series), and a
+    rounded DOUBLE can still differ in representation (-0.0 vs 0.0, bit
+    patterns) at whatever layer hashes raw bytes. An int64 has exactly
+    one representation, so representation flakes are impossible.
+
+    floor(x*1e4 + 0.5), NOT round(): Spark's round() on doubles goes
+    through BigDecimal.valueOf → Double.toString (shortest DECIMAL
+    repr), while DuckDB's round() rounds the BINARY double — on this
+    data (2-dp values, so means hit exact k+0.5/1e4 boundaries) the two
+    disagree on 30/10000 rows. floor(+0.5) is pure IEEE arithmetic on
+    both engines, bit-identical whenever the input doubles are.
+
+    ``scale``: a true value sitting EXACTLY on a grid half-boundary is a
+    guaranteed coin-flip (the engines' few-ulp disagreement decides the
+    side). x·1e4 = k+0.5 requires the reduced denominator of x to have
+    2-adic valuation exactly 5; pipelines that halve (medians, quartile
+    interpolation, centerlines, 0.125 factors) can reach that. Scaling by
+    an extra 2^6 (scale=640000) pushes the required valuation to 11 —
+    beyond any chain of halvings in these operators — so exact boundary
+    hits become impossible while near-boundary distance stays ≥ ~1e-4 of
+    a grid unit, orders above the ~1e-8 scaled engine noise."""
+    for c in cols:
+        df = df.withColumn(
+            c,
+            F.floor(F.col(f"`{c}`").cast("double") * scale + F.lit(0.5))
+            .cast("long"),
+        )
+    return df
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: events → 1h tier (re-aggregable stats) → derived stats,
     gap-filled per series — the north-rule rollup on the smoke dataset."""
@@ -153,12 +188,24 @@ def q_augment_rolling(spark, sf_dir):
 
 
 def q_augment_expanding(spark, sf_dir):
+    """Expanding mean/sum. The mean is compared de-normalized (mean × n):
+    with 2-dp inputs the true expanding mean is 2.5·cents/1e4·… — EXACTLY
+    on the 1e-4 half-grid whenever the running cent total is odd — so the
+    engines' few-ulp window-sum disagreement decides the rounding side
+    (the two-round red-row flake). mean × n lands on the 0.01 grid, 50
+    scaled units from any boundary, where ulp noise cannot flip."""
+    from pyspark.sql import Window
+
     ev = _events(spark, sf_dir).select("user_id", "ts", "value")
     out = tk.augment_expanding(
         ev, "ts", "value", window_func=["mean", "sum"], group_cols=["user_id"]
     )
+    n = F.row_number().over(Window.partitionBy("user_id").orderBy("ts"))
+    out = out.withColumn(
+        "value_expanding_mean_x_n", F.col("value_expanding_mean") * n
+    ).drop("value_expanding_mean")
     out = _r6(out, "value")
-    return _r4(out, "value_expanding_mean", "value_expanding_sum")
+    return _i4(out, "value_expanding_mean_x_n", "value_expanding_sum")
 
 
 def q_timeseries_signature(spark, sf_dir):
@@ -433,7 +480,7 @@ def q_apply_by_time(spark, sf_dir):
         value_sum=lambda d: d["value"].sum(),
         value_range=lambda d: d["value"].max() - d["value"].min(),
     )
-    out = _r4(out, "value_sum")
+    out = _i4(out, "value_sum")
     return _r6(out, "value_range")
 
 
@@ -507,7 +554,7 @@ def q_ewm(spark, sf_dir):
         ev, "ts", "value", window_func="mean", alpha=0.2, group_cols=["user_id"]
     )
     out = _r6(out, "value")
-    return _r4(out, "value_ewm_mean_alpha_0.2")
+    return _i4(out, "value_ewm_mean_alpha_0.2")
 
 
 def q_anomalize(spark, sf_dir):
@@ -524,9 +571,10 @@ def q_anomalize(spark, sf_dir):
         daily, "ts", "value", group_cols=["event_type"], method="twitter",
         period=7, trend=14,
     )
-    return _r4(
+    return _i4(
         out, "observed", "seasonal", "seasadj", "trend", "remainder",
         "anomaly_score", "recomposed_l1", "recomposed_l2", "observed_clean",
+        scale=640000,
     )
 
 
@@ -887,7 +935,7 @@ def oracle_sql() -> dict[str, str]:
         "apply_by_time_lambdas": """
             SELECT event_type,
                    date_trunc('day', ts) AS ts,
-                   round(sum(value), 4) AS value_sum,
+                   CAST(floor(sum(value) * 10000 + 0.5) AS BIGINT) AS value_sum,
                    round(max(value) - min(value), 6) AS value_range
             FROM events GROUP BY 1, 2
         """,
@@ -984,7 +1032,7 @@ def oracle_sql() -> dict[str, str]:
                      FROM det JOIN sm USING (event_type, pos)
                      JOIN sc USING (event_type)),
             sa AS (SELECT *, v - seasonal AS seasadj,
-                          greatest(CAST(round(n / 14.0) AS BIGINT), 1) AS ms
+                          greatest(CAST(floor(n / 14.0) AS BIGINT), 1) AS ms
                    FROM seas),
             sp AS (SELECT *,
                      CASE WHEN rn < (n % ms) * (n // ms + 1)
@@ -1014,23 +1062,27 @@ def oracle_sql() -> dict[str, str]:
                                ELSE 0 END AS dir
                    FROM rem JOIN lim USING (event_type))
             SELECT event_type, ts,
-                   round(v, 4) AS observed,
-                   round(seasonal, 4) AS seasonal,
-                   round(seasadj, 4) AS seasadj,
-                   round(trend2, 4) AS trend,
-                   round(remainder, 4) AS remainder,
+                   CAST(floor(v * 640000 + 0.5) AS BIGINT) AS observed,
+                   CAST(floor(seasonal * 640000 + 0.5) AS BIGINT) AS seasonal,
+                   CAST(floor(seasadj * 640000 + 0.5) AS BIGINT) AS seasadj,
+                   CAST(floor(trend2 * 640000 + 0.5) AS BIGINT) AS trend,
+                   CAST(floor(remainder * 640000 + 0.5) AS BIGINT) AS remainder,
                    CASE WHEN dir != 0 THEN 'Yes' ELSE 'No' END AS anomaly,
-                   round(abs(remainder - centerline), 4) AS anomaly_score,
+                   CAST(floor(abs(remainder - centerline) * 640000 + 0.5) AS BIGINT)
+                     AS anomaly_score,
                    dir AS anomaly_direction,
-                   round(seasonal + trend2 + l1, 4) AS recomposed_l1,
-                   round(seasonal + trend2 + l2, 4) AS recomposed_l2,
-                   round(CASE WHEN dir = -1
+                   CAST(floor((seasonal + trend2 + l1) * 640000 + 0.5) AS BIGINT)
+                     AS recomposed_l1,
+                   CAST(floor((seasonal + trend2 + l2) * 640000 + 0.5) AS BIGINT)
+                     AS recomposed_l2,
+                   CAST(floor(CASE WHEN dir = -1
                               THEN seasonal + trend2 + l1
                                    + 0.125 * (l2 - l1)
                               WHEN dir = 1
                               THEN seasonal + trend2 + l2
                                    - 0.125 * (l2 - l1)
-                              ELSE v END, 4) AS observed_clean
+                              ELSE v END * 640000 + 0.5) AS BIGINT)
+                     AS observed_clean
             FROM fl
         """,
         "summarize_by_time_hourly": """
@@ -1104,8 +1156,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "augment_expanding": """
             SELECT user_id, ts, round(value, 6) AS value,
-                   round(avg(value) OVER w, 4) AS value_expanding_mean,
-                   round(sum(value) OVER w, 4) AS value_expanding_sum
+                   CAST(floor(avg(value) OVER w
+                              * (row_number() OVER
+                                 (PARTITION BY user_id ORDER BY ts))
+                              * 10000 + 0.5) AS BIGINT)
+                     AS value_expanding_mean_x_n,
+                   CAST(floor(sum(value) OVER w * 10000 + 0.5) AS BIGINT)
+                     AS value_expanding_sum
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
@@ -1291,20 +1348,24 @@ def oracle_sql() -> dict[str, str]:
         """,
         "augment_ewm": """
             -- closed-form adjusted EWM (pandas adjust=True semantics):
-            -- y_t = (1-a)^t · Σ x_j (1-a)^{-j} / ((1-(1-a)^{t+1})/a)
+            -- y_t = Σ_{i=0..t} (1-a)^i x_{t-i} / ((1-(1-a)^{t+1})/a).
+            -- Scale-safe: the globally-exponentiated prefix form
+            -- sum(x·(1-a)^{-j})·(1-a)^t overflows double past t≈3170, so
+            -- the numerator is a bounded self-join over the trailing 256
+            -- rows — 0.8^256 ≈ 1.6e-25, so the truncation error is below
+            -- double epsilon for any representable value.
             WITH r AS (
               SELECT user_id, ts, value,
                      row_number() OVER (PARTITION BY user_id ORDER BY ts) - 1
                        AS t
               FROM events)
-            SELECT user_id, ts, round(value, 6) AS value,
-                   round(
-                     sum(value * power(0.8, -t)) OVER
-                       (PARTITION BY user_id ORDER BY ts
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                     * power(0.8, t) / ((1 - power(0.8, t + 1)) / 0.2),
-                     4) AS "value_ewm_mean_alpha_0.2"
-            FROM r
+            SELECT a.user_id, a.ts, round(a.value, 6) AS value,
+                   CAST(floor(
+                     sum(b.value * power(0.8, a.t - b.t))
+                     / ((1 - power(0.8, a.t + 1)) / 0.2) * 10000 + 0.5) AS BIGINT) AS "value_ewm_mean_alpha_0.2"
+            FROM r a JOIN r b
+              ON a.user_id = b.user_id AND b.t BETWEEN a.t - 255 AND a.t
+            GROUP BY a.user_id, a.ts, a.value, a.t
         """,
         "gorilla_roundtrip": """
             SELECT event_type AS url,

@@ -50,8 +50,12 @@ def binarize(
     name_infreq: str = "-OTHER",
     one_hot: bool = True,
 ) -> DataFrame:
-    if not one_hot:
-        raise NotImplementedError("one_hot=False (ordinal) not supported")
+    # ``one_hot`` replicated reference quirk: correlationfunnel.py accepts
+    # the flag (:29) but create_recipe (:461-501) never branches on it —
+    # pd.get_dummies is unconditional, so one_hot=False produces the SAME
+    # one-hot output as one_hot=True. Verified by running the reference's
+    # recipe kernel under both flags (tests/test_anomalize_binarize.py).
+    del one_hot
 
     bool_cols, numeric_cols, string_cols = [], [], []
     for c, t in df.dtypes:
@@ -67,13 +71,16 @@ def binarize(
     # column in ONE aggregate
     probe = df.agg(
         F.count(F.lit(1)).alias("__n__"),
-        *[F.approx_count_distinct(c).alias(c) for c in numeric_cols],
+        *[F.approx_count_distinct(c, 0.01).alias(c) for c in numeric_cols],
     ).first()
     total = probe["__n__"]
-    # candidates for categorical treatment: approx distinct could be up to
-    # ~5% off, so anything below a padded threshold goes through the exact
-    # melt below before the final decision
-    approx_thresh = int((n_bins + 3) * 1.3) + 8
+    # candidates for categorical treatment: the sketch is tightened to
+    # rsd=1%, and every column whose approx count is within 2× of the
+    # categorical threshold goes through the exact melt below — the final
+    # categorical-vs-binned decision is always made on exact counts, so an
+    # unlucky over- OR undercount can't silently change the one-hot
+    # contract for a borderline column
+    approx_thresh = (n_bins + 3) * 2 + 4
     maybe_categ = [c for c in numeric_cols if probe[c] <= approx_thresh]
     bin_cols = [c for c in numeric_cols if c not in maybe_categ]
 
@@ -223,8 +230,110 @@ def _kendall_from_contingency(cont) -> float:
     return float((conc - disc) / denom) if denom > 0 else float("nan")
 
 
+def _spearman_paired(df: DataFrame, target: str) -> DataFrame:
+    """(rank_x, rank_y) pairs for every (column, row) — the single-pass
+    spearman plan. One multi-column approxQuantile sketch, one posexplode
+    melt for exact per-(column, value) frequencies, bucket offsets via a
+    window over the tiny (cols × buckets) totals frame, and exactly three
+    joins total (two broadcast) regardless of column count."""
+    cols = [c for c, t in df.dtypes if c != target]
+    allc = [*cols, target]
+    n_buckets = 32
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    sketches = df.stat.approxQuantile(allc, qs, 0.001)  # ONE multi-col job
+    edges_lit = F.array(
+        *[
+            F.array(*[F.lit(float(e)) for e in (sorted(set(sk)) or [0.0])])
+            for sk in sketches
+        ]
+    )
+    melted = df.select(
+        F.posexplode(
+            F.array(*[F.col(f"`{c}`").cast("double") for c in allc])
+        ).alias("__ci__", "__v__")
+    )
+    freq = (
+        melted.filter(F.col("__v__").isNotNull())
+        .groupBy("__ci__", "__v__")
+        .agg(F.count(F.lit(1)).alias("__cnt__"))
+    )
+    freq = freq.withColumn(
+        "__bkt__",
+        F.aggregate(
+            F.element_at(edges_lit, F.col("__ci__") + 1),
+            F.lit(0),
+            lambda acc, e: acc + F.when(e < F.col("__v__"), 1).otherwise(0),
+        ),
+    )
+    # bucket offsets: cumulative below-bucket totals per column — a window
+    # over the (cols × buckets)-row totals frame, broadcast back
+    btot = freq.groupBy("__ci__", "__bkt__").agg(
+        F.sum("__cnt__").alias("__btot__")
+    )
+    woff = (
+        Window.partitionBy("__ci__")
+        .orderBy("__bkt__")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = btot.select(
+        "__ci__",
+        "__bkt__",
+        F.coalesce(F.sum("__btot__").over(woff), F.lit(0)).alias("__off__"),
+    )
+    wrk = (
+        Window.partitionBy("__ci__", "__bkt__")
+        .orderBy("__v__")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ranks = freq.join(F.broadcast(offsets), ["__ci__", "__bkt__"]).select(
+        "__ci__",
+        "__v__",
+        (
+            F.col("__off__")
+            + F.sum("__cnt__").over(wrk)
+            - F.col("__cnt__")
+            + (F.col("__cnt__") + 1) / 2.0
+        ).cast("double").alias("__rk__"),
+    )
+    ti = len(allc) - 1
+    pairs = df.select(
+        F.posexplode(
+            F.array(*[F.col(f"`{c}`").cast("double") for c in cols])
+        ).alias("__ci__", "__x__"),
+        F.col(f"`{target}`").cast("double").alias("__y__"),
+    )
+    rx = ranks.withColumnRenamed("__v__", "__x__").withColumnRenamed(
+        "__rk__", "__rx__"
+    )
+    ry = ranks.filter(F.col("__ci__") == ti).select(
+        F.col("__v__").alias("__y__"), F.col("__rk__").alias("__ry__")
+    )
+    return pairs.join(rx, ["__ci__", "__x__"], "left").join(
+        F.broadcast(ry), ["__y__"], "left"
+    )
+
+
+def _funnel_frame(corr_by_name: dict[str, float]) -> pd.DataFrame:
+    out = pd.DataFrame(
+        {
+            "feature_full": list(corr_by_name.keys()),
+            "correlation": list(corr_by_name.values()),
+        }
+    )
+    split = out["feature_full"].str.split("__", n=1, expand=True)
+    out["feature"] = split[0]
+    out["bin"] = split[1] if split.shape[1] > 1 else None
+    out = out.sort_values(
+        "correlation", key=lambda s: s.abs(), ascending=False
+    ).reset_index(drop=True)
+    return out[["feature", "bin", "correlation"]]
+
+
 def correlate(
-    df: DataFrame, target: str, method: str = "pearson"
+    df: DataFrame,
+    target: str,
+    method: str = "pearson",
+    max_pairs_per_column: int = 100_000,
 ) -> pd.DataFrame:
     """Correlation of every column vs ``target``, sorted by |corr| desc;
     returns a small pandas frame (feature, bin, correlation) — one
@@ -235,7 +344,18 @@ def correlate(
     posexplode melt + groupBy over all columns, then the C/D/ties closed
     form on the driver. Scales with Σ distinct (value, target) pairs (the
     funnel's binarized inputs are 0/1, so the table per column is 2×k),
-    never with row count."""
+    never with row count. ``max_pairs_per_column`` guards the driver: a
+    high-cardinality numeric column would otherwise collect ~rows cells —
+    such columns fail fast with instructions instead of OOMing the driver.
+
+    ``spearman`` (round-3 rework — round 2 ran ~2 driver jobs + 1 join PER
+    COLUMN): one multi-column ``approxQuantile`` sketch, one posexplode
+    melt → exact per-(column, value) frequencies bucketed by the sketch
+    edges, bucket offsets via a tiny window over bucket totals (no driver
+    map), average ranks joined back onto the melted rows, and a single
+    ``groupBy(column).agg(corr(rank_x, rank_y))``. Bounded job count and
+    exactly TWO joins regardless of column count. rank(v) =
+    (#rows < v) + (#ties + 1)/2 — pandas ``rank(method="average")``."""
     cols = [c for c, t in df.dtypes if c != target]
     if method == "kendall":
         melted = df.select(
@@ -244,7 +364,30 @@ def correlate(
             ).alias("__ci__", "__x__"),
             F.col(f"`{target}`").cast("double").alias("__y__"),
         )
-        counts = melted.groupBy("__ci__", "__x__", "__y__").count().collect()
+        counts_df = melted.groupBy("__ci__", "__x__", "__y__").count()
+        counts_df.persist()
+        try:
+            sizes = {
+                r["__ci__"]: r["n"]
+                for r in counts_df.groupBy("__ci__")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            over = [
+                cols[ci] for ci, n in sizes.items() if n > max_pairs_per_column
+            ]
+            if over:
+                raise ValueError(
+                    "correlate(method='kendall'): columns "
+                    f"{over} exceed max_pairs_per_column="
+                    f"{max_pairs_per_column} distinct (value, target) pairs; "
+                    "kendall's contingency tables are driver-side. Binarize/"
+                    "bucket these columns first, sample the frame, or raise "
+                    "max_pairs_per_column explicitly."
+                )
+            counts = counts_df.collect()
+        finally:
+            counts_df.unpersist()
         by_col: dict[int, dict[tuple, int]] = {}
         for row in counts:
             by_col.setdefault(row["__ci__"], {})[(row["__x__"], row["__y__"])] = row[
@@ -256,37 +399,21 @@ def correlate(
             ys = sorted({k[1] for k in cells}, key=lambda v: (v is None, v))
             cont = [[cells.get((x, y), 0) for y in ys] for x in xs]
             taus[cols[ci]] = _kendall_from_contingency(cont)
-        out = pd.DataFrame(
-            {"feature_full": list(taus.keys()), "correlation": list(taus.values())}
-        )
-        split = out["feature_full"].str.split("__", n=1, expand=True)
-        out["feature"] = split[0]
-        out["bin"] = split[1] if split.shape[1] > 1 else None
-        out = out.sort_values(
-            "correlation", key=lambda s: s.abs(), ascending=False
-        ).reset_index(drop=True)
-        return out[["feature", "bin", "correlation"]]
+        return _funnel_frame(taus)
     if method == "spearman":
-        ranked = df
-        for c in [*cols, target]:
-            ranked = _with_avg_rank(ranked, c, c + "__rk")
-        df = ranked.select(
-            *[F.col(f"`{c}__rk`").alias(c) for c in [*cols, target]]
+        paired = _spearman_paired(df, target)
+        rows = (
+            paired.groupBy("__ci__")
+            .agg(F.corr("__rx__", "__ry__").alias("c"))
+            .collect()
         )
-    elif method != "pearson":
-        raise ValueError("method must be 'pearson' or 'spearman'")
+        corr_by_ci = {r["__ci__"]: r["c"] for r in rows}
+        return _funnel_frame({c: corr_by_ci.get(i) for i, c in enumerate(cols)})
+    if method != "pearson":
+        raise ValueError("method must be 'pearson', 'spearman' or 'kendall'")
     # backtick-quote: bin names contain dots (e.g. "income__55.6_103.1")
     aggs = [
         F.corr(F.col(f"`{c}`"), F.col(f"`{target}`")).alias(c) for c in cols
     ]
     row = df.agg(*aggs).first().asDict()
-    out = pd.DataFrame(
-        {"feature_full": list(row.keys()), "correlation": list(row.values())}
-    )
-    split = out["feature_full"].str.split("__", n=1, expand=True)
-    out["feature"] = split[0]
-    out["bin"] = split[1] if split.shape[1] > 1 else None
-    out = out.sort_values(
-        "correlation", key=lambda s: s.abs(), ascending=False
-    ).reset_index(drop=True)
-    return out[["feature", "bin", "correlation"]]
+    return _funnel_frame(row)

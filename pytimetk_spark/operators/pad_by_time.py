@@ -80,16 +80,26 @@ def pad_by_time(
         and bool(group_cols)
         and bool(value_cols)
     )
+    # constancy via (min == max AND no nulls) — plain hash aggregates in
+    # the SAME pass as the bounds (round-2 used countDistinct, which adds
+    # an Expand pass, plus a second join of the constants — the constants
+    # now ride along the calendar rows instead, so the ffill costs zero
+    # extra joins and zero extra source scans). nunique(dropna=False)==1
+    # (reference pad.py:431-438) = all-equal-non-null, or all-null (which
+    # fills null — a no-op — so only the first case needs a value).
+    const_cols = [f"__cv_{c}__" for c in value_cols] if need_const_fill else []
     group_stats = None
     if group_cols:
         stat_aggs = []
         if need_const_fill:
             for c in value_cols:
-                stat_aggs += [
-                    F.countDistinct(F.col(c)).alias(f"__nd_{c}__"),
-                    F.max(F.col(c).isNull().cast("int")).alias(f"__hn_{c}__"),
-                    F.first(c, ignorenulls=True).alias(f"__cv_{c}__"),
-                ]
+                stat_aggs.append(
+                    F.when(
+                        (F.min(c) == F.max(c))
+                        & (F.max(F.col(c).isNull().cast("int")) == 0),
+                        F.min(c),
+                    ).alias(f"__cv_{c}__")
+                )
         group_stats = df.groupBy(*group_cols).agg(
             F.min(ts).alias("__glo__"), F.max(ts).alias("__ghi__"), *stat_aggs
         )
@@ -97,13 +107,14 @@ def pad_by_time(
     if per_group_bounds and group_cols:
         bounds = group_stats.select(
             *group_cols,
+            *const_cols,
             F.col("__glo__").alias("__lo__"),
             F.col("__ghi__").alias("__hi__"),
         )
     else:
         gmin, gmax = F.min(ts).alias("__lo__"), F.max(ts).alias("__hi__")
         if group_cols:
-            distinct_groups = group_stats.select(*group_cols)
+            distinct_groups = group_stats.select(*group_cols, *const_cols)
             glob = df.agg(gmin, gmax)
             bounds = distinct_groups.crossJoin(F.broadcast(glob))
         else:
@@ -113,11 +124,13 @@ def pad_by_time(
     hi = _to_ts_lit(end_date) if end_date is not None else F.col("__hi__")
     calendar = bounds.select(
         *group_cols,
+        *const_cols,
         F.explode(F.expr(f"sequence(__lo__, __hi__, {f.interval_sql()})")).alias(
             date_column
         ),
     ) if start_date is None and end_date is None else bounds.select(
         *group_cols,
+        *const_cols,
         F.explode(
             F.sequence(
                 lo.cast("timestamp"), hi.cast("timestamp"), F.expr(f.interval_sql())
@@ -133,17 +146,6 @@ def pad_by_time(
     if fillna is not None:
         out = out.fillna(fillna, subset=value_cols)
     elif need_const_fill:
-        consts = group_stats.select(
-            *group_cols,
-            *[
-                F.when(
-                    (F.col(f"__nd_{c}__") + F.col(f"__hn_{c}__")) == 1,
-                    F.col(f"__cv_{c}__"),
-                ).alias(f"__cv_{c}__")
-                for c in value_cols
-            ],
-        )
-        out = out.join(consts, on=group_cols, how="left")
         for c in value_cols:
             out = out.withColumn(c, F.coalesce(F.col(c), F.col(f"__cv_{c}__")))
     out = out.select(*group_cols, date_column, *value_cols)

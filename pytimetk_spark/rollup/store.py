@@ -17,6 +17,7 @@ matches — a killed job resumes from the next unprocessed partition.
 from __future__ import annotations
 
 import datetime as _dt
+import hashlib
 import json
 import shutil
 import time
@@ -118,6 +119,31 @@ def _day_fingerprints(source: DataFrame, ts_col: str) -> dict[str, tuple[str, in
     }
 
 
+_EPOCH = _dt.date(1970, 1, 1)
+
+
+def _coarse_date(d: _dt.date, freq: str) -> _dt.date:
+    """Coarse-tier partition a below-tier partition date belongs to
+    (epoch-aligned 7-day floor, same alignment as floor_date)."""
+    if freq == "D":
+        return d
+    if freq == "7D":
+        return d - _dt.timedelta(days=(d - _EPOCH).days % 7)
+    raise ValueError(f"unsupported coarse tier freq: {freq}")
+
+
+def _compose_fingerprint(prev_tier: str, ms: list[PartitionManifest]) -> str:
+    """Deterministic lineage fingerprint of a coarse partition: digest of
+    the below-tier manifests it aggregates. Fine-tier fingerprints encode
+    (day, row count, content hash), so staleness propagates upward through
+    every tier level."""
+    payload = "|".join(
+        f"{m.partition}={m.input_fingerprint}"
+        for m in sorted(ms, key=lambda m: m.partition)
+    )
+    return f"tier:{prev_tier}:" + hashlib.sha256(payload.encode()).hexdigest()[:24]
+
+
 def run_rollup(
     spark: SparkSession,
     source: DataFrame,
@@ -206,28 +232,44 @@ def run_rollup(
             written.append(m)
 
     # coarser tiers: INCREMENTAL maintenance — only the coarse partitions
-    # whose below-tier inputs changed this run are re-aggregated and
+    # whose below-tier inputs changed are re-aggregated and
     # dynamic-partition-overwritten (the continuous-aggregate contract: a
     # late-arriving day reprocesses one 1d bucket and one 7d bucket, never
     # the whole tier). A fully-skipped resume run touches nothing.
-    epoch = _dt.date(1970, 1, 1)
+    #
+    # Resume reconciliation: `changed` from THIS run alone is not enough —
+    # a run killed after the fine parquet+manifests but before the coarse
+    # loop would leave coarse tiers permanently stale (the resumed run sees
+    # all fine fingerprints matching and writes nothing). So each coarse
+    # partition's manifest carries a fingerprint composed from the
+    # below-tier manifests it aggregates; on resume, partitions whose
+    # stored fingerprint is missing or differs from the expected one are
+    # added to the work list.
     prev = fine
     changed: list[_dt.date] = [
         _dt.date.fromisoformat(m.partition) for m in written if m.tier == fine
     ]
     for tier in tiers[1:]:
-        if not changed:
-            break
         freq = TIER_FREQS[tier]
-        if freq == "D":
-            coarse_dates = sorted(set(changed))
-        elif freq == "7D":
-            # epoch-aligned 7-day floor (same alignment as floor_date)
-            coarse_dates = sorted(
-                {d - _dt.timedelta(days=(d - epoch).days % 7) for d in changed}
-            )
-        else:  # pragma: no cover — only 1d/7d coarse tiers are configured
-            raise ValueError(f"unsupported coarse tier freq: {freq}")
+        below_manifests = store.manifests(prev)
+        by_coarse: dict[_dt.date, list[PartitionManifest]] = {}
+        for bm in below_manifests:
+            cd = _coarse_date(_dt.date.fromisoformat(bm.partition), freq)
+            by_coarse.setdefault(cd, []).append(bm)
+        expected_fp = {
+            cd: _compose_fingerprint(prev, ms) for cd, ms in by_coarse.items()
+        }
+        changed_set = {_coarse_date(d, freq) for d in changed}
+        if resume:
+            for cd, fp in expected_fp.items():
+                ex = store.read_manifest(tier, str(cd))
+                if ex is None or ex.input_fingerprint != fp:
+                    changed_set.add(cd)
+        coarse_dates = sorted(cd for cd in changed_set if cd in expected_fp)
+        if not coarse_dates:
+            prev = tier
+            changed = []
+            continue
         t0 = time.time()
         below = store.read_tier(spark, prev).drop("bucket_date")
         from pytimetk_spark.functions.datetime import floor_date
@@ -258,7 +300,7 @@ def run_rollup(
                 snapshot_id=uuid.uuid4().hex,
                 tier=tier,
                 partition=str(cd),
-                input_fingerprint=f"tier:{prev}:{cd}",
+                input_fingerprint=expected_fp[cd],
                 input_rows=-1,
                 output_rows=out_rows,
                 elapsed_sec=day_elapsed,

@@ -4,6 +4,7 @@ and binarize/correlate."""
 from __future__ import annotations
 
 import numpy as np
+import pytest
 import pandas as pd
 
 from pytimetk_spark import anomalize, binarize, correlate
@@ -204,3 +205,117 @@ def test_correlate_kendall_tau_b(spark):
         exp = brute_tau_b(pdf[row["feature"]].to_numpy(), pdf["t"].to_numpy())
         np.testing.assert_allclose(row["correlation"], exp, rtol=1e-12)
     assert got["correlation"].abs().is_monotonic_decreasing
+
+
+def test_correlate_spearman_bounded_jobs_and_joins(spark):
+    """Round-3 rework: spearman must issue a BOUNDED number of Spark jobs
+    and joins regardless of column count (round 2 ran ~2 jobs + 1 join per
+    column — 200+ jobs and a 100-join plan on a 100-column funnel)."""
+    rng = np.random.RandomState(7)
+    n = 120
+
+    def probe(n_cols):
+        data = {f"c{i}": rng.randn(n).round(1) for i in range(n_cols)}
+        data["t"] = rng.randn(n)
+        sdf = spark.createDataFrame(pd.DataFrame(data))
+        sc = spark.sparkContext
+        group = f"spearman-count-{n_cols}"
+        sc.setJobGroup(group, "spearman job count probe")
+        correlate(sdf, target="t", method="spearman")
+        jobs = len(sc.statusTracker().getJobIdsForGroup(group) or [])
+        sc.setJobGroup(None, None)
+        return jobs
+
+    jobs_small, jobs_wide = probe(5), probe(100)
+    # AQE materializes each exchange/broadcast query stage as its own job,
+    # so the absolute count is ~18; the property that matters is that it
+    # does NOT grow with column count (round 2: ~2 jobs PER column → 200+)
+    assert jobs_wide <= 24, f"spearman issued {jobs_wide} jobs for 100 cols"
+    assert jobs_wide <= jobs_small + 2
+
+    # join count in the optimized plan is constant (3: bucket-offset
+    # broadcast, rank-of-x, rank-of-target broadcast)
+    data = {f"c{i}": rng.randn(n).round(1) for i in range(30)}
+    data["t"] = rng.randn(n)
+    sdf = spark.createDataFrame(pd.DataFrame(data))
+    from pytimetk_spark.operators.binarize import _spearman_paired
+
+    plan = (
+        _spearman_paired(sdf, "t")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # 3 logical joins (bucket-offset, rank-of-x, rank-of-target); the
+    # offset join appears twice physically because the ranks subtree is
+    # instantiated in both the rx and ry branches — still constant in
+    # column count (round 2 planned ONE JOIN PER COLUMN)
+    n_joins = plan.count("Join ")
+    assert n_joins <= 4, f"spearman plan has {n_joins} joins"
+    assert "SortMergeJoin" not in plan or n_joins <= 4
+
+
+def test_correlate_kendall_guards_high_cardinality(spark):
+    """kendall's contingency melt collects Σ distinct (value, target)
+    pairs to the driver; a high-cardinality column must fail fast with a
+    clear message instead of OOMing the driver."""
+    rng = np.random.RandomState(11)
+    n = 3000
+    pdf = pd.DataFrame({"hc": rng.randn(n), "t": rng.randn(n)})
+    sdf = spark.createDataFrame(pdf)
+    with pytest.raises(ValueError, match="max_pairs_per_column"):
+        correlate(sdf, target="t", method="kendall", max_pairs_per_column=500)
+    # raising the budget runs fine
+    out = correlate(
+        sdf, target="t", method="kendall", max_pairs_per_column=10_000
+    )
+    assert len(out) == 1
+
+
+def test_binarize_one_hot_flag_is_reference_noop(spark):
+    """Reference quirk (correlationfunnel.py:29,461-501): create_recipe
+    accepts ``one_hot`` but never branches on it — pd.get_dummies is
+    unconditional, so one_hot=False yields the SAME one-hot frame. Pinned
+    here by replicating the reference's public recipe kernel under both
+    flags, then asserting our binarize accepts the flag and matches."""
+
+    def reference_recipe(data, n_bins, thresh_infreq, name_infreq, one_hot):
+        # faithful replication of /root/reference/src/pytimetk/core/
+        # correlationfunnel.py:461-501 (public MIT code, cited not copied
+        # into the engine — test-only oracle)
+        recipe = pd.DataFrame()
+        num_cols = data.select_dtypes(include=["number"]).columns
+        for col in num_cols:
+            binned, bins = pd.qcut(
+                data[col], q=n_bins, retbins=True, labels=False,
+                duplicates="drop",
+            )
+            bins = bins.tolist()
+            oh = pd.get_dummies(binned)
+            names = [
+                f"{col}__{round(a, 1)}_{round(b, 1)}"
+                for a, b in zip(bins[:-1], bins[1:])
+            ]
+            oh.columns = [names[i] for i in oh.columns]
+            data = pd.concat([data, oh], axis=1).drop(columns=[col])
+        cat_cols = data.select_dtypes(include=["object", "category"]).columns
+        if len(cat_cols):
+            for col in cat_cols:
+                vc = data[col].value_counts(normalize=True)
+                infreq = vc[vc < thresh_infreq].index
+                data[col] = data[col].replace(infreq, name_infreq)
+            recipe = pd.get_dummies(data, prefix_sep="__")
+        return recipe
+
+    rng = np.random.RandomState(3)
+    pdf = pd.DataFrame(
+        {"age": rng.randint(18, 70, 200).astype(float),
+         "gender": rng.choice(["M", "F"], 200)}
+    )
+    ref_true = reference_recipe(pdf.copy(), 4, 0.01, "-OTHER", True)
+    ref_false = reference_recipe(pdf.copy(), 4, 0.01, "-OTHER", False)
+    pd.testing.assert_frame_equal(ref_true, ref_false)  # the quirk itself
+
+    sdf = spark.createDataFrame(pdf)
+    a = binarize(sdf, n_bins=4, one_hot=True).toPandas()
+    b = binarize(sdf, n_bins=4, one_hot=False).toPandas()
+    pd.testing.assert_frame_equal(a, b)
+    assert any(c.startswith("age__") for c in b.columns)

@@ -248,6 +248,45 @@ def test_run_rollup_resume_and_retention(spark, web, tmp_path):
     assert remaining >= now - dt.timedelta(days=cutoff_days)
 
 
+def test_run_rollup_resume_rebuilds_stale_coarse_tiers(spark, web, tmp_path):
+    """A run killed after the fine tier's parquet+manifests but before the
+    coarse loop must NOT leave 1d/7d permanently stale on resume — the
+    coarse manifests carry fingerprints composed from the below-tier
+    manifests, and resume reconciles them (ADVICE round-2, store.py)."""
+    import json as _json
+    import shutil as _sh
+
+    store = TierStore(str(tmp_path / "tiers"))
+    run_rollup(spark, web, store, value_col=F.length("text"))
+
+    # simulate the kill: coarse tiers + their manifests vanish, fine stays
+    for tier in ("1d", "7d"):
+        _sh.rmtree(store.tier_path(tier))
+        _sh.rmtree(store.base / "_manifests" / tier)
+    resumed = run_rollup(spark, web, store, value_col=F.length("text"))
+    assert {m.tier for m in resumed} == {"1d", "7d"}  # fine days all skipped
+    assert store.read_tier(spark, "1d").count() > 0
+    assert store.read_tier(spark, "7d").count() > 0
+
+    # a single stale coarse manifest → exactly that 1d partition (plus its
+    # 7d parent) is rewritten, nothing else
+    days = sorted(store.completed_partitions("1d"))
+    mp = store.manifest_path("1d", days[0])
+    rec = _json.loads(mp.read_text())
+    rec["input_fingerprint"] = "stale"
+    mp.write_text(_json.dumps(rec))
+    again = run_rollup(spark, web, store, value_col=F.length("text"))
+    by_tier: dict[str, list[str]] = {}
+    for m in again:
+        by_tier.setdefault(m.tier, []).append(m.partition)
+    assert "1h" not in by_tier
+    assert by_tier["1d"] == [days[0]]
+    assert len(by_tier["7d"]) == 1
+
+    # fully consistent state: resume touches nothing at any tier
+    assert run_rollup(spark, web, store, value_col=F.length("text")) == []
+
+
 def test_text_invariant_through_pipeline(spark, web, tmp_path):
     """sha256(text) per url is unchanged by rollup reads/writes (FIXTURES §1)."""
     before = (
