@@ -18,11 +18,20 @@ Python bit loop was 35% of the headline bench):
   ``minimum.reduceat``), then ALL variable-width fields are packed in one
   ``np.packbits`` pass. The bitstream stays fully compatible with the
   classic Gorilla decoder ('11' headers simply appear once per block).
-* decode: one sequential control-bit walk (cheap Python-int ops on an
-  unpacked bit list) collects field offsets/widths; the field VALUES are
-  then extracted in one vectorized ``add.reduceat`` pass and the floats
-  reconstructed with ``np.bitwise_xor.accumulate`` (prefix-XOR), so the
-  per-point Python work is a few list indexings, not bit arithmetic.
+* decode (round-3 rework — the round-2 sequential control walk capped
+  decode at ~0.06-1.5 Mpts/s): format v2 appends a per-128-point
+  super-block bit-length table (one uint16 each, ~0.016 B/pt) so every
+  super-block's control walk starts at a known bit offset with fresh
+  state — for values the encoder emits a '11' header at each 16-point
+  block's first non-zero XOR, so window state never crosses a 128-point
+  boundary; the timestamp dod prefix code is stateless. The walk then
+  runs 128 numpy steps ACROSS super-blocks instead of m Python steps
+  along the stream. Field values are extracted straight from the packed
+  bytes (9 gathered bytes assemble any ≤64-bit field, see
+  ``_extract_fields``) and floats reconstructed with
+  ``np.bitwise_xor.accumulate`` (prefix-XOR). Streams < 256 points keep
+  the cheap sequential walk (vectorization overhead would dominate);
+  v1 blocks (magic 0xA1/0xA2) still decode.
 
 These run INSIDE Arrow grouped-map UDFs (one call per url value stream);
 the distribution/shuffle strategy lives in rollup/tiers.py. Exact
@@ -38,8 +47,11 @@ import struct
 
 import numpy as np
 
-_MAGIC_TS = 0xA1  # single-byte format tags
-_MAGIC_VAL = 0xA2
+_MAGIC_TS = 0xA1  # single-byte format tags; v1 (no table) — decode only
+_MAGIC_VAL = 0xA2  # v1 value blocks (no super-block table) — decode only
+_MAGIC_VAL2 = 0xA3  # v2 value blocks: + per-super-block bit-length table
+_MAGIC_TS2 = 0xA4  # v2 timestamp blocks: + per-super-block bit-length table
+_TS_SUPER = 128  # dod fields ≤ 68 bits → 128·68 < 2^16 fits the uint16 table
 
 _U64 = np.uint64
 _M64 = (1 << 64) - 1
@@ -80,21 +92,34 @@ def _pack_chunks(vals: np.ndarray, widths: np.ndarray) -> bytes:
 
 
 def _extract_fields(
-    bits: np.ndarray, starts: np.ndarray, widths: np.ndarray
+    payload: np.ndarray, starts: np.ndarray, widths: np.ndarray
 ) -> np.ndarray:
     """Vectorized inverse of _pack_chunks: read len(starts) MSB-first
-    fields (bit offsets ``starts``, bit widths ``widths`` > 0) out of a
-    0/1 uint8 array."""
-    total = int(widths.sum())
-    if total == 0:
+    fields (bit offsets ``starts``, bit widths 1..64) straight from the
+    PACKED byte array — 9 gathered bytes cover a ≤64-bit field at any bit
+    offset, assembled into uint64 with a wrap-safe split shift (every
+    numpy shift amount stays < 64). O(9·fields) byte gathers instead of
+    the old O(total field bits) repeat/reduceat, which dominated decode."""
+    mm = len(starts)
+    if mm == 0:
         return np.empty(0, dtype=_U64)
-    ends = np.cumsum(widths)
-    st = ends - widths
-    intra = np.arange(total, dtype=np.int64) - np.repeat(st, widths)
-    bitpos = np.repeat(starts, widths) + intra
-    sh = (np.repeat(widths, widths) - 1 - intra).astype(_U64)
-    contrib = bits[bitpos].astype(_U64) << sh
-    return np.add.reduceat(contrib, st)
+    pb = np.concatenate([payload, np.zeros(9, dtype=np.uint8)])
+    B = starts >> 3
+    hi = np.zeros(mm, dtype=_U64)
+    for k in range(8):
+        hi = (hi << _U64(8)) | pb[B + k]
+    b8 = pb[B + 8].astype(_U64)
+    # field occupies bits [o, o+w) of the gathered 72-bit window
+    r = 72 - (starts & 7) - widths  # right-shift amount, always in 1..71
+    rlow = r < 8
+    r_u = r.astype(_U64)
+    lo_part = (hi << np.where(rlow, _U64(8) - r_u, _U64(0))) | (
+        b8 >> np.where(rlow, r_u, _U64(0))
+    )
+    hi_part = hi >> np.where(rlow, _U64(0), r_u - _U64(8))
+    w_u = widths.astype(_U64)
+    mask = (((_U64(1) << (w_u - _U64(1))) - _U64(1)) << _U64(1)) | _U64(1)
+    return np.where(rlow, lo_part, hi_part) & mask
 
 
 # ---------------------------------------------------------------------------
@@ -102,10 +127,15 @@ def _extract_fields(
 
 
 def encode_timestamps(ts_seconds: np.ndarray) -> bytes:
-    """Delta-of-delta encode int64 epoch seconds (must be sorted)."""
+    """Delta-of-delta encode int64 epoch seconds (must be sorted).
+
+    Format v2: a per-128-point bit-length table (big-endian uint16 each)
+    follows the two seed words, so the decoder can start every
+    super-block's control walk independently (the dod prefix code is
+    stateless, so the table alone suffices)."""
     ts = np.asarray(ts_seconds, dtype=np.int64)
     n = len(ts)
-    head = struct.pack(">BI", _MAGIC_TS, n)
+    head = struct.pack(">BI", _MAGIC_TS2, n)
     if n == 0:
         return head
     head += struct.pack(">Q", int(ts[0]) & _M64)
@@ -147,14 +177,51 @@ def encode_timestamps(ts_seconds: np.ndarray) -> bytes:
         w[c4, 1] = 64
         v[c4, 1] = zz.view(_U64) if zz.flags.owndata else zz.astype(np.int64).view(_U64)
 
+    point_bits = w.sum(axis=1)
+    sb_starts = np.arange(0, m, _TS_SUPER)
+    sb_bits = np.add.reduceat(point_bits, sb_starts).astype(">u2")
+
     wf = w.reshape(-1)
     keep = wf > 0
-    return head + _pack_chunks(v.reshape(-1)[keep], wf[keep])
+    return head + sb_bits.tobytes() + _pack_chunks(v.reshape(-1)[keep], wf[keep])
+
+
+def _ts_walk_super(bits: np.ndarray, m: int, sb_bits: np.ndarray):
+    """Vectorized dod control walk for v2 timestamp streams: the prefix
+    code is stateless, so with each super-block's start offset known from
+    the bit-length table the walk runs ``_TS_SUPER`` numpy steps ACROSS
+    super-blocks. Returns per-point (field start, width, bias offset)."""
+    nsb = len(sb_bits)
+    pb = np.concatenate([bits, np.zeros(_TS_SUPER + 8, dtype=np.uint8)])
+    pos = np.concatenate(([0], np.cumsum(sb_bits)))[:-1].astype(np.int64)
+    starts = np.zeros((nsb, _TS_SUPER), dtype=np.int64)
+    widths = np.zeros((nsb, _TS_SUPER), dtype=np.int64)
+    offs = np.zeros((nsb, _TS_SUPER), dtype=np.int64)
+    for j in range(_TS_SUPER):
+        b0 = pb[pos]
+        b1 = pb[pos + 1]
+        b2 = pb[pos + 2]
+        b3 = pb[pos + 3]
+        c0 = b0 == 0
+        c1 = ~c0 & (b1 == 0)
+        c2 = ~c0 & ~c1 & (b2 == 0)
+        c3 = ~c0 & ~c1 & ~c2 & (b3 == 0)
+        c4 = ~c0 & ~c1 & ~c2 & ~c3
+        widths[:, j] = np.select([c0, c1, c2, c3, c4], [0, 7, 9, 12, 64])
+        starts[:, j] = pos + np.select([c0, c1, c2, c3, c4], [1, 2, 3, 4, 4])
+        offs[:, j] = np.select([c1, c2, c3], [-63, -255, -2047], 0)
+        pos = pos + np.select([c0, c1, c2, c3, c4], [1, 9, 12, 16, 68])
+    return (
+        starts.reshape(-1)[:m],
+        widths.reshape(-1)[:m],
+        offs.reshape(-1)[:m],
+    )
 
 
 def decode_timestamps(blob: bytes) -> np.ndarray:
-    if blob[0] != _MAGIC_TS:
+    if blob[0] not in (_MAGIC_TS, _MAGIC_TS2):
         raise ValueError(f"bad timestamp block magic: {blob[0]:#x}")
+    v2 = blob[0] == _MAGIC_TS2
     n = int.from_bytes(blob[1:5], "big")
     out = np.empty(n, dtype=np.int64)
     if n == 0:
@@ -170,42 +237,96 @@ def decode_timestamps(blob: bytes) -> np.ndarray:
         out[1] = first + first_delta
         return out
 
-    bits = np.unpackbits(np.frombuffer(blob, dtype=np.uint8)[21:])
-    bl = bits.tolist()  # Python-int list: fastest sequential scan
     m = n - 2
-    starts = np.empty(m, dtype=np.int64)
-    widths = np.empty(m, dtype=np.int64)
-    offs = np.empty(m, dtype=np.int64)  # field → class payload offset
-    pos = 0
-    for i in range(m):
-        if bl[pos] == 0:
-            pos += 1
-            widths[i] = 0
+    off = 21
+    sb_bits = None
+    if v2:
+        nsb = (m + _TS_SUPER - 1) // _TS_SUPER
+        sb_bits = np.frombuffer(blob[21 : 21 + 2 * nsb], dtype=">u2").astype(
+            np.int64
+        )
+        off = 21 + 2 * nsb
+    payload = np.frombuffer(blob, dtype=np.uint8)[off:]
+    bits = np.unpackbits(payload)
+    L = len(bits)
+    if v2 and m >= 2 * _TS_SUPER:
+        starts, widths, offs = _ts_walk_super(bits, m, sb_bits)
+    elif not v2 and m >= 256 and L <= 16 * m:
+        # vectorized walk: the dod classes form a STATELESS prefix code,
+        # so the total field length starting at any bit position is a
+        # local function of ≤4 bits — compute it everywhere, then realize
+        # the start chain p_{k+1} = p_k + len(p_k) by pointer doubling
+        # (log2(m) gather rounds over the L-long jump table). For near-
+        # regular series L ≈ m (mostly 1-bit '0' fields); the L > 16m
+        # guard falls back to the sequential walk for escape-heavy
+        # pathological streams where doubling would touch 64× more data.
+        pb = np.concatenate([bits, np.zeros(4, dtype=np.uint8)])
+        len_at = np.where(
+            pb[:L] == 0,
+            1,
+            np.where(
+                pb[1 : L + 1] == 0,
+                9,
+                np.where(pb[2 : L + 2] == 0, 12,
+                         np.where(pb[3 : L + 3] == 0, 16, 68)),
+            ),
+        ).astype(np.int64)
+        jump = np.minimum(np.arange(L, dtype=np.int64) + len_at, L)
+        jump = np.append(jump, L)  # sink for the clip
+        P = np.zeros(1, dtype=np.int64)
+        while len(P) < m:
+            P = np.concatenate([P, jump[P]])
+            if len(P) >= m:
+                break
+            jump = jump[jump]
+        P = P[:m]
+        b0, b1 = pb[P], pb[P + 1]
+        b2, b3 = pb[P + 2], pb[P + 3]
+        c0 = b0 == 0
+        c1 = ~c0 & (b1 == 0)
+        c2 = ~c0 & ~c1 & (b2 == 0)
+        c3 = ~c0 & ~c1 & ~c2 & (b3 == 0)
+        c4 = ~c0 & ~c1 & ~c2 & ~c3
+        widths = np.select([c0, c1, c2, c3, c4], [0, 7, 9, 12, 64]).astype(
+            np.int64
+        )
+        starts = P + np.select([c0, c1, c2, c3, c4], [1, 2, 3, 4, 4])
+        offs = np.select([c1, c2, c3], [-63, -255, -2047], 0).astype(np.int64)
+    else:
+        bl = bits.tolist()  # Python-int list: fastest sequential scan
+        starts = np.empty(m, dtype=np.int64)
+        widths = np.empty(m, dtype=np.int64)
+        offs = np.empty(m, dtype=np.int64)  # field → class payload offset
+        pos = 0
+        for i in range(m):
+            if bl[pos] == 0:
+                pos += 1
+                widths[i] = 0
+                starts[i] = pos
+                offs[i] = 0
+                continue
+            if bl[pos + 1] == 0:
+                pos += 2
+                widths[i] = 7
+                offs[i] = -63
+            elif bl[pos + 2] == 0:
+                pos += 3
+                widths[i] = 9
+                offs[i] = -255
+            elif bl[pos + 3] == 0:
+                pos += 4
+                widths[i] = 12
+                offs[i] = -2047
+            else:
+                pos += 4
+                widths[i] = 64
+                offs[i] = 0  # zigzag class, handled below
             starts[i] = pos
-            offs[i] = 0
-            continue
-        if bl[pos + 1] == 0:
-            pos += 2
-            widths[i] = 7
-            offs[i] = -63
-        elif bl[pos + 2] == 0:
-            pos += 3
-            widths[i] = 9
-            offs[i] = -255
-        elif bl[pos + 3] == 0:
-            pos += 4
-            widths[i] = 12
-            offs[i] = -2047
-        else:
-            pos += 4
-            widths[i] = 64
-            offs[i] = 0  # zigzag class, handled below
-        starts[i] = pos
-        pos += widths[i]
+            pos += widths[i]
 
     dod = np.zeros(m, dtype=np.int64)
     sel = widths > 0
-    fields = _extract_fields(bits, starts[sel], widths[sel])
+    fields = _extract_fields(payload, starts[sel], widths[sel])
     wide = widths[sel] == 64
     vals = fields.view(np.int64).copy()
     # zigzag-decode the 64-bit escapes; biased small classes add offs
@@ -228,11 +349,18 @@ def decode_timestamps(blob: bytes) -> np.ndarray:
 
 
 def encode_gorilla(values: np.ndarray, block: int = 16) -> bytes:
-    """XOR-encode float64 values (Gorilla §4.1.2), block-shared windows."""
+    """XOR-encode float64 values (Gorilla §4.1.2), block-shared windows.
+
+    Format v2: after the first value, a per-``_SUPER``-point bit-length
+    table (one big-endian uint16 per super-block, ≤ 128·77 < 2^16 bits)
+    lets the decoder start every super-block independently — see the
+    module docstring. ~0.016 B/pt overhead."""
     vals = np.asarray(values, dtype=np.float64)
     bits = vals.view(_U64)
     n = len(vals)
-    head = struct.pack(">BI", _MAGIC_VAL, n)
+    if not 1 <= block <= 64:  # 8·block·77 bits must fit the uint16 table
+        raise ValueError("block must be in 1..64")
+    head = struct.pack(">BIB", _MAGIC_VAL2, n, block)
     if n == 0:
         return head
     head += struct.pack(">Q", int(bits[0]))
@@ -285,26 +413,22 @@ def encode_gorilla(values: np.ndarray, block: int = 16) -> bytes:
     w[reuse, 1] = pm[reuse]
     v[reuse, 1] = xors[reuse] >> pt[reuse]
 
+    super_pts = block * 8  # window state is block-local, so any multiple
+    point_bits = w.sum(axis=1)
+    sb_starts = np.arange(0, m, super_pts)
+    sb_bits = np.add.reduceat(point_bits, sb_starts).astype(">u2")
+
     wf = w.reshape(-1)
     keep = wf > 0
-    return head + _pack_chunks(v.reshape(-1)[keep], wf[keep])
+    return (
+        head + sb_bits.tobytes() + _pack_chunks(v.reshape(-1)[keep], wf[keep])
+    )
 
 
-def decode_gorilla(blob: bytes) -> np.ndarray:
-    if blob[0] != _MAGIC_VAL:
-        raise ValueError(f"bad value block magic: {blob[0]:#x}")
-    n = int.from_bytes(blob[1:5], "big")
-    out = np.empty(n, dtype=_U64)
-    if n == 0:
-        return out.view(np.float64)
-    first = int.from_bytes(blob[5:13], "big")
-    out[0] = first
-    if n == 1:
-        return out.view(np.float64)
-
-    bits = np.unpackbits(np.frombuffer(blob, dtype=np.uint8)[13:])
+def _gorilla_walk_seq(bits: np.ndarray, m: int):
+    """Sequential control walk (v1 streams and short v2 streams):
+    returns per-point (field start, width, left-shift) arrays."""
     bl = bits.tolist()
-    m = n - 1
     starts = np.empty(m, dtype=np.int64)
     widths = np.empty(m, dtype=np.int64)
     shifts = np.empty(m, dtype=np.int64)
@@ -334,10 +458,107 @@ def decode_gorilla(blob: bytes) -> np.ndarray:
         widths[i] = mean
         shifts[i] = 64 - lead - mean
         pos += mean
+    return starts, widths, shifts
 
+
+def _gorilla_walk_super(
+    bits: np.ndarray, m: int, sb_bits: np.ndarray, super_pts: int
+):
+    """Vectorized control walk for v2 streams: every super-block starts at
+    a known bit offset (cumsum of the length table) with fresh window
+    state — the encoder emits a '11' header at each block's first
+    non-zero XOR and super-blocks are whole multiples of blocks — so the
+    walk runs ``super_pts`` numpy steps ACROSS super-blocks instead of m
+    Python steps along the stream."""
+    nsb = len(sb_bits)
+    # pad: the LAST super-block's walk keeps stepping (1 bit per step)
+    # after its final field, plus 12 look-ahead bits for the header parse.
+    # pb stays uint8 (gathered values ≤ 64 fit) — upcasting the whole bit
+    # array to int64 was 8× the memory traffic for nothing.
+    pb = np.concatenate([bits, np.zeros(super_pts + 16, dtype=np.uint8)])
+    pos = np.concatenate(([0], np.cumsum(sb_bits)))[:-1].astype(np.int64)
+    lead = np.zeros(nsb, dtype=np.int64)
+    mean = np.zeros(nsb, dtype=np.int64)
+    starts = np.zeros((nsb, super_pts), dtype=np.int64)
+    widths = np.zeros((nsb, super_pts), dtype=np.int64)
+    shifts = np.zeros((nsb, super_pts), dtype=np.int64)
+    for j in range(super_pts):
+        nz = pb[pos] == 1
+        hdr = nz & (pb[pos + 1] == 1)
+        lead_new = (
+            (pb[pos + 2] << 4) | (pb[pos + 3] << 3) | (pb[pos + 4] << 2)
+            | (pb[pos + 5] << 1) | pb[pos + 6]
+        )
+        mean_new = (
+            (pb[pos + 7] << 5) | (pb[pos + 8] << 4) | (pb[pos + 9] << 3)
+            | (pb[pos + 10] << 2) | (pb[pos + 11] << 1) | pb[pos + 12]
+        ) + 1
+        lead = np.where(hdr, lead_new, lead)
+        mean = np.where(hdr, mean_new, mean)
+        starts[:, j] = np.where(nz, np.where(hdr, pos + 13, pos + 2), pos + 1)
+        widths[:, j] = np.where(nz, mean, 0)
+        shifts[:, j] = 64 - lead - mean
+        pos = np.where(
+            ~nz, pos + 1, np.where(hdr, pos + 13 + mean, pos + 2 + mean)
+        )
+    return (
+        starts.reshape(-1)[:m],
+        widths.reshape(-1)[:m],
+        shifts.reshape(-1)[:m],
+    )
+
+
+def decode_gorilla(blob: bytes) -> np.ndarray:
+    if blob[0] == _MAGIC_VAL2:
+        return _decode_gorilla_v2(blob)
+    if blob[0] != _MAGIC_VAL:
+        raise ValueError(f"bad value block magic: {blob[0]:#x}")
+    n = int.from_bytes(blob[1:5], "big")
+    out = np.empty(n, dtype=_U64)
+    if n == 0:
+        return out.view(np.float64)
+    first = int.from_bytes(blob[5:13], "big")
+    out[0] = first
+    if n == 1:
+        return out.view(np.float64)
+
+    payload = np.frombuffer(blob, dtype=np.uint8)[13:]
+    bits = np.unpackbits(payload)
+    m = n - 1
+    starts, widths, shifts = _gorilla_walk_seq(bits, m)
+    return _gorilla_finish(out, payload, starts, widths, shifts)
+
+
+def _decode_gorilla_v2(blob: bytes) -> np.ndarray:
+    n = int.from_bytes(blob[1:5], "big")
+    block = blob[5]
+    out = np.empty(n, dtype=_U64)
+    if n == 0:
+        return out.view(np.float64)
+    first = int.from_bytes(blob[6:14], "big")
+    out[0] = first
+    if n == 1:
+        return out.view(np.float64)
+    m = n - 1
+    super_pts = block * 8
+    nsb = (m + super_pts - 1) // super_pts
+    sb_bits = np.frombuffer(
+        blob[14 : 14 + 2 * nsb], dtype=">u2"
+    ).astype(np.int64)
+    payload = np.frombuffer(blob, dtype=np.uint8)[14 + 2 * nsb :]
+    bits = np.unpackbits(payload)
+    if m < 2 * super_pts:
+        starts, widths, shifts = _gorilla_walk_seq(bits, m)
+    else:
+        starts, widths, shifts = _gorilla_walk_super(bits, m, sb_bits, super_pts)
+    return _gorilla_finish(out, payload, starts, widths, shifts)
+
+
+def _gorilla_finish(out, payload, starts, widths, shifts):
+    m = len(starts)
     xor_arr = np.zeros(m, dtype=_U64)
     sel = widths > 0
-    fields = _extract_fields(bits, starts[sel], widths[sel])
+    fields = _extract_fields(payload, starts[sel], widths[sel])
     xor_arr[sel] = fields << shifts[sel].astype(_U64)
     out[1:] = xor_arr
     return np.bitwise_xor.accumulate(out).view(np.float64)

@@ -36,9 +36,11 @@ from pytimetk_spark.sources.webpages import generate_webpages
 
 
 def test_codec_roundtrip_fuzz():
+    # n up to 3000 so the vectorized super-block walks (≥256 points) are
+    # exercised alongside the short-stream sequential fallback
     rng = np.random.RandomState(42)
     for trial in range(100):
-        n = rng.randint(0, 400)
+        n = rng.randint(0, 3000)
         ts = np.cumsum(rng.randint(1, 10**6, size=n)).astype(np.int64) + 1_600_000_000
         assert np.array_equal(ts, decode_timestamps(encode_timestamps(ts)))
         vals = rng.randn(n) * 10.0 ** rng.randint(-5, 8)
@@ -47,6 +49,28 @@ def test_codec_roundtrip_fuzz():
             vals[rng.randint(0, n)] = np.inf
             vals[0] = 0.0
         back = decode_gorilla(encode_gorilla(vals))
+        assert np.array_equal(vals.view(np.uint64), back.view(np.uint64))
+
+
+def test_codec_v1_blocks_still_decode():
+    # v1 layout = v2 minus the super-block bit-length table; historical
+    # tier blobs written before the v2 format must keep decoding
+    import struct
+
+    from pytimetk_spark.rollup import compression as C
+
+    rng = np.random.RandomState(7)
+    for n in (3, 100, 700, 2000):
+        ts = np.cumsum(rng.randint(1, 10**5, size=n)).astype(np.int64)
+        tb = C.encode_timestamps(ts)
+        nsb = ((n - 2) + C._TS_SUPER - 1) // C._TS_SUPER
+        v1 = struct.pack(">BI", C._MAGIC_TS, n) + tb[5:21] + tb[21 + 2 * nsb :]
+        assert np.array_equal(ts, C.decode_timestamps(v1))
+        vals = np.cumsum(rng.randn(n))
+        vb = C.encode_gorilla(vals)
+        nsb = ((n - 1) + 127) // 128
+        v1 = struct.pack(">BI", C._MAGIC_VAL, n) + vb[6:14] + vb[14 + 2 * nsb :]
+        back = C.decode_gorilla(v1)
         assert np.array_equal(vals.view(np.uint64), back.view(np.uint64))
 
 
