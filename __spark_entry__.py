@@ -302,6 +302,61 @@ def q_roc(spark, sf_dir):
     return _r6(out, "value", "value_roc_0_5")
 
 
+def _ohlc(spark, sf_dir):
+    """Deterministic OHLC synth over events: dyadic (0.5·k) offsets from
+    user_id, so Spark and DuckDB compute bit-identical high/low doubles."""
+    ev = _events(spark, sf_dir).select("user_id", "ts", "value")
+    return ev.withColumn(
+        "high", F.col("value") + 0.5 * ((F.col("user_id") % 7) + 1)
+    ).withColumn("low", F.col("value") - 0.5 * ((F.col("user_id") % 5) + 1))
+
+
+def q_atr(spark, sf_dir):
+    out = tk.augment_atr(
+        _ohlc(spark, sf_dir), "ts", "high", "low", "value",
+        periods=14, group_cols=["user_id"],
+    )
+    out = out.select("user_id", "ts", "value", "high", "low", "value_atr_14")
+    return _r6(out, "value", "high", "low", "value_atr_14")
+
+
+def q_cmo(spark, sf_dir):
+    ev = _events(spark, sf_dir).select("user_id", "ts", "value")
+    out = tk.augment_cmo(ev, "ts", "value", periods=14, group_cols=["user_id"])
+    return _r6(out, "value", "value_cmo_14")
+
+
+def q_stochastic(spark, sf_dir):
+    out = tk.augment_stochastic_oscillator(
+        _ohlc(spark, sf_dir), "ts", "high", "low", "value",
+        k_periods=14, d_periods=3, group_cols=["user_id"],
+    )
+    out = out.select(
+        "user_id", "ts", "value", "value_stoch_k_14", "value_stoch_d_14_3"
+    )
+    return _r6(out, "value", "value_stoch_k_14", "value_stoch_d_14_3")
+
+
+def q_fourier(spark, sf_dir):
+    ev = _events(spark, sf_dir).select("user_id", "ts", "value")
+    out = tk.augment_fourier(
+        ev, "ts", periods=[24, 168], max_order=1, group_cols=["user_id"]
+    )
+    out = out.select(
+        "user_id", "ts", "ts_sin_1_24", "ts_cos_1_24",
+        "ts_sin_1_168", "ts_cos_1_168",
+    )
+    return _r6(out, "ts_sin_1_24", "ts_cos_1_24", "ts_sin_1_168", "ts_cos_1_168")
+
+
+def q_holiday_signature(spark, sf_dir):
+    ev = _events(spark, sf_dir).select("ts")
+    out = tk.augment_holiday_signature(ev, "ts", country="US")
+    return out.select(
+        "ts", "is_holiday", "before_holiday", "after_holiday", "holiday_name"
+    )
+
+
 # --- webtext: dedup / similarity / text analysis ---
 
 
@@ -613,6 +668,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "finance_drawdown": q_drawdown,
         "finance_bbands": q_bbands,
         "finance_roc": q_roc,
+        "finance_atr": q_atr,
+        "finance_cmo": q_cmo,
+        "finance_stochastic": q_stochastic,
+        "augment_fourier": q_fourier,
+        "holiday_signature": q_holiday_signature,
         "dedup_exact": q_dedup_exact,
         "token_stats": q_token_stats,
         "language_scores": q_language_scores,
@@ -634,6 +694,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anomalize": q_anomalize,
         "gorilla_roundtrip": q_gorilla_roundtrip,
     }
+
+
+def _holiday_oracle_sql() -> str:
+    """DuckDB mirror of augment_holiday_signature(country='US'): the same
+    deterministic OPM-rule calendar is inlined as VALUES over a superset
+    of years (extra years can't change a left join on the data's dates)."""
+    from pytimetk_spark.operators.signatures import _us_federal_holidays
+
+    rows = [(d, n) for y in range(2015, 2036) for d, n in _us_federal_holidays(y)]
+    vals = ", ".join(
+        "(DATE '{}', '{}')".format(d.isoformat(), n.replace("'", "''"))
+        for d, n in rows
+    )
+    return f"""
+        WITH dim(holiday_date, holiday_name) AS (VALUES {vals}),
+        nextd AS (SELECT DISTINCT holiday_date - 1 AS d FROM dim),
+        prevd AS (SELECT DISTINCT holiday_date + 1 AS d FROM dim)
+        SELECT e.ts,
+               CASE WHEN dm.holiday_name IS NOT NULL THEN 1 ELSE 0 END
+                 AS is_holiday,
+               CASE WHEN nx.d IS NOT NULL THEN 1 ELSE 0 END AS before_holiday,
+               CASE WHEN pv.d IS NOT NULL THEN 1 ELSE 0 END AS after_holiday,
+               dm.holiday_name
+        FROM events e
+        LEFT JOIN dim dm ON dm.holiday_date = CAST(e.ts AS DATE)
+        LEFT JOIN nextd nx ON nx.d = CAST(e.ts AS DATE)
+        LEFT JOIN prevd pv ON pv.d = CAST(e.ts AS DATE)
+    """
 
 
 def _minhash_oracle_sql() -> str:
@@ -1286,6 +1374,92 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts)
         """,
+        # OHLC synth mirrors q_atr/q_stochastic's dyadic offsets exactly
+        "finance_atr": """
+            WITH base AS (
+              SELECT user_id, ts, value,
+                     value + 0.5 * ((user_id % 7) + 1) AS high,
+                     value - 0.5 * ((user_id % 5) + 1) AS low
+              FROM events),
+            tr AS (
+              SELECT user_id, ts, value, high, low,
+                     greatest(high - low,
+                              abs(high - lag(value) OVER w),
+                              abs(low - lag(value) OVER w)) AS tr
+              FROM base
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts))
+            SELECT user_id, ts, round(value, 6) AS value,
+                   round(high, 6) AS high, round(low, 6) AS low,
+                   round(avg(tr) OVER wa, 6) AS value_atr_14
+            FROM tr
+            WINDOW wa AS (PARTITION BY user_id ORDER BY ts
+                          ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+        """,
+        "finance_cmo": """
+            WITH d AS (
+              SELECT user_id, ts, value,
+                     value - lag(value) OVER (PARTITION BY user_id
+                                              ORDER BY ts) AS delta
+              FROM events),
+            g AS (
+              SELECT user_id, ts, value,
+                     CASE WHEN delta > 0 THEN delta ELSE 0 END AS gain,
+                     CASE WHEN delta < 0 THEN -delta ELSE 0 END AS loss
+              FROM d)
+            SELECT user_id, ts, round(value, 6) AS value,
+                   round(CASE WHEN count(*) OVER w >= 14
+                         THEN 100 * (sum(gain) OVER w - sum(loss) OVER w)
+                              / (sum(gain) OVER w + sum(loss) OVER w)
+                         END, 6) AS value_cmo_14
+            FROM g
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                         ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+        """,
+        "finance_stochastic": """
+            WITH base AS (
+              SELECT user_id, ts, value,
+                     value + 0.5 * ((user_id % 7) + 1) AS high,
+                     value - 0.5 * ((user_id % 5) + 1) AS low
+              FROM events),
+            k AS (
+              SELECT user_id, ts, value,
+                     100 * (value - min(low) OVER wk)
+                         / (max(high) OVER wk - min(low) OVER wk) AS k14
+              FROM base
+              WINDOW wk AS (PARTITION BY user_id ORDER BY ts
+                            ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+            SELECT user_id, ts, round(value, 6) AS value,
+                   round(k14, 6) AS value_stoch_k_14,
+                   round(avg(k14) OVER wd, 6) AS value_stoch_d_14_3
+            FROM k
+            WINDOW wd AS (PARTITION BY user_id ORDER BY ts
+                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        """,
+        # t = (epoch − per-group min epoch) / exact interpolated median diff;
+        # the 2πk literal is inlined so the multiply/divide order matches
+        # the Spark expression tree op-for-op
+        "augment_fourier": """
+            WITH s AS (
+              SELECT user_id, ts, epoch(ts) AS tsec,
+                     epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id
+                                                      ORDER BY ts) AS diff
+              FROM events),
+            st AS (
+              SELECT user_id, min(tsec) AS min_ts,
+                     quantile_cont(diff, 0.5) AS med
+              FROM s GROUP BY user_id)
+            SELECT s.user_id, s.ts,
+              round(sin((6.283185307179586 * ((tsec - min_ts) / med)) / 24), 6)
+                AS ts_sin_1_24,
+              round(cos((6.283185307179586 * ((tsec - min_ts) / med)) / 24), 6)
+                AS ts_cos_1_24,
+              round(sin((6.283185307179586 * ((tsec - min_ts) / med)) / 168), 6)
+                AS ts_sin_1_168,
+              round(cos((6.283185307179586 * ((tsec - min_ts) / med)) / 168), 6)
+                AS ts_cos_1_168
+            FROM s JOIN st ON s.user_id = st.user_id
+        """,
+        "holiday_signature": _holiday_oracle_sql(),
         "dedup_exact": """
             SELECT d.* FROM documents d
             JOIN (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text) k

@@ -78,30 +78,31 @@ def streaming_running_ewm(
             w, y = state.get
         else:
             w, y = 0.0, 0.0
-        frames = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values("__ts__").reset_index(drop=True)
-            vals = pdf["__v__"].to_numpy(dtype=np.float64)
-            out = np.empty(len(vals))
-            for i, x in enumerate(vals):
-                # adjusted-EWM fold: y_t = (w·(1-α)·y_{t-1} + x) / (w·(1-α) + 1)
-                wk = w * keep
-                y = (wk * y + x) / (wk + 1.0)
-                w = wk + 1.0
-                out[i] = y
-            frames.append(
-                pd.DataFrame(
-                    {
-                        "url": key[0],
-                        "ts": pdf["__ts__"],
-                        "value": vals,
-                        out_col: out,
-                    }
-                )
-            )
+        # one group's micro-batch rows may span several Arrow chunks;
+        # materialize and sort ONCE so the fold runs in event-time order
+        # across chunk boundaries (a group's per-batch rows are small)
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            state.update((float(w), float(y)))
+            return
+        pdf = pd.concat(chunks, ignore_index=True).sort_values("__ts__")
+        vals = pdf["__v__"].to_numpy(dtype=np.float64)
+        out = np.empty(len(vals))
+        for i, x in enumerate(vals):
+            # adjusted-EWM fold: y_t = (w·(1-α)·y_{t-1} + x) / (w·(1-α) + 1)
+            wk = w * keep
+            y = (wk * y + x) / (wk + 1.0)
+            w = wk + 1.0
+            out[i] = y
         state.update((float(w), float(y)))
-        if frames:
-            yield pd.concat(frames, ignore_index=True)
+        yield pd.DataFrame(
+            {
+                "url": key[0],
+                "ts": pdf["__ts__"].to_numpy(),
+                "value": vals,
+                out_col: out,
+            }
+        )
 
     src = stream_df.select(
         F.col(url_col).alias("url"),
