@@ -517,11 +517,11 @@ def q_ts_features(spark, sf_dir):
     out = ts_features(daily, "ts", "value", group_cols=["event_type"], period=7)
     out = out.select(
         "event_type", "n_obs", "mean", "std", "acf1", "acf10_sumsq",
-        "hurst", "lumpiness", "stability",
+        "hurst", "lumpiness", "stability", "crossing_points", "flat_spots",
     )
     return _r6(
         out, "n_obs", "mean", "std", "acf1", "acf10_sumsq", "hurst",
-        "lumpiness", "stability",
+        "lumpiness", "stability", "crossing_points", "flat_spots",
     )
 
 
@@ -594,6 +594,106 @@ def q_regime_detection(spark, sf_dir):
             F.when(lab.isNotNull() & ~lab.isin(0.0, 1.0), 1).otherwise(0)
         ).alias("n_invalid_labels"),
     )
+
+
+def q_pct_change(spark, sf_dir):
+    ev = _events(spark, sf_dir).select("user_id", "ts", "value")
+    out = tk.augment_pct_change(
+        ev, "ts", "value", periods=[1, 7], group_cols=["user_id"]
+    )
+    return _r6(out, "value", "value_pctdiff_1", "value_pctdiff_7")
+
+
+def q_rsi(spark, sf_dir):
+    """SMA-gain/SMA-loss RSI is pure window SQL, including the reference's
+    zero-loss → 100.0 quirk (both sides replicate finance/rsi.py:381-396)."""
+    ev = _events(spark, sf_dir).select("user_id", "ts", "value")
+    out = tk.augment_rsi(ev, "ts", "value", periods=14, group_cols=["user_id"])
+    return _r6(out, "value", "value_rsi_14")
+
+
+def q_macd(spark, sf_dir):
+    """Engine runs the pandas EMA(adjust=False) recurrence; the oracle uses
+    the scale-safe closed form (all power() exponents are ≥ 0):
+    y_t = α·Σ_{b>0}(1−α)^{t-b}·x_b + (1−α)^t·x_0, applied twice (the signal
+    line is an EMA OVER the macd line, so the oracle self-joins twice)."""
+    ev = _events(spark, sf_dir).select("user_id", "ts", "value")
+    out = tk.augment_macd(
+        ev, "ts", "value", fast_period=12, slow_period=26, signal_period=9,
+        group_cols=["user_id"],
+    )
+    out = _r6(out, "value")
+    return _i4(
+        out, "value_macd_line_12_26_9", "value_macd_signal_line_12_26_9",
+        "value_macd_histogram_12_26_9",
+    )
+
+
+def q_ewma_vol(spark, sf_dir):
+    """EWM(α=1−λ, adjust=True, min_periods=w) of squared log returns; the
+    oracle is the normalized-weights closed form over non-null returns
+    (ignore_na=False ⇒ weights decay by ABSOLUTE position: (1−α)^{t-b})."""
+    ev = _events(spark, sf_dir).select("user_id", "ts", "value")
+    out = tk.augment_ewma_volatility(
+        ev, "ts", "value", windows=10, decay_factor=0.94, group_cols=["user_id"]
+    )
+    out = _r6(out, "value")
+    return _i4(out, "value_ewma_vol_10_0.94", scale=640000)
+
+
+def q_correlate_pearson(spark, sf_dir):
+    """correlate() collects one aggregate row (reference returns an
+    in-memory funnel frame); re-lifted to a DataFrame for the contract."""
+    li = _lineitem(spark, sf_dir).select(
+        "l_quantity", "l_discount", "l_tax", "l_extendedprice"
+    )
+    pdf = tk.correlate(li, "l_extendedprice", method="pearson")
+    sdf = _prep(spark).createDataFrame(pdf[["feature", "correlation"]])
+    return _i4(sdf, "correlation", scale=640000)
+
+
+def q_correlate_spearman(spark, sf_dir):
+    """Single-pass spearman (sketch-bucketed exact average ranks) vs the
+    oracle's direct avg-rank windows — both are EXACT tie-average ranks."""
+    li = _lineitem(spark, sf_dir).select(
+        "l_quantity", "l_discount", "l_tax", "l_extendedprice"
+    )
+    pdf = tk.correlate(li, "l_extendedprice", method="spearman")
+    sdf = _prep(spark).createDataFrame(pdf[["feature", "correlation"]])
+    return _i4(sdf, "correlation", scale=640000)
+
+
+def q_datetime_rounding(spark, sf_dir):
+    """floor_date / ceil_date / week_of_month scalar surface
+    (functions/datetime.py:264,279,323 — reference
+    datetime_helpers.py:336-465,489-547,721-733)."""
+    from pytimetk_spark.functions.datetime import (
+        ceil_date,
+        floor_date,
+        week_of_month,
+    )
+
+    ev = _events(spark, sf_dir).select("event_id", "ts")
+    ts = F.col("ts").cast("timestamp")
+    return ev.select(
+        "event_id",
+        "ts",
+        floor_date(ts, "15min").alias("floor_15min"),
+        ceil_date(ts, "h").alias("ceil_hour"),
+        floor_date(ts, "W").alias("floor_week"),
+        floor_date(ts, "M").alias("floor_month"),
+        floor_date(ts, "Q").alias("floor_quarter"),
+        ceil_date(ts, "M").alias("ceil_month"),
+        week_of_month(ts).alias("wom"),
+    )
+
+
+def q_weekday_sequence(spark, sf_dir):
+    _prep(spark)
+    out = tk.make_weekday_sequence(spark, "2024-01-01", "2024-12-31")
+    # DATE → TIMESTAMP for the compare layer (pandas DATE arrives as
+    # object dtype; midnight timestamps hash identically on both sides)
+    return out.select(F.col("date").cast("timestamp").alias("date"))
 
 
 # --- non-SQL-expressible (rows-only check) ---
@@ -671,6 +771,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "finance_atr": q_atr,
         "finance_cmo": q_cmo,
         "finance_stochastic": q_stochastic,
+        "finance_rsi": q_rsi,
+        "finance_macd": q_macd,
+        "finance_ewma_volatility": q_ewma_vol,
+        "augment_pct_change": q_pct_change,
+        "correlate_pearson": q_correlate_pearson,
+        "correlate_spearman": q_correlate_spearman,
+        "datetime_rounding": q_datetime_rounding,
+        "weekday_sequence": q_weekday_sequence,
         "augment_fourier": q_fourier,
         "holiday_signature": q_holiday_signature,
         "dedup_exact": q_dedup_exact,
@@ -1005,7 +1113,42 @@ def oracle_sql() -> dict[str, str]:
             lump AS (SELECT event_type,
                             var_pop(tvar) AS lumpiness,
                             var_pop(tmean) AS stability
-                     FROM tile GROUP BY 1)
+                     FROM tile GROUP BY 1),
+            -- crossing_points: median crossings (ab = v <= median)
+            med AS (SELECT event_type, median(v) AS med
+                    FROM daily GROUP BY 1),
+            ab AS (SELECT d.event_type, d.rn,
+                          CAST(d.v <= med.med AS INT) AS ab
+                   FROM d JOIN med USING (event_type)),
+            abl AS (SELECT event_type, ab,
+                           lag(ab) OVER (PARTITION BY event_type
+                                         ORDER BY rn) AS pab
+                    FROM ab),
+            cross_pts AS (SELECT event_type,
+                                 sum(CASE WHEN ab <> pab THEN 1 ELSE 0 END)
+                                   AS crossing_points
+                          FROM abl GROUP BY 1),
+            -- flat_spots: longest run of the 10-bin equal-width discretized v
+            rng2 AS (SELECT event_type, min(v) AS vmin, max(v) AS vmax
+                     FROM daily GROUP BY 1),
+            binned AS (SELECT d.event_type, d.rn,
+                              least(CAST(floor((d.v - r.vmin)
+                                    / (r.vmax - r.vmin) * 10) AS INT), 9) AS bin
+                       FROM d JOIN rng2 r USING (event_type)
+                       WHERE r.vmax > r.vmin),
+            binl AS (SELECT event_type, rn, bin,
+                            lag(bin) OVER (PARTITION BY event_type
+                                           ORDER BY rn) AS pbin
+                     FROM binned),
+            isl AS (SELECT event_type, rn, bin,
+                           sum(CASE WHEN pbin IS NULL OR bin <> pbin
+                               THEN 1 ELSE 0 END)
+                             OVER (PARTITION BY event_type ORDER BY rn) AS grp
+                    FROM binl),
+            flat AS (SELECT event_type, max(run) AS flat_spots
+                     FROM (SELECT event_type, grp, count(*) AS run
+                           FROM isl GROUP BY 1, 2)
+                     GROUP BY 1)
             SELECT base.event_type,
                    round(base.n_obs, 6) AS n_obs,
                    round(base.mean, 6) AS mean,
@@ -1014,11 +1157,15 @@ def oracle_sql() -> dict[str, str]:
                    round(acfs.acf10_sumsq, 6) AS acf10_sumsq,
                    round(hurst.hurst, 6) AS hurst,
                    round(lump.lumpiness, 6) AS lumpiness,
-                   round(lump.stability, 6) AS stability
+                   round(lump.stability, 6) AS stability,
+                   round(cross_pts.crossing_points, 6) AS crossing_points,
+                   round(flat.flat_spots, 6) AS flat_spots
             FROM base
             JOIN acfs USING (event_type)
             JOIN hurst USING (event_type)
             JOIN lump USING (event_type)
+            JOIN cross_pts USING (event_type)
+            JOIN flat USING (event_type)
         """,
         "apply_by_time_lambdas": """
             SELECT event_type,
@@ -1540,6 +1687,170 @@ def oracle_sql() -> dict[str, str]:
             FROM r a JOIN r b
               ON a.user_id = b.user_id AND b.t BETWEEN a.t - 255 AND a.t
             GROUP BY a.user_id, a.ts, a.value, a.t
+        """,
+        "augment_pct_change": """
+            SELECT user_id, ts, round(value, 6) AS value,
+                   round(CASE WHEN lag(value, 1) OVER w <> 0
+                              THEN value / lag(value, 1) OVER w - 1 END, 6)
+                     AS value_pctdiff_1,
+                   round(CASE WHEN lag(value, 7) OVER w <> 0
+                              THEN value / lag(value, 7) OVER w - 1 END, 6)
+                     AS value_pctdiff_7
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        """,
+        "finance_rsi": """
+            WITH d AS (
+              SELECT user_id, ts, value,
+                     value - lag(value) OVER (PARTITION BY user_id
+                                              ORDER BY ts) AS delta
+              FROM events),
+            g AS (
+              SELECT user_id, ts, value,
+                     CASE WHEN delta > 0 THEN delta ELSE 0 END AS gain,
+                     CASE WHEN delta < 0 THEN -delta ELSE 0 END AS loss
+              FROM d),
+            w AS (
+              SELECT user_id, ts, value,
+                     avg(gain) OVER win AS ag, avg(loss) OVER win AS al,
+                     count(*) OVER win AS cnt
+              FROM g
+              WINDOW win AS (PARTITION BY user_id ORDER BY ts
+                             ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+            SELECT user_id, ts, round(value, 6) AS value,
+                   round(CASE WHEN cnt < 14 THEN NULL
+                              WHEN al = 0 THEN
+                                CASE WHEN ag <> 0 THEN 100.0 END
+                              ELSE 100 - 100 / (1 + ag / al) END, 6)
+                     AS value_rsi_14
+            FROM w
+        """,
+        "finance_macd": """
+            -- closed-form EMA(adjust=False): y_t = a·Σ_{b≥1}(1-a)^{t-b}x_b
+            -- + (1-a)^t·x_0. Exact (no truncation) and scale-safe: every
+            -- power() exponent is ≥ 0 so terms only decay. The signal line
+            -- is an EMA OVER the macd line → second self-join.
+            WITH r AS (
+              SELECT user_id, ts, value,
+                     row_number() OVER (PARTITION BY user_id ORDER BY ts) - 1
+                       AS t
+              FROM events),
+            ml AS (
+              SELECT a.user_id, a.ts, a.value, a.t,
+                     sum(b.value *
+                         (CASE WHEN b.t = 0 THEN power(11.0/13, a.t)
+                               ELSE (2.0/13) * power(11.0/13, a.t - b.t) END
+                        - CASE WHEN b.t = 0 THEN power(25.0/27, a.t)
+                               ELSE (2.0/27) * power(25.0/27, a.t - b.t) END))
+                       AS ml
+              FROM r a JOIN r b
+                ON a.user_id = b.user_id AND b.t <= a.t
+              GROUP BY a.user_id, a.ts, a.value, a.t),
+            sl AS (
+              SELECT a.user_id, a.ts, a.value, a.ml,
+                     sum(b.ml * CASE WHEN b.t = 0 THEN power(0.8, a.t)
+                                     ELSE 0.2 * power(0.8, a.t - b.t) END)
+                       AS sl
+              FROM ml a JOIN ml b
+                ON a.user_id = b.user_id AND b.t <= a.t
+              GROUP BY a.user_id, a.ts, a.value, a.ml)
+            SELECT user_id, ts, round(value, 6) AS value,
+                   CAST(floor(ml * 10000 + 0.5) AS BIGINT)
+                     AS value_macd_line_12_26_9,
+                   CAST(floor(sl * 10000 + 0.5) AS BIGINT)
+                     AS value_macd_signal_line_12_26_9,
+                   CAST(floor((ml - sl) * 10000 + 0.5) AS BIGINT)
+                     AS value_macd_histogram_12_26_9
+            FROM sl
+        """,
+        "finance_ewma_volatility": """
+            -- EWM(adjust=True, ignore_na=False) of squared log returns:
+            -- weights (1-a)^{t-b} by ABSOLUTE position over non-null
+            -- returns, normalized; min_periods=10 non-null observations.
+            WITH r AS (
+              SELECT user_id, ts, value,
+                     row_number() OVER (PARTITION BY user_id ORDER BY ts) - 1
+                       AS t,
+                     CASE WHEN value > 0
+                           AND lag(value) OVER (PARTITION BY user_id
+                                                ORDER BY ts) > 0
+                          THEN ln(value / lag(value)
+                                  OVER (PARTITION BY user_id ORDER BY ts))
+                     END AS lr
+              FROM events),
+            v AS (
+              SELECT a.user_id, a.ts, a.value,
+                     sum(b.lr * b.lr * power(0.94, a.t - b.t))
+                       / sum(power(0.94, a.t - b.t)) AS var,
+                     count(b.lr) AS nobs
+              FROM r a LEFT JOIN r b
+                ON a.user_id = b.user_id AND b.t <= a.t AND b.lr IS NOT NULL
+              GROUP BY a.user_id, a.ts, a.value, a.t)
+            SELECT user_id, ts, round(value, 6) AS value,
+                   CASE WHEN nobs >= 10
+                        THEN CAST(floor(sqrt(var) * 640000 + 0.5) AS BIGINT)
+                   END AS "value_ewma_vol_10_0.94"
+            FROM v
+        """,
+        "correlate_pearson": """
+            SELECT 'l_quantity' AS feature,
+                   CAST(floor(corr(l_quantity, l_extendedprice) * 640000
+                        + 0.5) AS BIGINT) AS correlation FROM lineitem
+            UNION ALL
+            SELECT 'l_discount',
+                   CAST(floor(corr(l_discount, l_extendedprice) * 640000
+                        + 0.5) AS BIGINT) FROM lineitem
+            UNION ALL
+            SELECT 'l_tax',
+                   CAST(floor(corr(l_tax, l_extendedprice) * 640000
+                        + 0.5) AS BIGINT) FROM lineitem
+        """,
+        "correlate_spearman": """
+            -- spearman-with-ties = pearson over tie-averaged ranks;
+            -- avg(row_number) partitioned by value = average rank
+            WITH rk AS (
+              SELECT avg(rq)  OVER (PARTITION BY l_quantity)      AS rq,
+                     avg(rd)  OVER (PARTITION BY l_discount)      AS rd,
+                     avg(rx)  OVER (PARTITION BY l_tax)           AS rx,
+                     avg(ry)  OVER (PARTITION BY l_extendedprice) AS ry
+              FROM (SELECT l_quantity, l_discount, l_tax, l_extendedprice,
+                           row_number() OVER (ORDER BY l_quantity)      AS rq,
+                           row_number() OVER (ORDER BY l_discount)      AS rd,
+                           row_number() OVER (ORDER BY l_tax)           AS rx,
+                           row_number() OVER (ORDER BY l_extendedprice) AS ry
+                    FROM lineitem))
+            SELECT 'l_quantity' AS feature,
+                   CAST(floor(corr(rq, ry) * 640000 + 0.5) AS BIGINT)
+                     AS correlation FROM rk
+            UNION ALL
+            SELECT 'l_discount',
+                   CAST(floor(corr(rd, ry) * 640000 + 0.5) AS BIGINT) FROM rk
+            UNION ALL
+            SELECT 'l_tax',
+                   CAST(floor(corr(rx, ry) * 640000 + 0.5) AS BIGINT) FROM rk
+        """,
+        "datetime_rounding": """
+            SELECT event_id, ts,
+                   make_timestamp(CAST(floor(epoch(ts) / 900) AS BIGINT)
+                                  * 900 * 1000000) AS floor_15min,
+                   date_trunc('hour', ts) + INTERVAL 1 HOUR AS ceil_hour,
+                   CAST(CAST(ts AS DATE)
+                        + CAST((7 - dayofweek(CAST(ts AS DATE))) % 7 - 6
+                               AS INT)
+                        AS TIMESTAMP) AS floor_week,
+                   date_trunc('month', ts) AS floor_month,
+                   date_trunc('quarter', ts) AS floor_quarter,
+                   date_trunc('month', ts) + INTERVAL 1 MONTH AS ceil_month,
+                   (dayofmonth(ts) - 1) // 7 + 1 AS wom
+            FROM events
+        """,
+        "weekday_sequence": """
+            WITH d AS (
+              SELECT CAST(unnest(generate_series(DATE '2024-01-01',
+                                                 DATE '2024-12-31',
+                                                 INTERVAL 1 DAY)) AS DATE)
+                       AS date)
+            SELECT date FROM d WHERE isodow(date) <= 5
         """,
         "gorilla_roundtrip": """
             SELECT event_type AS url,

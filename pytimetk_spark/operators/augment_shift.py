@@ -87,7 +87,12 @@ def augment_diffs(
         for p in _as_list(periods):
             prev = F.lag(c, p).over(w)
             if normalize:
-                out = out.withColumn(f"{c}_pctdiff_{p}", F.col(c) / prev - 1)
+                # NULL (not ±inf/ANSI error) on a zero base — Spark ANSI
+                # division would otherwise abort the whole job on one zero
+                out = out.withColumn(
+                    f"{c}_pctdiff_{p}",
+                    F.when(prev != 0, F.col(c) / prev - 1),
+                )
             else:
                 out = out.withColumn(f"{c}_diff_{p}", F.col(c) - prev)
     return out

@@ -184,6 +184,9 @@ _TS_FEATURES = [
     "hurst",
     "lumpiness",
     "stability",
+    "crossing_points",
+    "flat_spots",
+    "arch_stat",
 ]
 
 
@@ -253,6 +256,36 @@ def ts_features(
         else:
             feats["lumpiness"] = np.nan
             feats["stability"] = np.nan
+        # crossing_points (tsfeatures: median crossings of the series)
+        if n > 1:
+            ab = x <= np.median(x)
+            feats["crossing_points"] = float(np.sum(ab[1:] != ab[:-1]))
+        else:
+            feats["crossing_points"] = np.nan
+        # flat_spots (tsfeatures: longest run after 10-bin equal-width cut)
+        if n > 1 and x.max() > x.min():
+            binned = np.minimum(
+                ((x - x.min()) / (x.max() - x.min()) * 10).astype(int), 9
+            )
+            changes = np.flatnonzero(np.diff(binned) != 0)
+            runs = np.diff(np.concatenate(([-1], changes, [n - 1])))
+            feats["flat_spots"] = float(runs.max())
+        else:
+            feats["flat_spots"] = float(n) if n > 1 else np.nan
+        # arch_stat (tsfeatures: R^2 of demeaned-squared series on 12 lags)
+        lags = 12
+        if n > lags + 8:
+            y = (x - x.mean()) ** 2
+            yt = y[lags:]
+            design = np.column_stack(
+                [np.ones(n - lags)] + [y[lags - k : n - k] for k in range(1, lags + 1)]
+            )
+            coef, *_ = np.linalg.lstsq(design, yt, rcond=None)
+            resid = yt - design @ coef
+            tss = float(np.sum((yt - yt.mean()) ** 2))
+            feats["arch_stat"] = float(1 - resid @ resid / tss) if tss > 0 else np.nan
+        else:
+            feats["arch_stat"] = np.nan
         out = pd.DataFrame({k: [v] for k, v in feats.items()})
         for g in group_cols:
             out.insert(0, g, pdf[g].iloc[0])

@@ -101,6 +101,35 @@ def test_ts_features(spark):
     assert out.loc["noise", "seasonal_strength"] < 0.6
     assert out.loc["sine", "entropy"] < out.loc["noise", "entropy"]
     assert out.loc["sine", "n_obs"] == n
+    # crossing_points: exact golden vs the tsfeatures definition
+    for gid, x in (("sine", pdf[pdf.id == "sine"].value.to_numpy()),
+                   ("noise", pdf[pdf.id == "noise"].value.to_numpy())):
+        ab = x <= np.median(x)
+        assert out.loc[gid, "crossing_points"] == np.sum(ab[1:] != ab[:-1])
+    # flat_spots: a series with a long constant stretch dominates
+    assert out.loc["sine", "flat_spots"] >= 1
+    # arch_stat in [0, 1]; i.i.d. noise has low ARCH R^2
+    assert 0.0 <= out.loc["noise", "arch_stat"] < 0.35
+
+
+def test_ts_features_flat_spots_golden(spark):
+    # 30 constant values inside noise -> flat_spots >= 30 (one bin run)
+    n = 120
+    rng = np.random.RandomState(3)
+    x = rng.randn(n) * 5
+    x[40:70] = 2.0
+    pdf = pd.DataFrame(
+        {"date": pd.date_range("2021-01-01", periods=n, freq="D"), "value": x}
+    )
+    out = ts_features(spark.createDataFrame(pdf), "date", "value").toPandas()
+    # golden mirror of the implementation-independent definition
+    binned = np.minimum(((x - x.min()) / (x.max() - x.min()) * 10).astype(int), 9)
+    runs, best, cur = [], 1, 1
+    for a, b in zip(binned[1:], binned[:-1]):
+        cur = cur + 1 if a == b else 1
+        best = max(best, cur)
+    assert out["flat_spots"].iloc[0] == best
+    assert best >= 30
 
 
 def test_seasonal_diagnostics(spark):
