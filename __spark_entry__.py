@@ -688,6 +688,51 @@ def q_datetime_rounding(spark, sf_dir):
     )
 
 
+def q_cv_folds(spark, sf_dir):
+    """TimeSeriesCV backward walk-forward splits as a per-fold summary
+    (fold, part, n, lo, hi). The engine materializes folds as pushdown-able
+    range filters; here each row is tagged with its (fold, part) via a
+    broadcast join against the split bounds, then one groupBy — a single
+    distributed pass regardless of fold count. Oracle replicates the
+    backward stride arithmetic (crossvalidation.py:75-91) in SQL."""
+    from pytimetk_spark.operators.crossvalidation import TimeSeriesCV
+
+    ev = _events(spark, sf_dir).select(F.col("ts").cast("timestamp").alias("ts"))
+    cv = TimeSeriesCV(
+        frequency="days", train_size=30, forecast_horizon=7, gap=1, stride=7,
+        window="rolling",
+    )
+    row = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).first()
+    bounds = cv.split_bounds(row["lo"], row["hi"])
+    bdf = spark.createDataFrame(
+        [
+            (i, b[0].to_pydatetime(), b[1].to_pydatetime(),
+             b[2].to_pydatetime(), b[3].to_pydatetime())
+            for i, b in enumerate(bounds)
+        ],
+        "fold int, train_lo timestamp, train_hi timestamp, "
+        "test_lo timestamp, test_hi timestamp",
+    )
+    ts = F.col("ts")
+    train = ev.join(
+        F.broadcast(bdf),
+        (ts >= F.col("train_lo")) & (ts < F.col("train_hi")),
+    ).select("fold", F.lit("train").alias("part"), "ts")
+    test = ev.join(
+        F.broadcast(bdf),
+        (ts > F.col("test_lo")) & (ts <= F.col("test_hi")),
+    ).select("fold", F.lit("test").alias("part"), "ts")
+    return (
+        train.unionByName(test)
+        .groupBy("fold", "part")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("ts").alias("lo"),
+            F.max("ts").alias("hi"),
+        )
+    )
+
+
 def q_weekday_sequence(spark, sf_dir):
     _prep(spark)
     out = tk.make_weekday_sequence(spark, "2024-01-01", "2024-12-31")
@@ -779,6 +824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "correlate_spearman": q_correlate_spearman,
         "datetime_rounding": q_datetime_rounding,
         "weekday_sequence": q_weekday_sequence,
+        "cv_folds": q_cv_folds,
         "augment_fourier": q_fourier,
         "holiday_signature": q_holiday_signature,
         "dedup_exact": q_dedup_exact,
@@ -1843,6 +1889,38 @@ def oracle_sql() -> dict[str, str]:
                    date_trunc('month', ts) + INTERVAL 1 MONTH AS ceil_month,
                    (dayofmonth(ts) - 1) // 7 + 1 AS wom
             FROM events
+        """,
+        "cv_folds": """
+            -- TimeSeriesCV backward mode (crossvalidation.py:75-91):
+            -- test_hi walks back from max(ts) by stride=7d; horizon 7d,
+            -- gap 1d, rolling train 30d; folds re-indexed chronologically
+            WITH span AS (SELECT min(ts) AS s, max(ts) AS e FROM events),
+            ks AS (SELECT unnest(range(0, 1000)) AS k),
+            cand AS (
+              SELECT ks.k, span.s,
+                     span.e - INTERVAL 7 DAY * ks.k AS test_hi,
+                     span.e - INTERVAL 7 DAY * ks.k - INTERVAL 7 DAY
+                       AS test_lo,
+                     span.e - INTERVAL 7 DAY * ks.k - INTERVAL 8 DAY
+                       AS train_hi,
+                     span.e - INTERVAL 7 DAY * ks.k - INTERVAL 38 DAY
+                       AS train_lo
+              FROM ks CROSS JOIN span),
+            valid AS (SELECT * FROM cand
+                      WHERE train_lo >= s AND train_hi > train_lo),
+            folds AS (SELECT CAST((SELECT count(*) FROM valid) - 1 - k
+                                  AS INT) AS fold,
+                             train_lo, train_hi, test_lo, test_hi
+                      FROM valid),
+            train AS (SELECT f.fold, 'train' AS part, e.ts
+                      FROM folds f JOIN events e
+                        ON e.ts >= f.train_lo AND e.ts < f.train_hi),
+            test AS (SELECT f.fold, 'test' AS part, e.ts
+                     FROM folds f JOIN events e
+                       ON e.ts > f.test_lo AND e.ts <= f.test_hi)
+            SELECT fold, part, count(*) AS n, min(ts) AS lo, max(ts) AS hi
+            FROM (SELECT * FROM train UNION ALL SELECT * FROM test)
+            GROUP BY 1, 2
         """,
         "weekday_sequence": """
             WITH d AS (
