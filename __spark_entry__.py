@@ -688,6 +688,53 @@ def q_datetime_rounding(spark, sf_dir):
     )
 
 
+def q_asof_join_backward(spark, sf_dir):
+    """Union-align as-of join (operators/asof_join.py) vs DuckDB's NATIVE
+    ASOF JOIN — each left event picks the most recent hourly rollup row at
+    or before its timestamp, per user."""
+    from pytimetk_spark.operators.asof_join import asof_join
+
+    ev = _events(spark, sf_dir).select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    hourly = (
+        ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("rts"))
+        .agg(
+            F.sum("value").alias("hsum"),
+            F.count(F.lit(1)).cast("long").alias("hn"),
+        )
+    )
+    out = asof_join(ev, hourly, "ts", right_on="rts", by=["user_id"])
+    out = out.select("user_id", "ts", "value", "hsum", "hn")
+    return _r6(out, "value", "hsum")
+
+
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30-min) + per-session stats; oracle is the
+    classic SQL gaps-and-islands construction."""
+    from pytimetk_spark.operators.asof_join import sessionize
+
+    ev = _events(spark, sf_dir).select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    out = sessionize(ev, "ts", gap=1800.0, group_cols=["user_id"])
+    return (
+        out.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .withColumn(
+            "duration_sec",
+            F.floor(
+                F.col("session_end").cast("double")
+                - F.col("session_start").cast("double")
+            ).cast("long"),
+        )
+    )
+
+
 def q_cv_folds(spark, sf_dir):
     """TimeSeriesCV backward walk-forward splits as a per-fold summary
     (fold, part, n, lo, hi). The engine materializes folds as pushdown-able
@@ -825,6 +872,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "datetime_rounding": q_datetime_rounding,
         "weekday_sequence": q_weekday_sequence,
         "cv_folds": q_cv_folds,
+        "asof_join_backward": q_asof_join_backward,
+        "sessionize": q_sessionize,
         "augment_fourier": q_fourier,
         "holiday_signature": q_holiday_signature,
         "dedup_exact": q_dedup_exact,
@@ -1921,6 +1970,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT fold, part, count(*) AS n, min(ts) AS lo, max(ts) AS hi
             FROM (SELECT * FROM train UNION ALL SELECT * FROM test)
             GROUP BY 1, 2
+        """,
+        "asof_join_backward": """
+            WITH hourly AS (
+              SELECT user_id, date_trunc('hour', ts) AS rts,
+                     sum(value) AS hsum, count(*) AS hn
+              FROM events GROUP BY 1, 2)
+            SELECT e.user_id, e.ts, round(e.value, 6) AS value,
+                   round(h.hsum, 6) AS hsum, h.hn
+            FROM events e
+            ASOF LEFT JOIN hourly h
+              ON e.user_id = h.user_id AND e.ts >= h.rts
+        """,
+        "sessionize": """
+            WITH d AS (
+              SELECT user_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+            s AS (
+              SELECT user_id, ts,
+                     sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) - 1 AS session_id
+              FROM d)
+            SELECT user_id, session_id, count(*) AS n_events,
+                   min(ts) AS session_start, max(ts) AS session_end,
+                   CAST(floor(epoch(max(ts)) - epoch(min(ts))) AS BIGINT)
+                     AS duration_sec
+            FROM s GROUP BY 1, 2
         """,
         "weekday_sequence": """
             WITH d AS (
