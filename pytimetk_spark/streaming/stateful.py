@@ -116,3 +116,33 @@ def streaming_running_ewm(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_sessionize(
+    stream_df: DataFrame,
+    ts_col: str,
+    gap: str = "30 minutes",
+    group_cols: tuple = ("user_id",),
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Gap-based sessions on a stream via Spark's native ``session_window``
+    — the incremental twin of the batch ``sessionize`` operator
+    (operators/asof_join.py): a session closes once event time moves
+    ``gap`` past its last event, and its final row is emitted when the
+    watermark passes. State per group = open sessions only, so state size
+    tracks concurrency, not history.
+
+    Output: group cols + session_start (min event ts), session_end (max
+    event ts — ``session_window.end`` minus the gap, matching the batch
+    operator's max(ts)), n_events.
+    """
+    w = stream_df.withWatermark(ts_col, watermark)
+    return (
+        w.groupBy(*group_cols, F.session_window(F.col(ts_col), gap))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+        )
+        .drop("session_window")
+    )

@@ -5,6 +5,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from pytimetk_spark import asof_join, sessionize
 
@@ -134,3 +135,82 @@ def test_sessionize_islands_golden(spark):
         .reset_index(drop=True)
     )
     assert out["session_id"].tolist() == [0, 0, 1, 1, 2, 2, 0, 1, 1]
+
+
+def test_streaming_sessionize_matches_batch(spark, tmp_path):
+    """session_window stream (availableNow) == batch sessionize stats."""
+    from pytimetk_spark.streaming.stateful import streaming_sessionize
+
+    rng = np.random.RandomState(5)
+    base = pd.Timestamp("2024-01-01")
+    pdf = pd.DataFrame(
+        {
+            "user_id": rng.randint(0, 8, 300).astype("int64"),
+            "ts": base
+            + pd.to_timedelta(np.sort(rng.randint(0, 400_000, 300)), unit="s"),
+            "value": rng.rand(300),
+        }
+    )
+    src = str(tmp_path / "sess_src")
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(
+        "user_id long, ts timestamp, value double"
+    ).parquet(src)
+    out = streaming_sessionize(
+        stream, "ts", gap="30 minutes", group_cols=("user_id",),
+        watermark="0 seconds",
+    )
+    q = (
+        out.writeStream.format("memory").queryName("sess_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.table("sess_stream").toPandas()
+        .sort_values(["user_id", "session_start"]).reset_index(drop=True)
+    )
+
+    batch = (
+        sessionize(
+            spark.createDataFrame(pdf), "ts", gap=1800.0,
+            group_cols=["user_id"],
+        )
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .toPandas()
+        .sort_values(["user_id", "session_start"]).reset_index(drop=True)
+    )
+    # append mode only emits sessions the watermark has CLOSED; compare on
+    # the emitted subset (availableNow + 0s watermark closes all but each
+    # group's last open session)
+    merged = got.merge(
+        batch, on=["user_id", "session_start"], suffixes=("_s", "_b")
+    )
+    assert len(merged) == len(got) > 0
+    assert (merged["n_events_s"] == merged["n_events_b"]).all()
+    assert (merged["session_end_s"] == merged["session_end_b"]).all()
+
+
+def test_asof_join_plan_no_driver_funnel(spark):
+    """The as-of join is one window pass: no Exchange SinglePartition and
+    exactly two exchanges (right-side agg + the join's partitionBy)."""
+    import re
+
+    left = spark.range(1000).select(
+        (F.col("id") % 7).alias("k"), F.col("id").cast("double").alias("t"),
+        F.lit(1.0).alias("v"),
+    )
+    right = spark.range(100).select(
+        (F.col("id") % 7).alias("k"),
+        (F.col("id") * 10).cast("double").alias("rt"),
+        F.lit(2.0).alias("p"),
+    ).groupBy("k", "rt").agg(F.sum("p").alias("p"))
+    out = asof_join(left, right, "t", right_on="rt", by=["k"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2
