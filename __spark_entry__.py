@@ -735,6 +735,78 @@ def q_sessionize(spark, sf_dir):
     )
 
 
+def _tame_close(spark, sf_dir):
+    """close = 100 + value/10 — strictly positive (events.value hits 0.0 at
+    sf0.1) with returns bounded ~±0.5 so the oracle's raw-moment skew/kurt
+    identities stay numerically clean. Both engines compute the identical
+    IEEE doubles from the same parquet input."""
+    ev = _events(spark, sf_dir).select("user_id", "ts", "value")
+    return ev.withColumn("close", F.lit(100.0) + F.col("value") / 10)
+
+
+def q_risk_metrics(spark, sf_dir):
+    """Rolling sharpe/sortino/vol/omega/skew/kurt — all native window
+    expressions; the oracle reproduces Spark's POPULATION skew/kurt (g1,
+    excess g2) from raw moments because DuckDB's skewness/kurtosis are
+    sample-bias-corrected."""
+    out = tk.augment_rolling_risk_metrics(
+        _tame_close(spark, sf_dir), "ts", "close", windows=20,
+        group_cols=["user_id"],
+    )
+    out = out.select(
+        "user_id", "ts", "close", "close_sharpe_ratio_20",
+        "close_sortino_ratio_20", "close_volatility_annualized_20",
+        "close_omega_ratio_20", "close_skewness_20", "close_kurtosis_20",
+    )
+    out = _r6(out, "close")
+    return _i4(
+        out, "close_sharpe_ratio_20", "close_sortino_ratio_20",
+        "close_volatility_annualized_20", "close_omega_ratio_20",
+        "close_skewness_20", "close_kurtosis_20", scale=640000,
+    )
+
+
+def q_fip_momentum(spark, sf_dir):
+    """FIP momentum: the oracle telescopes the rolling return product —
+    Π(1+r_j) over the window == close_i / close_{i-w} exactly."""
+    out = tk.augment_fip_momentum(
+        _tame_close(spark, sf_dir), "ts", "close", windows=20,
+        group_cols=["user_id"],
+    )
+    out = out.select("user_id", "ts", "close", "close_fip_momentum_20")
+    out = _r6(out, "close")
+    return _i4(out, "close_fip_momentum_20", scale=640000)
+
+
+def q_qsmomentum(spark, sf_dir):
+    """QS momentum (small periods — events series are ≤~90 rows/user at
+    sf0.01): rolling-window positions map to plain lags in SQL."""
+    out = tk.augment_qsmomentum(
+        _tame_close(spark, sf_dir), "ts", "close", roc_fast_period=5,
+        roc_slow_period=21, returns_period=10, group_cols=["user_id"],
+    )
+    out = out.select("user_id", "ts", "close", "close_qsmom_5_21_10")
+    out = _r6(out, "close")
+    return _i4(out, "close_qsmom_5_21_10", scale=640000)
+
+
+def q_ppo(spark, sf_dir):
+    """PPO line via the same closed-form EMA self-join oracle as MACD."""
+    out = tk.augment_ppo(
+        _tame_close(spark, sf_dir), "ts", "close", fast_period=12,
+        slow_period=26, group_cols=["user_id"],
+    )
+    out = out.select("user_id", "ts", "close", "close_ppo_line_12_26")
+    out = _r6(out, "close")
+    return _i4(out, "close_ppo_line_12_26", scale=10000)
+
+
+def q_weekend_sequence(spark, sf_dir):
+    _prep(spark)
+    out = tk.make_weekend_sequence(spark, "2024-01-01", "2024-12-31")
+    return out.select(F.col("date").cast("timestamp").alias("date"))
+
+
 def q_cv_folds(spark, sf_dir):
     """TimeSeriesCV backward walk-forward splits as a per-fold summary
     (fold, part, n, lo, hi). The engine materializes folds as pushdown-able
@@ -874,6 +946,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cv_folds": q_cv_folds,
         "asof_join_backward": q_asof_join_backward,
         "sessionize": q_sessionize,
+        "risk_metrics": q_risk_metrics,
+        "fip_momentum": q_fip_momentum,
+        "qsmomentum": q_qsmomentum,
+        "finance_ppo": q_ppo,
+        "weekend_sequence": q_weekend_sequence,
         "augment_fourier": q_fourier,
         "holiday_signature": q_holiday_signature,
         "dedup_exact": q_dedup_exact,
@@ -1970,6 +2047,148 @@ def oracle_sql() -> dict[str, str]:
             SELECT fold, part, count(*) AS n, min(ts) AS lo, max(ts) AS hi
             FROM (SELECT * FROM train UNION ALL SELECT * FROM test)
             GROUP BY 1, 2
+        """,
+        "risk_metrics": """
+            -- Spark skew/kurt are POPULATION g1 / excess g2 — rebuilt here
+            -- from raw moments (DuckDB's builtins are sample-corrected)
+            WITH c AS (
+              SELECT user_id, ts, 100.0 + value/10 AS close FROM events),
+            r AS (
+              SELECT user_id, ts, close,
+                     close / lag(close) OVER w - 1 AS ret
+              FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+            g AS (
+              SELECT user_id, ts, close, ret,
+                     CASE WHEN ret < 0 THEN ret * ret ELSE 0 END AS neg_sq,
+                     CASE WHEN ret > 0 THEN ret ELSE 0 END AS pos,
+                     CASE WHEN ret < 0 THEN ret ELSE 0 END AS neg
+              FROM r),
+            a AS (
+              SELECT user_id, ts, close,
+                     count(ret) OVER f AS cnt,
+                     avg(ret) OVER f AS m,
+                     stddev_samp(ret) OVER f AS sd,
+                     avg(neg_sq) OVER f AS dvar,
+                     sum(pos) OVER f AS psum,
+                     sum(neg) OVER f AS nsum,
+                     avg(ret * ret) OVER f AS e2,
+                     avg(ret * ret * ret) OVER f AS e3,
+                     avg(ret * ret * ret * ret) OVER f AS e4
+              FROM g
+              WINDOW f AS (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+            k AS (
+              SELECT user_id, ts, close,
+                     CASE WHEN cnt >= 10 THEN (m - 0.0) / sd * sqrt(252.0)
+                       END AS sharpe,
+                     CASE WHEN cnt >= 10 AND dvar > 1e-12
+                          THEN (m - 0.0) / sqrt(dvar) * sqrt(252.0)
+                       END AS sortino,
+                     CASE WHEN cnt >= 10 THEN sd * sqrt(252.0) END AS vol,
+                     CASE WHEN cnt >= 10 AND -nsum <> 0 THEN psum / (-nsum)
+                       END AS omega,
+                     e2 - m * m AS m2,
+                     e3 - 3 * m * e2 + 2 * m * m * m AS m3,
+                     e4 - 4 * m * e3 + 6 * m * m * e2 - 3 * m * m * m * m
+                       AS m4,
+                     cnt
+              FROM a)
+            SELECT user_id, ts, round(close, 6) AS close,
+                   CAST(floor(sharpe * 640000 + 0.5) AS BIGINT)
+                     AS close_sharpe_ratio_20,
+                   CAST(floor(sortino * 640000 + 0.5) AS BIGINT)
+                     AS close_sortino_ratio_20,
+                   CAST(floor(vol * 640000 + 0.5) AS BIGINT)
+                     AS close_volatility_annualized_20,
+                   CAST(floor(omega * 640000 + 0.5) AS BIGINT)
+                     AS close_omega_ratio_20,
+                   CAST(floor(CASE WHEN cnt >= 10
+                                   THEN m3 / (m2 ^ 1.5) END * 640000 + 0.5)
+                        AS BIGINT) AS close_skewness_20,
+                   CAST(floor(CASE WHEN cnt >= 10
+                                   THEN m4 / (m2 * m2) - 3 END * 640000
+                              + 0.5) AS BIGINT) AS close_kurtosis_20
+            FROM k
+        """,
+        "fip_momentum": """
+            -- Π(1+r) over the 20-return window telescopes to
+            -- close / lag(close, 20)
+            WITH c AS (
+              SELECT user_id, ts, 100.0 + value/10 AS close FROM events),
+            r AS (
+              SELECT user_id, ts, close,
+                     close / lag(close) OVER w - 1 AS ret,
+                     lag(close, 20) OVER w AS base
+              FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+            a AS (
+              SELECT user_id, ts, close, base,
+                     count(ret) OVER f AS cnt,
+                     sum(CASE WHEN ret > 0 THEN 1 ELSE 0 END) OVER f AS npos,
+                     sum(CASE WHEN ret < 0 THEN 1 ELSE 0 END) OVER f AS nneg
+              FROM r
+              WINDOW f AS (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+            SELECT user_id, ts, round(close, 6) AS close,
+                   CAST(floor(CASE WHEN cnt >= 20 THEN
+                       (close / base - 1) * (nneg / 20.0 - npos / 20.0)
+                     END * 640000 + 0.5) AS BIGINT) AS close_fip_momentum_20
+            FROM a
+        """,
+        "qsmomentum": """
+            WITH c AS (
+              SELECT user_id, ts, 100.0 + value/10 AS close,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts) AS rn
+              FROM events),
+            r AS (
+              SELECT user_id, ts, close, rn,
+                     close / lag(close) OVER w - 1 AS ret,
+                     lag(close, 5) OVER w AS fast_close,
+                     lag(close, 21) OVER w AS slow_close
+              FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+            a AS (
+              SELECT user_id, ts, close, rn, fast_close, slow_close,
+                     stddev_pop(ret) OVER (PARTITION BY user_id ORDER BY ts
+                                           ROWS BETWEEN 9 PRECEDING
+                                           AND CURRENT ROW) AS sd
+              FROM r)
+            SELECT user_id, ts, round(close, 6) AS close,
+                   CAST(floor(CASE WHEN rn >= 22 AND sd >= 1e-10 THEN
+                       ((fast_close - slow_close) / (slow_close + 1e-10)
+                        - (close - fast_close) / (fast_close + 1e-10)) / sd
+                     END * 640000 + 0.5) AS BIGINT) AS close_qsmom_5_21_10
+            FROM a
+        """,
+        "finance_ppo": """
+            WITH c AS (
+              SELECT user_id, ts, 100.0 + value/10 AS close,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts) - 1 AS t
+              FROM events),
+            e AS (
+              SELECT a.user_id, a.ts, a.close,
+                     sum(b.close * CASE WHEN b.t = 0 THEN power(11.0/13, a.t)
+                              ELSE (2.0/13) * power(11.0/13, a.t - b.t) END)
+                       AS ef,
+                     sum(b.close * CASE WHEN b.t = 0 THEN power(25.0/27, a.t)
+                              ELSE (2.0/27) * power(25.0/27, a.t - b.t) END)
+                       AS es
+              FROM c a JOIN c b
+                ON a.user_id = b.user_id AND b.t <= a.t
+              GROUP BY a.user_id, a.ts, a.close, a.t)
+            SELECT user_id, ts, round(close, 6) AS close,
+                   CAST(floor((ef - es) / es * 100 * 10000 + 0.5) AS BIGINT)
+                     AS close_ppo_line_12_26
+            FROM e
+        """,
+        "weekend_sequence": """
+            WITH d AS (
+              SELECT CAST(unnest(generate_series(DATE '2024-01-01',
+                                                 DATE '2024-12-31',
+                                                 INTERVAL 1 DAY)) AS DATE)
+                       AS date)
+            SELECT CAST(date AS TIMESTAMP) AS date
+            FROM d WHERE isodow(date) >= 6
         """,
         "asof_join_backward": """
             WITH hourly AS (

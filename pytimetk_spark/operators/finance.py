@@ -516,38 +516,44 @@ def augment_fip_momentum(
 ) -> DataFrame:
     """``{c}_fip_momentum_{w}`` (finance/fip_momentum.py:270-330):
     original → total_return·(%neg − %pos); modified → sign(total_return)·
-    (%pos − %neg), over rolling returns windows (min_periods=w)."""
+    (%pos − %neg), over rolling returns windows (min_periods=w).
+
+    Native window expressions, NO UDF: the rolling return product
+    Π(1+r_j) over a w-return window telescopes to close/lag(close, w)
+    (valid exactly when all w returns in the frame are non-null — the
+    same condition pandas' min_periods=w imposes), and the pos/neg
+    percentages are plain conditional counts. Stays in whole-stage
+    codegen; within ~1e-14 of the reference's np.prod accumulation."""
     group_cols = list(group_cols or [])
     c = close_column
-
-    def calc_fip(returns: pd.Series, window: int) -> float:
-        returns = returns.dropna()
-        if len(returns) < window:
-            return np.nan
-        total_return = np.prod(1 + returns) - 1
-        pct_pos = (returns > 0).mean()
-        pct_neg = (returns < 0).mean()
+    w = _base(group_cols, date_column)
+    prev = F.lag(c).over(w)
+    ret = F.when(prev != 0, F.col(c) / prev - 1)
+    out = df.withColumn("__ret__", ret)
+    rown = F.row_number().over(_base(group_cols, date_column))
+    wb = _base(group_cols, date_column)
+    for win in _norm_periods(windows):
+        frame = wb.rowsBetween(-(win - 1), 0)
+        gate = F.count("__ret__").over(frame) >= F.lit(win)
+        tot = F.col(c) / F.lag(c, win).over(wb) - 1
+        ppos = (
+            F.sum(F.when(F.col("__ret__") > 0, 1).otherwise(0)).over(frame)
+            / float(win)
+        )
+        pneg = (
+            F.sum(F.when(F.col("__ret__") < 0, 1).otherwise(0)).over(frame)
+            / float(win)
+        )
         if fip_method == "original":
-            return total_return * (pct_neg - pct_pos)
-        return np.sign(total_return) * (pct_pos - pct_neg)
-
-    new_cols = {}
-    for w in _norm_periods(windows):
-
-        def make(w=w):
-            def kernel(pdf: pd.DataFrame) -> pd.Series:
-                rets = pdf[c] / pdf[c].shift(1) - 1
-                roll = rets.rolling(window=w, min_periods=w).apply(
-                    lambda x: calc_fip(pd.Series(x), w), raw=False
-                )
-                if skip_window > 0:
-                    roll.iloc[:skip_window] = np.nan
-                return roll
-
-            return kernel
-
-        new_cols[f"{c}_fip_momentum_{w}"] = make()
-    return _grouped_apply(df, date_column, group_cols, new_cols)
+            fip = tot * (pneg - ppos)
+        else:
+            fip = F.signum(tot) * (ppos - pneg)
+        if skip_window > 0:
+            gate = gate & (rown > F.lit(skip_window))
+        out = out.withColumn(
+            f"{c}_fip_momentum_{win}", F.when(gate, fip)
+        )
+    return out.drop("__ret__")
 
 
 def augment_qsmomentum(
