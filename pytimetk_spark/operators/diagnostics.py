@@ -187,6 +187,8 @@ _TS_FEATURES = [
     "crossing_points",
     "flat_spots",
     "arch_stat",
+    "unitroot_kpss",
+    "unitroot_pp",
 ]
 
 
@@ -286,6 +288,46 @@ def ts_features(
             feats["arch_stat"] = float(1 - resid @ resid / tss) if tss > 0 else np.nan
         else:
             feats["arch_stat"] = np.nan
+        # unitroot_kpss (tsfeatures: level-stationarity KPSS statistic,
+        # Newey-West bartlett bandwidth trunc(3*sqrt(n)/13) as in
+        # urca/statsmodels 'legacy' lags) and unitroot_pp (Phillips-Perron
+        # Z-alpha statistic, bandwidth trunc(4*(n/100)^0.25)). Statistics
+        # only — p-values need response-surface tables, which is why the
+        # reference defers to external packages.
+        if n >= 12:
+            e = x - x.mean()
+            s_cum = np.cumsum(e)
+            lmax = int(np.trunc(3.0 * np.sqrt(n) / 13.0))
+            s2 = float(e @ e) / n
+            for lag in range(1, lmax + 1):
+                wgt = 1.0 - lag / (lmax + 1.0)
+                s2 += 2.0 / n * wgt * float(e[lag:] @ e[:-lag])
+            feats["unitroot_kpss"] = (
+                float(s_cum @ s_cum) / (n * n * s2) if s2 > 0 else np.nan
+            )
+            # PP: OLS x_t = a + rho * x_{t-1} + u_t
+            y, yl = x[1:], x[:-1]
+            nn = n - 1
+            ylc = yl - yl.mean()
+            denom = float(ylc @ ylc)
+            if denom > 0:
+                rho = float(ylc @ (y - y.mean())) / denom
+                a = y.mean() - rho * yl.mean()
+                u = y - a - rho * yl
+                s2u = float(u @ u) / nn
+                lmax_pp = int(np.trunc(4.0 * (nn / 100.0) ** 0.25))
+                lam = s2u
+                for lag in range(1, lmax_pp + 1):
+                    wgt = 1.0 - lag / (lmax_pp + 1.0)
+                    lam += 2.0 / nn * wgt * float(u[lag:] @ u[:-lag])
+                feats["unitroot_pp"] = nn * (rho - 1) - 0.5 * (
+                    lam - s2u
+                ) * nn * nn / denom if denom > 0 else np.nan
+            else:
+                feats["unitroot_pp"] = np.nan
+        else:
+            feats["unitroot_kpss"] = np.nan
+            feats["unitroot_pp"] = np.nan
         out = pd.DataFrame({k: [v] for k, v in feats.items()})
         for g in group_cols:
             out.insert(0, g, pdf[g].iloc[0])

@@ -132,6 +132,40 @@ def test_ts_features_flat_spots_golden(spark):
     assert best >= 30
 
 
+def test_ts_features_unitroot(spark):
+    """KPSS / Phillips-Perron discrimination golden: a random walk is
+    non-stationary (KPSS large, PP Z-alpha near 0); white noise is
+    stationary (KPSS small, PP strongly negative). Differential vs
+    statsmodels runs when the package is installed."""
+    rng = np.random.RandomState(42)
+    n = 400
+    walk = np.cumsum(rng.randn(n))
+    noise = rng.randn(n)
+    pdf = pd.DataFrame(
+        {
+            "id": ["walk"] * n + ["noise"] * n,
+            "date": list(pd.date_range("2020-01-01", periods=n, freq="D")) * 2,
+            "value": np.concatenate([walk, noise]),
+        }
+    )
+    out = (
+        ts_features(spark.createDataFrame(pdf), "date", "value", group_cols=["id"])
+        .toPandas()
+        .set_index("id")
+    )
+    assert out.loc["walk", "unitroot_kpss"] > 0.7      # 1% critical ~0.739
+    assert out.loc["noise", "unitroot_kpss"] < 0.4     # 10% critical ~0.347
+    assert out.loc["noise", "unitroot_pp"] < -50       # strong rejection
+    assert out.loc["walk", "unitroot_pp"] > -15        # cannot reject unit root
+    try:
+        from statsmodels.tsa.stattools import kpss
+    except ImportError:
+        return
+    for gid, x in (("walk", walk), ("noise", noise)):
+        stat, *_ = kpss(x, regression="c", nlags="legacy")
+        np.testing.assert_allclose(out.loc[gid, "unitroot_kpss"], stat, rtol=1e-6)
+
+
 def test_seasonal_diagnostics(spark):
     pdf = pd.DataFrame(
         {
