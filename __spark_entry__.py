@@ -801,6 +801,24 @@ def q_ppo(spark, sf_dir):
     return _i4(out, "close_ppo_line_12_26", scale=10000)
 
 
+def q_adx(spark, sf_dir):
+    """ADX/DI: three Wilder EWMs (alpha=1/14, adjust=False) + a fourth
+    over the DX series. Oracle = the MACD-style closed-form self-join,
+    applied twice: once over (tr, +dm, -dm) which are non-null from t=0,
+    once over dx which starts at t=13 (min_periods gates the first 13
+    outputs of each smoothed series)."""
+    out = tk.augment_adx(
+        _ohlc(spark, sf_dir), "ts", "high", "low", "value",
+        periods=14, group_cols=["user_id"],
+    )
+    out = out.select(
+        "user_id", "ts", "value", "high", "low",
+        "value_plus_di_14", "value_minus_di_14", "value_adx_14",
+    )
+    out = _r6(out, "value", "high", "low")
+    return _i4(out, "value_plus_di_14", "value_minus_di_14", "value_adx_14")
+
+
 def q_weekend_sequence(spark, sf_dir):
     _prep(spark)
     out = tk.make_weekend_sequence(spark, "2024-01-01", "2024-12-31")
@@ -950,6 +968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fip_momentum": q_fip_momentum,
         "qsmomentum": q_qsmomentum,
         "finance_ppo": q_ppo,
+        "finance_adx": q_adx,
         "weekend_sequence": q_weekend_sequence,
         "augment_fourier": q_fourier,
         "holiday_signature": q_holiday_signature,
@@ -2180,6 +2199,80 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor((ef - es) / es * 100 * 10000 + 0.5) AS BIGINT)
                      AS close_ppo_line_12_26
             FROM e
+        """,
+        "finance_adx": """
+            -- Wilder smoothing = EMA(alpha=1/14, adjust=False): closed
+            -- form per the macd oracle. tr/+dm/-dm are non-null from t=0
+            -- (pandas row-wise max skips the first row's NaN members; the
+            -- NaN up/down comparisons give 0 dm). dx exists from t=13
+            -- (min_periods=14 gates each smoothed series); the adx EWM
+            -- restarts its recurrence at t0=13 and gates at t>=26.
+            WITH base AS (
+              SELECT user_id, ts, value,
+                     value + 0.5 * ((user_id % 7) + 1) AS high,
+                     value - 0.5 * ((user_id % 5) + 1) AS low,
+                     row_number() OVER (PARTITION BY user_id ORDER BY ts) - 1
+                       AS t
+              FROM events),
+            d AS (
+              SELECT user_id, ts, value, high, low, t,
+                     greatest(high - low,
+                              abs(high - lag(value) OVER w),
+                              abs(low - lag(value) OVER w)) AS tr,
+                     CASE WHEN (high - lag(high) OVER w)
+                               > (lag(low) OVER w - low)
+                          THEN greatest(high - lag(high) OVER w, 0)
+                          ELSE 0 END AS pdm,
+                     CASE WHEN (lag(low) OVER w - low)
+                               > (high - lag(high) OVER w)
+                          THEN greatest(lag(low) OVER w - low, 0)
+                          ELSE 0 END AS mdm
+              FROM base
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+            sm AS (
+              SELECT a.user_id, a.ts, a.value, a.high, a.low, a.t,
+                     sum(b.tr * CASE WHEN b.t = 0 THEN power(13.0/14, a.t)
+                           ELSE (1.0/14) * power(13.0/14, a.t - b.t) END)
+                       AS tr_s,
+                     sum(b.pdm * CASE WHEN b.t = 0 THEN power(13.0/14, a.t)
+                           ELSE (1.0/14) * power(13.0/14, a.t - b.t) END)
+                       AS pdm_s,
+                     sum(b.mdm * CASE WHEN b.t = 0 THEN power(13.0/14, a.t)
+                           ELSE (1.0/14) * power(13.0/14, a.t - b.t) END)
+                       AS mdm_s
+              FROM d a JOIN d b ON a.user_id = b.user_id AND b.t <= a.t
+              GROUP BY a.user_id, a.ts, a.value, a.high, a.low, a.t),
+            di AS (
+              SELECT user_id, ts, value, high, low, t,
+                     CASE WHEN t >= 13
+                          THEN 100 * pdm_s / tr_s END AS pdi,
+                     CASE WHEN t >= 13
+                          THEN 100 * mdm_s / tr_s END AS mdi
+              FROM sm),
+            dx AS (
+              SELECT user_id, ts, value, high, low, t, pdi, mdi,
+                     100 * abs(pdi - mdi) / (pdi + mdi) AS dx
+              FROM di),
+            adx AS (
+              SELECT a.user_id, a.ts, a.value, a.high, a.low, a.t,
+                     a.pdi, a.mdi,
+                     sum(b.dx * CASE WHEN b.t = 13
+                           THEN power(13.0/14, a.t - 13)
+                           ELSE (1.0/14) * power(13.0/14, a.t - b.t) END)
+                       AS adx_raw
+              FROM dx a LEFT JOIN dx b
+                ON a.user_id = b.user_id AND b.t BETWEEN 13 AND a.t
+              GROUP BY a.user_id, a.ts, a.value, a.high, a.low, a.t,
+                       a.pdi, a.mdi)
+            SELECT user_id, ts, round(value, 6) AS value,
+                   round(high, 6) AS high, round(low, 6) AS low,
+                   CAST(floor(pdi * 10000 + 0.5) AS BIGINT)
+                     AS value_plus_di_14,
+                   CAST(floor(mdi * 10000 + 0.5) AS BIGINT)
+                     AS value_minus_di_14,
+                   CAST(floor(CASE WHEN t >= 26 THEN adx_raw END * 10000
+                              + 0.5) AS BIGINT) AS value_adx_14
+            FROM adx
         """,
         "weekend_sequence": """
             WITH d AS (
