@@ -801,6 +801,33 @@ def q_ppo(spark, sf_dir):
     return _i4(out, "close_ppo_line_12_26", scale=10000)
 
 
+def q_seasonal_trend_frequency(spark, sf_dir):
+    """get_seasonal_frequency / get_trend_frequency: the per-group median
+    step → time-scale-template lookup (frequency.py:409-631). The engine
+    returns small pandas frames (reference API contract); re-lifted for
+    the compare. Oracle = the frequency_summary unit derivation + the same
+    template CASE map."""
+    ev = _events(spark, sf_dir)
+    s = tk.get_seasonal_frequency(ev, "ts", group_cols=["user_id"])
+    t = tk.get_trend_frequency(ev, "ts", group_cols=["user_id"])
+    merged = s.merge(t, on="user_id")
+    return _prep(spark).createDataFrame(merged)
+
+
+def q_hurst(spark, sf_dir):
+    """Rolling R/S hurst: the oracle expands each 30-row window via a
+    bounded self-join, computes the centered cumulative range per (row,
+    window) partition, and applies H = ln(R/S)/ln(w) with the engine's
+    validity gates."""
+    out = tk.augment_hurst_exponent(
+        _tame_close(spark, sf_dir), "ts", "close", windows=30,
+        group_cols=["user_id"],
+    )
+    out = out.select("user_id", "ts", "close", "close_hurst_30")
+    out = _r6(out, "close")
+    return _i4(out, "close_hurst_30", scale=640000)
+
+
 def q_adx(spark, sf_dir):
     """ADX/DI: three Wilder EWMs (alpha=1/14, adjust=False) + a fourth
     over the DX series. Oracle = the MACD-style closed-form self-join,
@@ -969,6 +996,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qsmomentum": q_qsmomentum,
         "finance_ppo": q_ppo,
         "finance_adx": q_adx,
+        "finance_hurst": q_hurst,
+        "seasonal_trend_frequency": q_seasonal_trend_frequency,
         "weekend_sequence": q_weekend_sequence,
         "augment_fourier": q_fourier,
         "holiday_signature": q_holiday_signature,
@@ -2199,6 +2228,91 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor((ef - es) / es * 100 * 10000 + 0.5) AS BIGINT)
                      AS close_ppo_line_12_26
             FROM e
+        """,
+        "seasonal_trend_frequency": """
+            WITH d AS (
+              SELECT user_id,
+                     epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id
+                                                     ORDER BY ts)) AS diff
+              FROM events),
+            m AS (SELECT user_id, quantile_cont(diff, 0.5) AS sec
+                  FROM d GROUP BY 1),
+            c AS (SELECT user_id, sec,
+                    CASE WHEN sec < 60 THEN 'S' WHEN sec < 3600 THEN 'T'
+                         WHEN sec < 86400 THEN 'H' WHEN sec < 604800 THEN 'D'
+                         WHEN sec < 2419200 THEN 'W'
+                         WHEN sec < 7776000 THEN 'M'
+                         WHEN sec < 31536000 THEN 'Q' ELSE 'Y' END AS unit,
+                    CASE WHEN sec < 60 THEN sec
+                         WHEN sec < 3600 THEN sec / 60
+                         WHEN sec < 86400 THEN sec / 3600
+                         WHEN sec < 604800 THEN sec / 86400
+                         WHEN sec < 2419200 THEN sec / 604800
+                         WHEN sec < 7776000 THEN round(sec / 2678400, 1)
+                         WHEN sec < 31536000 THEN round(sec / 7948800, 1)
+                         ELSE round(sec / 31622400, 1) END AS scale
+                  FROM m),
+            s AS (SELECT user_id,
+                    CASE WHEN unit IN ('M', 'Q', 'Y')
+                          AND (scale - floor(scale)) >= 0.1
+                          AND (scale - floor(scale)) <= 0.9
+                         THEN 'D' ELSE unit END AS u
+                  FROM c)
+            SELECT user_id,
+                   CASE u WHEN 'S' THEN '1H' WHEN 'T' THEN '1D'
+                          WHEN 'H' THEN '1D' WHEN 'D' THEN '1W'
+                          WHEN 'W' THEN '1Q' WHEN 'M' THEN '1Y'
+                          WHEN 'Q' THEN '1Y' ELSE '5Y' END
+                     AS seasonal_period,
+                   CASE u WHEN 'S' THEN '12H' WHEN 'T' THEN '14D'
+                          WHEN 'H' THEN '1M' WHEN 'D' THEN '1Q'
+                          WHEN 'W' THEN '1Y' WHEN 'M' THEN '5Y'
+                          WHEN 'Q' THEN '10Y' ELSE '30Y' END
+                     AS trend_period
+            FROM s
+        """,
+        "finance_hurst": """
+            -- rolling R/S via bounded window self-join: each full 30-row
+            -- window partition gets its centered cumulative range
+            WITH c AS (
+              SELECT user_id, ts, 100.0 + value/10 AS close,
+                     row_number() OVER (PARTITION BY user_id ORDER BY ts)
+                       AS rn
+              FROM events),
+            mw AS (
+              SELECT user_id, ts, rn, close,
+                     avg(close) OVER f AS mu,
+                     stddev_pop(close) OVER f AS sd,
+                     count(*) OVER f AS cnt
+              FROM c
+              WINDOW f AS (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)),
+            j AS (
+              SELECT a.user_id, a.ts, a.close AS aclose, a.rn AS i, a.mu,
+                     a.sd, b.rn AS t, b.close
+              FROM mw a JOIN c b
+                ON a.user_id = b.user_id
+               AND b.rn BETWEEN a.rn - 29 AND a.rn
+              WHERE a.cnt = 30),
+            cum AS (
+              SELECT user_id, ts, aclose, i, sd,
+                     sum(close - mu) OVER (PARTITION BY user_id, i
+                                           ORDER BY t) AS cs
+              FROM j),
+            rs AS (
+              SELECT user_id, ts, any_value(aclose) AS close,
+                     any_value(sd) AS sd, max(cs) - min(cs) AS r
+              FROM cum GROUP BY user_id, ts, i),
+            h AS (
+              SELECT user_id, ts, close,
+                     CASE WHEN sd > 0 AND r > 0
+                          THEN ln(r / sd) / ln(30.0) END AS hurst
+              FROM rs)
+            SELECT c.user_id, c.ts, round(c.close, 6) AS close,
+                   CAST(floor(CASE WHEN h.hurst BETWEEN 0 AND 1
+                                   THEN h.hurst END * 640000 + 0.5)
+                        AS BIGINT) AS close_hurst_30
+            FROM c LEFT JOIN h USING (user_id, ts)
         """,
         "finance_adx": """
             -- Wilder smoothing = EMA(alpha=1/14, adjust=False): closed
