@@ -4,10 +4,14 @@ entry(spark)  — flagship: full tier rollup (1h with derived stats) over the
                 events stream at sf0.001.
 queries()     — one entry per implemented operator (SURVEY.md §2); each
                 callable (spark, sf_dir) -> DataFrame.
-oracle_sql()  — DuckDB-equivalent SQL per query (same aliases, floats
-                rounded to 6dp on BOTH sides so the value-hash is stable).
-Non-SQL-expressible ops (EWM recurrence, anomalize decomposition, Gorilla
-round-trip) appear in queries() without an oracle → rows-only check.
+oracle_sql()  — DuckDB-equivalent SQL per query (same aliases; floats
+                rounded to 6dp or emitted as floor(x·scale+0.5)::BIGINT
+                integer-comparison columns on BOTH sides so the
+                value-hash cannot flake on representation).
+EVERY queries() entry has an oracle — recurrences (EWM/MACD/Wilder) use
+scale-safe closed-form self-joins, the Gorilla round-trip decodes back to
+plain aggregation SQL, and rolling R/S expands through a bounded window
+self-join.
 """
 
 from __future__ import annotations
@@ -663,6 +667,19 @@ def q_correlate_spearman(spark, sf_dir):
     return _i4(sdf, "correlation", scale=640000)
 
 
+def q_correlate_kendall(spark, sf_dir):
+    """Exact tau-b from per-column contingency tables (one melt +
+    driver-side closed form); oracle rebuilds C/D/tie counts from the same
+    contingency cells in SQL. Low-cardinality columns (7-50 distinct) keep
+    both sides' cell-pair work trivial."""
+    li = _lineitem(spark, sf_dir).select(
+        "l_quantity", "l_tax", "l_linenumber", "l_discount"
+    )
+    pdf = tk.correlate(li, "l_discount", method="kendall")
+    sdf = _prep(spark).createDataFrame(pdf[["feature", "correlation"]])
+    return _i4(sdf, "correlation", scale=640000)
+
+
 def q_datetime_rounding(spark, sf_dir):
     """floor_date / ceil_date / week_of_month scalar surface
     (functions/datetime.py:264,279,323 — reference
@@ -986,6 +1003,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "augment_pct_change": q_pct_change,
         "correlate_pearson": q_correlate_pearson,
         "correlate_spearman": q_correlate_spearman,
+        "correlate_kendall": q_correlate_kendall,
         "datetime_rounding": q_datetime_rounding,
         "weekday_sequence": q_weekday_sequence,
         "cv_folds": q_cv_folds,
@@ -2048,6 +2066,43 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'l_tax',
                    CAST(floor(corr(rx, ry) * 640000 + 0.5) AS BIGINT) FROM rk
+        """,
+        "correlate_kendall": """
+            -- exact tau-b from contingency cells: concordant/discordant
+            -- via one cell-pair join, tie terms from the margins
+            WITH m AS (
+              SELECT 'l_quantity' AS feature, l_quantity::DOUBLE AS x,
+                     l_discount::DOUBLE AS y FROM lineitem
+              UNION ALL
+              SELECT 'l_tax', l_tax::DOUBLE, l_discount::DOUBLE
+              FROM lineitem
+              UNION ALL
+              SELECT 'l_linenumber', l_linenumber::DOUBLE,
+                     l_discount::DOUBLE FROM lineitem),
+            cells AS (SELECT feature, x, y, count(*)::DOUBLE AS n
+                      FROM m GROUP BY 1, 2, 3),
+            cd AS (SELECT a.feature,
+                          sum(CASE WHEN a.x < b.x AND a.y < b.y
+                                   THEN a.n * b.n ELSE 0 END) AS nc,
+                          sum(CASE WHEN a.x < b.x AND a.y > b.y
+                                   THEN a.n * b.n ELSE 0 END) AS nd
+                   FROM cells a JOIN cells b ON a.feature = b.feature
+                   GROUP BY 1),
+            tot AS (SELECT feature, sum(n) AS n FROM cells GROUP BY 1),
+            txc AS (SELECT feature, sum(nx * (nx - 1) / 2) AS tx
+                    FROM (SELECT feature, x, sum(n) AS nx
+                          FROM cells GROUP BY 1, 2) GROUP BY 1),
+            tyc AS (SELECT feature, sum(ny * (ny - 1) / 2) AS ty
+                    FROM (SELECT feature, y, sum(n) AS ny
+                          FROM cells GROUP BY 1, 2) GROUP BY 1)
+            SELECT cd.feature,
+                   CAST(floor(
+                     (nc - nd)
+                     / sqrt((tot.n * (tot.n - 1) / 2 - txc.tx)
+                            * (tot.n * (tot.n - 1) / 2 - tyc.ty))
+                     * 640000 + 0.5) AS BIGINT) AS correlation
+            FROM cd JOIN tot USING (feature) JOIN txc USING (feature)
+            JOIN tyc USING (feature)
         """,
         "datetime_rounding": """
             SELECT event_id, ts,
