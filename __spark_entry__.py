@@ -584,8 +584,16 @@ def q_regime_detection(spark, sf_dir):
     PLUMBING invariants exactly: row counts, the reference's stride-loop
     label coverage ((floor((n-w)/step)+1)*step positions labeled when the
     series is fully finite), and label validity (0..n_regimes-1). Label
-    quality is pinned by the pytest differential + planted-regime test."""
-    ev = _events(spark, sf_dir).select("event_type", "ts", "value")
+    quality is pinned by the pytest differential + planted-regime test.
+
+    The input is the strictly-positive tame close (events.value hits 0.0
+    at sf0.1; a zero close makes one log return non-finite, the stride
+    loop skips that position, and the closed-form label count breaks) —
+    the engine path is identical, the invariant holds at every SF."""
+    ev = _events(spark, sf_dir).select(
+        "event_type", "ts",
+        (F.lit(100.0) + F.col("value") / 10).alias("value"),
+    )
     out = tk.augment_regime_detection(
         ev, "ts", "value", window=60, n_regimes=2, step_size=20,
         group_cols=["event_type"],
