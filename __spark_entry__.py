@@ -877,6 +877,34 @@ def q_weekend_sequence(spark, sf_dir):
     return out.select(F.col("date").cast("timestamp").alias("date"))
 
 
+def q_interval_join(spark, sf_dir):
+    """Bucketized interval containment join (operators/asof_join.py:
+    interval_join — equi-join on a time-bucket grid + exact post-filter,
+    never an all-pairs theta join) vs DuckDB's plain BETWEEN join.
+    Intervals = the first half-hour of every (user, hour) with ≥5 events."""
+    from pytimetk_spark.operators.asof_join import interval_join
+
+    ev = _events(spark, sf_dir).select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    busy = (
+        ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("s"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 5)
+        .select(
+            "user_id", "s",
+            (F.col("s") + F.expr("interval 30 minute")).alias("e"),
+        )
+    )
+    out = interval_join(ev, busy, "ts", "s", "e", by=["user_id"],
+                        bucket_seconds=900.0)
+    out = out.groupBy("user_id", "s").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum("value").alias("vsum"),
+    )
+    return _i4(out, "vsum")
+
+
 def q_cv_folds(spark, sf_dir):
     """TimeSeriesCV backward walk-forward splits as a per-fold summary
     (fold, part, n, lo, hi). The engine materializes folds as pushdown-able
@@ -1015,6 +1043,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "datetime_rounding": q_datetime_rounding,
         "weekday_sequence": q_weekday_sequence,
         "cv_folds": q_cv_folds,
+        "interval_join": q_interval_join,
         "asof_join_backward": q_asof_join_backward,
         "sessionize": q_sessionize,
         "risk_metrics": q_risk_metrics,
@@ -2126,6 +2155,18 @@ def oracle_sql() -> dict[str, str]:
                    date_trunc('month', ts) + INTERVAL 1 MONTH AS ceil_month,
                    (dayofmonth(ts) - 1) // 7 + 1 AS wom
             FROM events
+        """,
+        "interval_join": """
+            WITH busy AS (
+              SELECT user_id, date_trunc('hour', ts) AS s,
+                     date_trunc('hour', ts) + INTERVAL 30 MINUTE AS e
+              FROM events GROUP BY 1, 2 HAVING count(*) >= 5)
+            SELECT e.user_id, b.s, count(*) AS n_points,
+                   CAST(floor(sum(e.value) * 10000 + 0.5) AS BIGINT)
+                     AS vsum
+            FROM events e JOIN busy b
+              ON e.user_id = b.user_id AND e.ts >= b.s AND e.ts <= b.e
+            GROUP BY 1, 2
         """,
         "cv_folds": """
             -- TimeSeriesCV backward mode (crossvalidation.py:75-91):

@@ -29,7 +29,7 @@ from pytimetk_spark.functions.selection import (
     starts_with,
 )
 from pytimetk_spark.operators.summarize_by_time import summarize_by_time
-from pytimetk_spark.operators.asof_join import asof_join, sessionize
+from pytimetk_spark.operators.asof_join import asof_join, interval_join, sessionize
 from pytimetk_spark.operators.apply_by_time import apply_by_time
 from pytimetk_spark.operators.pad_by_time import pad_by_time
 from pytimetk_spark.operators.filter_by_time import filter_by_time, parse_end_date

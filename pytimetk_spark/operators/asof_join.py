@@ -185,3 +185,51 @@ def sessionize(
         ).cast("long")
         - 1,
     )
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    by: Sequence[str] | None = None,
+    bucket_seconds: float = 3600.0,
+    closed: str = "both",
+) -> DataFrame:
+    """Join each point row to every interval row containing its timestamp
+    (``start <= ts <= end``, configurable ``closed``: 'both'|'left'|
+    'right'|'neither'), optionally per ``by`` group.
+
+    Spark-first: a naive ``points JOIN intervals ON ts BETWEEN s AND e``
+    is a broadcast-nested-loop (all-pairs) theta join — quadratic at
+    scale. Here both sides are mapped onto a time-bucket grid first:
+    intervals explode to the buckets they overlap (``sequence()`` on the
+    bucket index — intervals are assumed short relative to the data span,
+    the usual shape for sessions/outages/campaigns), points map to ONE
+    bucket, and the join is a hash equi-join on (by…, bucket) with the
+    exact range predicate applied as a cheap post-filter. Work scales with
+    true overlap density, never |points|×|intervals|.
+    """
+    if closed not in ("both", "left", "right", "neither"):
+        raise ValueError("closed must be 'both', 'left', 'right' or 'neither'")
+    by = list(by or [])
+    b = float(bucket_seconds)
+    p_ts = F.col(ts_col).cast("timestamp").cast("double")
+    i_s = F.col(start_col).cast("timestamp").cast("double")
+    i_e = F.col(end_col).cast("timestamp").cast("double")
+
+    iv = intervals.withColumn(
+        "__bucket__",
+        F.explode(
+            F.sequence(
+                F.floor(i_s / F.lit(b)).cast("long"),
+                F.floor(i_e / F.lit(b)).cast("long"),
+            )
+        ),
+    )
+    pt = points.withColumn("__bucket__", F.floor(p_ts / F.lit(b)).cast("long"))
+    lo_ok = p_ts >= i_s if closed in ("both", "left") else p_ts > i_s
+    hi_ok = p_ts <= i_e if closed in ("both", "right") else p_ts < i_e
+    out = pt.join(iv, on=[*by, "__bucket__"], how="inner").filter(lo_ok & hi_ok)
+    return out.drop("__bucket__")

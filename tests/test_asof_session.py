@@ -214,3 +214,65 @@ def test_asof_join_plan_no_driver_funnel(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange SinglePartition" not in plan
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2
+
+
+def test_interval_join_matches_bruteforce(spark):
+    """Bucketized interval join == brute-force pandas containment join,
+    across closed modes and bucket sizes (results bucket-size invariant)."""
+    from pytimetk_spark import interval_join
+
+    rng = np.random.RandomState(9)
+    base = pd.Timestamp("2024-05-01")
+    pts = pd.DataFrame(
+        {
+            "k": rng.choice(["a", "b"], 500),
+            "ts": base + pd.to_timedelta(rng.randint(0, 200_000, 500), unit="s"),
+            "v": np.arange(500, dtype="int64"),
+        }
+    )
+    starts = rng.randint(0, 190_000, 40)
+    ivs = pd.DataFrame(
+        {
+            "k": rng.choice(["a", "b"], 40),
+            "s": base + pd.to_timedelta(starts, unit="s"),
+            "e": base
+            + pd.to_timedelta(starts + rng.randint(600, 20_000, 40), unit="s"),
+            "iv_id": np.arange(40, dtype="int64"),
+        }
+    )
+    want = pts.merge(ivs, on="k")
+    want = want[(want.ts >= want.s) & (want.ts <= want.e)]
+    want_pairs = set(zip(want.v, want.iv_id))
+    for bucket in (600.0, 3600.0, 86400.0):
+        got = interval_join(
+            spark.createDataFrame(pts), spark.createDataFrame(ivs),
+            "ts", "s", "e", by=["k"], bucket_seconds=bucket,
+        ).toPandas()
+        assert set(zip(got.v, got.iv_id)) == want_pairs
+    # closed='neither' drops exact-boundary hits
+    strict = pts.merge(ivs, on="k")
+    strict = strict[(strict.ts > strict.s) & (strict.ts < strict.e)]
+    got = interval_join(
+        spark.createDataFrame(pts), spark.createDataFrame(ivs),
+        "ts", "s", "e", by=["k"], closed="neither",
+    ).toPandas()
+    assert set(zip(got.v, got.iv_id)) == set(zip(strict.v, strict.iv_id))
+
+
+def test_interval_join_plan_is_hash_join(spark):
+    """The bucket prefilter must produce a hash equi-join, never a
+    broadcast-nested-loop (all-pairs) theta join."""
+    from pytimetk_spark import interval_join
+
+    pts = spark.range(1000).select(
+        F.col("id").cast("double").alias("ts"), F.col("id").alias("v")
+    )
+    ivs = spark.range(50).select(
+        (F.col("id") * 100).cast("double").alias("s"),
+        (F.col("id") * 100 + 30).cast("double").alias("e"),
+        F.col("id").alias("iv"),
+    )
+    out = interval_join(pts, ivs, "ts", "s", "e", bucket_seconds=100.0)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
