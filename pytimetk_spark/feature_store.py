@@ -84,6 +84,24 @@ class FeatureStore:
         meta_path.write_text(json.dumps(asdict(meta)))
         return materialized, meta
 
+    def load(
+        self, name: str, spark: SparkSession, fingerprint: str | None = None
+    ) -> tuple[DataFrame, FeatureSetMetadata]:
+        """Load a previously materialized feature set — the newest
+        snapshot, or the exact ``fingerprint`` version (the handle the
+        mlflow integration records)."""
+        metas = [m for m in self.list_feature_sets() if m.name == name]
+        if fingerprint is not None:
+            metas = [m for m in metas if m.input_fingerprint == fingerprint]
+        if not metas:
+            raise KeyError(
+                f"no materialized snapshot for feature set {name!r}"
+                + (f" fingerprint {fingerprint!r}" if fingerprint else "")
+            )
+        meta = max(metas, key=lambda m: m.created_at)
+        path = self.base / name / meta.input_fingerprint / "data"
+        return spark.read.parquet(str(path)), meta
+
     def list_feature_sets(self) -> list[FeatureSetMetadata]:
         return [
             FeatureSetMetadata(**json.loads(p.read_text()))
