@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pytest
 
 from pytimetk_spark import (
     apply_by_time,
@@ -91,3 +92,36 @@ def test_weekday_weekend_sequences(spark):
     assert len(wd) == 10
     we = make_weekend_sequence(spark, "2024-01-01", "2024-01-14").toPandas()
     assert len(we) == 4
+
+
+def test_load_dataset_shapes(spark):
+    """Synthetic load_dataset stand-ins: schema parity with the reference
+    CSVs, deterministic across calls, correct panel frequency."""
+    from pytimetk_spark.sources.datasets import dataset_names, load_dataset
+
+    m4 = load_dataset(spark, "m4_daily")
+    assert m4.columns == ["id", "date", "value"]
+    pdf = m4.toPandas()
+    assert pdf.id.nunique() == 4 and len(pdf) == 4 * 365
+    one = pdf[pdf.id == pdf.id.iloc[0]].sort_values("date")
+    assert (one.date.diff().dropna() == pd.Timedelta(days=1)).all()
+    # deterministic across invocations
+    again = load_dataset(spark, "m4_daily").toPandas()
+    assert (
+        pdf.sort_values(["id", "date"]).value.to_numpy()
+        == again.sort_values(["id", "date"]).value.to_numpy()
+    ).all()
+
+    stocks = load_dataset(spark, "stocks_daily")
+    assert stocks.columns == [
+        "symbol", "date", "open", "high", "low", "close", "volume", "adjusted"
+    ]
+    sp = stocks.toPandas()
+    assert (sp.high >= sp.close).all() and (sp.low <= sp.close).all()
+
+    taylor = load_dataset(spark, "taylor_30_min")
+    assert taylor.columns == ["date", "value"]
+
+    with pytest.raises(ValueError, match="unknown dataset"):
+        load_dataset(spark, "nope")
+    assert "m4_hourly" in dataset_names()
