@@ -743,19 +743,20 @@ def q_sessionize(spark, sf_dir):
         "user_id", F.col("ts").cast("timestamp").alias("ts"), "value"
     )
     out = sessionize(ev, "ts", gap=1800.0, group_cols=["user_id"])
+    # session_start/end as epoch-second BIGINTs: Spark's timestamp->long cast
+    # is floorDiv(micros, 1e6), matched exactly by DuckDB epoch_us(ts)//1e6 —
+    # integer-valued comparison columns so the driver value-hash can't flake
+    # on timestamp canonicalization (same fix as augment_expanding, efc3b80).
     return (
         out.groupBy("user_id", "session_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.min("ts").alias("session_start"),
-            F.max("ts").alias("session_end"),
+            F.min("ts").cast("long").alias("session_start"),
+            F.max("ts").cast("long").alias("session_end"),
         )
         .withColumn(
             "duration_sec",
-            F.floor(
-                F.col("session_end").cast("double")
-                - F.col("session_start").cast("double")
-            ).cast("long"),
+            (F.col("session_end") - F.col("session_start")).cast("long"),
         )
     )
 
@@ -881,7 +882,9 @@ def q_interval_join(spark, sf_dir):
     """Bucketized interval containment join (operators/asof_join.py:
     interval_join — equi-join on a time-bucket grid + exact post-filter,
     never an all-pairs theta join) vs DuckDB's plain BETWEEN join.
-    Intervals = the first half-hour of every (user, hour) with ≥5 events."""
+    Intervals = the first half-hour of every (user, hour) with ≥2 events
+    (≥2 so the join is non-vacuous at sf0.01, where the densest user-hour
+    holds 3 events)."""
     from pytimetk_spark.operators.asof_join import interval_join
 
     ev = _events(spark, sf_dir).select(
@@ -890,7 +893,7 @@ def q_interval_join(spark, sf_dir):
     busy = (
         ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("s"))
         .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") >= 5)
+        .filter(F.col("n") >= 2)
         .select(
             "user_id", "s",
             (F.col("s") + F.expr("interval 30 minute")).alias("e"),
@@ -915,8 +918,11 @@ def q_cv_folds(spark, sf_dir):
     from pytimetk_spark.operators.crossvalidation import TimeSeriesCV
 
     ev = _events(spark, sf_dir).select(F.col("ts").cast("timestamp").alias("ts"))
+    # 14d train + 1d gap + 3d horizon, stride 5d: events span ~30 days at
+    # every SF, so this yields 3 non-vacuous folds (the previous 30d-train
+    # config produced ZERO folds — a green-but-empty contract row)
     cv = TimeSeriesCV(
-        frequency="days", train_size=30, forecast_horizon=7, gap=1, stride=7,
+        frequency="days", train_size=14, forecast_horizon=3, gap=1, stride=5,
         window="rolling",
     )
     row = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).first()
@@ -944,8 +950,9 @@ def q_cv_folds(spark, sf_dir):
         .groupBy("fold", "part")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.min("ts").alias("lo"),
-            F.max("ts").alias("hi"),
+            # epoch-second bigints (floorDiv micros) — driver-hash-stable
+            F.min("ts").cast("long").alias("lo"),
+            F.max("ts").cast("long").alias("hi"),
         )
     )
 
@@ -1434,13 +1441,17 @@ def oracle_sql() -> dict[str, str]:
                    round(lump.lumpiness, 6) AS lumpiness,
                    round(lump.stability, 6) AS stability,
                    round(cross_pts.crossing_points, 6) AS crossing_points,
-                   round(flat.flat_spots, 6) AS flat_spots
+                   -- LEFT JOIN + COALESCE(n_obs): a constant-valued group
+                   -- has no binned rows (vmax = vmin) but the engine emits
+                   -- flat_spots = n for it — inner join would DROP the row
+                   round(coalesce(flat.flat_spots, base.n_obs), 6)
+                     AS flat_spots
             FROM base
             JOIN acfs USING (event_type)
             JOIN hurst USING (event_type)
             JOIN lump USING (event_type)
             JOIN cross_pts USING (event_type)
-            JOIN flat USING (event_type)
+            LEFT JOIN flat USING (event_type)
         """,
         "apply_by_time_lambdas": """
             SELECT event_type,
@@ -2160,7 +2171,7 @@ def oracle_sql() -> dict[str, str]:
             WITH busy AS (
               SELECT user_id, date_trunc('hour', ts) AS s,
                      date_trunc('hour', ts) + INTERVAL 30 MINUTE AS e
-              FROM events GROUP BY 1, 2 HAVING count(*) >= 5)
+              FROM events GROUP BY 1, 2 HAVING count(*) >= 2)
             SELECT e.user_id, b.s, count(*) AS n_points,
                    CAST(floor(sum(e.value) * 10000 + 0.5) AS BIGINT)
                      AS vsum
@@ -2170,18 +2181,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         "cv_folds": """
             -- TimeSeriesCV backward mode (crossvalidation.py:75-91):
-            -- test_hi walks back from max(ts) by stride=7d; horizon 7d,
-            -- gap 1d, rolling train 30d; folds re-indexed chronologically
+            -- test_hi walks back from max(ts) by stride=5d; horizon 3d,
+            -- gap 1d, rolling train 14d; folds re-indexed chronologically
             WITH span AS (SELECT min(ts) AS s, max(ts) AS e FROM events),
             ks AS (SELECT unnest(range(0, 1000)) AS k),
             cand AS (
               SELECT ks.k, span.s,
-                     span.e - INTERVAL 7 DAY * ks.k AS test_hi,
-                     span.e - INTERVAL 7 DAY * ks.k - INTERVAL 7 DAY
+                     span.e - INTERVAL 5 DAY * ks.k AS test_hi,
+                     span.e - INTERVAL 5 DAY * ks.k - INTERVAL 3 DAY
                        AS test_lo,
-                     span.e - INTERVAL 7 DAY * ks.k - INTERVAL 8 DAY
+                     span.e - INTERVAL 5 DAY * ks.k - INTERVAL 4 DAY
                        AS train_hi,
-                     span.e - INTERVAL 7 DAY * ks.k - INTERVAL 38 DAY
+                     span.e - INTERVAL 5 DAY * ks.k - INTERVAL 18 DAY
                        AS train_lo
               FROM ks CROSS JOIN span),
             valid AS (SELECT * FROM cand
@@ -2196,7 +2207,9 @@ def oracle_sql() -> dict[str, str]:
             test AS (SELECT f.fold, 'test' AS part, e.ts
                      FROM folds f JOIN events e
                        ON e.ts > f.test_lo AND e.ts <= f.test_hi)
-            SELECT fold, part, count(*) AS n, min(ts) AS lo, max(ts) AS hi
+            SELECT fold, part, count(*) AS n,
+                   epoch_us(min(ts)) // 1000000 AS lo,
+                   epoch_us(max(ts)) // 1000000 AS hi
             FROM (SELECT * FROM train UNION ALL SELECT * FROM test)
             GROUP BY 1, 2
         """,
@@ -2527,9 +2540,10 @@ def oracle_sql() -> dict[str, str]:
                                          AND CURRENT ROW) - 1 AS session_id
               FROM d)
             SELECT user_id, session_id, count(*) AS n_events,
-                   min(ts) AS session_start, max(ts) AS session_end,
-                   CAST(floor(epoch(max(ts)) - epoch(min(ts))) AS BIGINT)
-                     AS duration_sec
+                   epoch_us(min(ts)) // 1000000 AS session_start,
+                   epoch_us(max(ts)) // 1000000 AS session_end,
+                   (epoch_us(max(ts)) // 1000000)
+                     - (epoch_us(min(ts)) // 1000000) AS duration_sec
             FROM s GROUP BY 1, 2
         """,
         "weekday_sequence": """

@@ -93,7 +93,20 @@ def asof_join(
 
     lts = _as_double(F.col(left_on), ltype)
 
-    def _matched(desc: bool):
+    # ONE packed struct per right row (null on left rows) so that
+    # last(..., ignorenulls=True) propagates the WHOLE matched row: a
+    # nullable right value column stays NULL when the matched row's field
+    # is NULL instead of leaking a stale value from an older right row,
+    # and tolerance is checked against the same row the values came from.
+    pack = F.when(
+        F.col("__src__") == 1,
+        F.struct(
+            F.col("__rts__").alias("__mts__"),
+            *[F.col(o).alias(o) for o in out_right],
+        ),
+    )
+
+    def _matched(desc: bool) -> Column:
         # right rows must be visible to left rows at the SAME key value:
         # ascending -> right (src=1) sorts first via src DESC;
         # descending (forward) -> likewise right first at equal keys
@@ -106,52 +119,49 @@ def asof_join(
             .orderBy(*order)
             .rowsBetween(Window.unboundedPreceding, 0)
         )
-        cols = {o: F.last(o, ignorenulls=True).over(w) for o in out_right}
-        cols["__mts__"] = F.last("__rts__", ignorenulls=True).over(w)
-        return cols
+        return F.last(pack, ignorenulls=True).over(w)
 
     if direction in ("backward", "forward"):
-        cols = _matched(desc=(direction == "forward"))
-        out = both.select(
-            *lcols, "__src__",
-            *[cols[o].alias(o) for o in out_right],
-            cols["__mts__"].alias("__mts__"),
-        ).filter(F.col("__src__") == 0)
-        dist = F.abs(lts - _as_double(F.col("__mts__"), ltype))
-        keep = F.col("__mts__").isNotNull()
+        m = _matched(desc=(direction == "forward"))
+        out = both.select(*lcols, "__src__", m.alias("__m__")).filter(
+            F.col("__src__") == 0
+        )
+        mts = F.col("__m__").getField("__mts__")
+        dist = F.abs(lts - _as_double(mts, ltype))
+        keep = F.col("__m__").isNotNull()
         if tolerance is not None:
             keep = keep & (dist <= F.lit(float(tolerance)))
-        out = out.select(
+        return out.select(
             *lcols,
-            *[F.when(keep, F.col(o)).alias(o) for o in out_right],
+            *[
+                F.when(keep, F.col("__m__").getField(o)).alias(o)
+                for o in out_right
+            ],
         )
-        return out
 
     # nearest: evaluate both sides, pick the closer (tie -> backward)
-    b = _matched(desc=False)
-    f_ = _matched(desc=True)
     sel = both.select(
         *lcols, "__src__",
-        *[b[o].alias(f"__b_{o}__") for o in out_right],
-        b["__mts__"].alias("__bts__"),
-        *[f_[o].alias(f"__f_{o}__") for o in out_right],
-        f_["__mts__"].alias("__fts__"),
+        _matched(desc=False).alias("__b__"),
+        _matched(desc=True).alias("__f__"),
     ).filter(F.col("__src__") == 0)
-    bd = F.abs(lts - _as_double(F.col("__bts__"), ltype))
-    fd = F.abs(_as_double(F.col("__fts__"), ltype) - lts)
+    bts = F.col("__b__").getField("__mts__")
+    fts = F.col("__f__").getField("__mts__")
+    bd = F.abs(lts - _as_double(bts, ltype))
+    fd = F.abs(_as_double(fts, ltype) - lts)
     if tolerance is not None:
         tol = F.lit(float(tolerance))
         bd = F.when(bd <= tol, bd)
         fd = F.when(fd <= tol, fd)
-    use_b = F.col("__bts__").isNotNull() & bd.isNotNull() & (
-        F.col("__fts__").isNull() | fd.isNull() | (bd <= fd)
+    use_b = F.col("__b__").isNotNull() & bd.isNotNull() & (
+        F.col("__f__").isNull() | fd.isNull() | (bd <= fd)
     )
-    use_f = ~use_b & F.col("__fts__").isNotNull() & fd.isNotNull()
+    use_f = ~use_b & F.col("__f__").isNotNull() & fd.isNotNull()
     return sel.select(
         *lcols,
         *[
-            F.when(use_b, F.col(f"__b_{o}__"))
-            .when(use_f, F.col(f"__f_{o}__"))
+            F.when(use_b, F.col("__b__").getField(o))
+            .when(use_f, F.col("__f__").getField(o))
             .alias(o)
             for o in out_right
         ],

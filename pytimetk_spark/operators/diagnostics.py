@@ -289,8 +289,10 @@ def ts_features(
         else:
             feats["arch_stat"] = np.nan
         # unitroot_kpss (tsfeatures: level-stationarity KPSS statistic,
-        # Newey-West bartlett bandwidth trunc(3*sqrt(n)/13) as in
-        # urca/statsmodels 'legacy' lags) and unitroot_pp (Phillips-Perron
+        # Newey-West bartlett bandwidth trunc(3*sqrt(n)/13) — R tseries
+        # kpss.test lshort=TRUE; statsmodels' "legacy" uses
+        # int(12*(n/100)^0.25), a DIFFERENT larger bandwidth) and
+        # unitroot_pp (Phillips-Perron
         # Z-alpha statistic, bandwidth trunc(4*(n/100)^0.25)). Statistics
         # only — p-values need response-surface tables, which is why the
         # reference defers to external packages.

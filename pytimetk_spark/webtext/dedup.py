@@ -234,14 +234,26 @@ def minhash_dedup(
     bands: int = 16,
     shingle_size: int = 5,
     hash_variant: str = "xxhash64",
+    persist: bool = True,
 ) -> DataFrame:
     """Near-dup removal: signatures → LSH candidates → exact-Jaccard verify
     → drop every doc that duplicates a smaller-id doc ("keep first";
     full transitive connected components would need an iterative
-    label-propagation pass — documented simplification)."""
+    label-propagation pass — documented simplification).
+
+    ``persist=True`` materializes the signature projection once
+    (MEMORY_AND_DISK): it is consumed by FOUR downstream branches (bucket
+    sizing, both sides of the candidate self-join, the Jaccard verify) and
+    recomputing the shingle+hash work per branch dominates the job (~9× at
+    sf0.01). At cluster scale write signatures to a table instead — same
+    materialize-once principle."""
     sigs = minhash_signatures(
         df, text_col, id_col, n_hashes, shingle_size, hash_variant=hash_variant
     )
+    if persist:
+        from pyspark import StorageLevel
+
+        sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
     cands = minhash_lsh_candidates(
         sigs, id_col, bands, n_hashes // bands, hash_variant=hash_variant
     )
@@ -344,10 +356,16 @@ def embedding_near_dup_pairs(
     threshold: float = 0.95,
     n_planes: int = 12,
     seed: int = 42,
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """Near-duplicate vectors by cosine ≥ threshold. Candidates via
     random-hyperplane LSH (sign-bit bucket), verification via native
-    zip_with dot product on L2-normalized vectors."""
+    zip_with dot product on L2-normalized vectors.
+
+    Buckets larger than ``max_bucket`` are shed before the self-join —
+    same flood guard as ``minhash_lsh_candidates``: the within-bucket join
+    is quadratic in the hottest bucket, and at web scale one degenerate
+    bucket (zero vectors, templated embeddings) would dominate the job."""
     from pytimetk_spark.webtext.similarity import (
         _hyperplanes,
         _sign_bucket,
@@ -359,6 +377,13 @@ def embedding_near_dup_pairs(
         n_planes, _first_dim(df, vec_col), seed
     )
     bucketed = normed.withColumn("__bucket__", _sign_bucket(F.col(vec_col), planes))
+    small = (
+        bucketed.groupBy("__bucket__")
+        .agg(F.count(id_col).alias("__n__"))
+        .filter(F.col("__n__") <= max_bucket)
+        .select("__bucket__")
+    )
+    bucketed = bucketed.join(small, on="__bucket__", how="left_semi")
     a, b = bucketed.alias("a"), bucketed.alias("b")
     dot = F.aggregate(
         F.zip_with(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"), lambda x, y: x * y),

@@ -52,18 +52,29 @@ def byte_stats_features(
 
     def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for i, blob in zip(pdf["__id__"], pdf["__bin__"]):
-                arr = np.frombuffer(blob or b"", dtype=np.uint8)
-                if arr.size == 0:
-                    rows.append((int(i), 0, 0.0, [0.0] * 16))
-                    continue
-                hist = np.bincount(arr >> 4, minlength=16).astype("float64")
-                p = hist / hist.sum()
-                ent = float(-(p[p > 0] * np.log2(p[p > 0])).sum())
-                rows.append((int(i), int(arr.size), ent, (hist / hist.sum()).tolist()))
+            # whole-batch vectorization: ONE concatenated uint8 view + ONE
+            # bincount over (row*16 + bin) — no per-blob numpy calls
+            blobs = [b or b"" for b in pdf["__bin__"]]
+            n = len(blobs)
+            lens = np.fromiter((len(b) for b in blobs), dtype=np.int64, count=n)
+            cat = np.frombuffer(b"".join(blobs), dtype=np.uint8)
+            row_idx = np.repeat(np.arange(n, dtype=np.int32), lens)
+            flat = np.bincount(
+                (row_idx << 4) | (cat >> 4).astype(np.int32), minlength=n * 16
+            )
+            hist = flat.reshape(n, 16).astype("float64")
+            tot = hist.sum(axis=1, keepdims=True)
+            p = np.divide(hist, tot, out=np.zeros_like(hist), where=tot > 0)
+            plogp = np.zeros_like(p)
+            np.log2(p, out=plogp, where=p > 0)
+            ent = -(p * plogp).sum(axis=1)
             yield pd.DataFrame(
-                rows, columns=["__id__", "n_bytes", "byte_entropy", "hist16"]
+                {
+                    "__id__": pdf["__id__"].astype("int64").to_numpy(),
+                    "n_bytes": lens.astype("int32"),
+                    "byte_entropy": ent,
+                    "hist16": list(p),
+                }
             )
 
     src = df.select(F.col(id_col).alias("__id__"), F.col(binary_col).alias("__bin__"))

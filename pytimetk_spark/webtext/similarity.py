@@ -81,11 +81,17 @@ def ivf_ann(
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
     seed: int = 42,
+    fit_sample: int = 100_000,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: KMeans-partition the corpus into ``n_cells``
     Voronoi cells (pyspark.ml, trained on a sample), search only the
     ``n_probe`` cells nearest each query. The classic FAISS-IVF recall/cost
     dial: cost ≈ corpus·n_probe/n_cells per query batch.
+
+    The KMeans fit sees at most ``fit_sample`` corpus rows (uniform sample
+    + limit) — centroids only need a representative sketch, and a
+    full-corpus multi-pass fit at 100 TB would dominate the whole job.
+    The fitted model then assigns the FULL corpus in one pass.
 
     At scale the corpus is stored partitioned by ``ivf_cell`` so probing
     prunes file scans (same pruning story as the tier tables)."""
@@ -97,7 +103,13 @@ def ivf_ann(
         F.col(id_col), F.col(vec_col), array_to_vector(F.col(vec_col)).alias("__feat__")
     )
     km = KMeans(k=n_cells, seed=seed, featuresCol="__feat__", predictionCol="ivf_cell")
-    model = km.fit(ml_df.select("__feat__"))
+    n_corpus = ml_df.count()
+    fit_df = ml_df.select("__feat__")
+    if n_corpus > fit_sample:
+        # oversample 1.5x then hard-limit: deterministic bound on fit input
+        frac = min(1.0, 1.5 * fit_sample / n_corpus)
+        fit_df = fit_df.sample(False, frac, seed=seed).limit(fit_sample)
+    model = km.fit(fit_df)
     assigned = model.transform(ml_df).select(
         id_col, F.col(vec_col).alias("__cv__"), "ivf_cell"
     )

@@ -93,6 +93,63 @@ def test_asof_join_tolerance(spark, direction):
     )
 
 
+def test_asof_join_nullable_right_values(spark):
+    """A matched right row whose value column is NULL must propagate that
+    NULL — not a stale value from an OLDER right row (per-column
+    last(ignorenulls) would mix columns across right rows)."""
+    base = pd.Timestamp("2024-01-01")
+    left = pd.DataFrame({"ts": base + pd.to_timedelta([20, 8], unit="s"),
+                         "q": [1, 2]})
+    right = pd.DataFrame(
+        {
+            "rts": base + pd.to_timedelta([5, 15], unit="s"),
+            "px": [111.0, None],
+            "sz": [None, 7.0],
+        }
+    )
+    for direction in ("backward", "forward", "nearest"):
+        got = (
+            asof_join(
+                spark.createDataFrame(left),
+                spark.createDataFrame(right),
+                "ts",
+                right_on="rts",
+                direction=direction,
+            )
+            .toPandas()
+            .sort_values("ts")
+            .reset_index(drop=True)
+        )
+        want = pd.merge_asof(
+            left.sort_values("ts"),
+            right,
+            left_on="ts",
+            right_on="rts",
+            direction=direction,
+        ).sort_values("ts").reset_index(drop=True)
+        for c in ("px", "sz"):
+            pd.testing.assert_series_equal(
+                got[c], want[c], check_names=False
+            )
+    # tolerance must be judged against the matched row itself: ts=20
+    # matches rts=15 (NULL px) within tol=6; px stays NULL, sz survives
+    got = (
+        asof_join(
+            spark.createDataFrame(left),
+            spark.createDataFrame(right),
+            "ts",
+            right_on="rts",
+            direction="backward",
+            tolerance=6.0,
+        )
+        .toPandas()
+        .sort_values("ts")
+        .reset_index(drop=True)
+    )
+    assert got.loc[0, "px"] == 111.0 and np.isnan(got.loc[0, "sz"])
+    assert np.isnan(got.loc[1, "px"]) and got.loc[1, "sz"] == 7.0
+
+
 def test_asof_join_suffix_and_numeric_key(spark):
     left = pd.DataFrame({"k": [1.0, 2.5, 10.0], "v": [1, 2, 3]})
     right = pd.DataFrame({"k": [0.5, 2.0, 9.0], "v": [10, 20, 30]})

@@ -162,7 +162,11 @@ def test_ts_features_unitroot(spark):
     except ImportError:
         return
     for gid, x in (("walk", walk), ("noise", noise)):
-        stat, *_ = kpss(x, regression="c", nlags="legacy")
+        # engine bandwidth is R tseries kpss.test lshort=TRUE:
+        # trunc(3*sqrt(n)/13) — pass that as explicit nlags (statsmodels'
+        # "legacy" is int(12*(n/100)**0.25), a different bandwidth)
+        nlags = int(np.trunc(3.0 * np.sqrt(len(x)) / 13.0))
+        stat, *_ = kpss(x, regression="c", nlags=nlags)
         np.testing.assert_allclose(out.loc[gid, "unitroot_kpss"], stat, rtol=1e-6)
 
 

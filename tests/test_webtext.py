@@ -102,6 +102,47 @@ def test_embedding_near_dup(spark):
     assert (0, 20_000) in got and (1, 20_001) in got
 
 
+def test_embedding_near_dup_flood_bucket_shed(spark):
+    """A flooded LSH bucket (here: one vector repeated 60×) is dropped by
+    max_bucket before the self-join, so candidate volume stays bounded;
+    normal-sized buckets keep producing pairs."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    flood = (
+        emb.filter(F.col("vec_id") == 2)
+        .crossJoin(spark.range(60).select(F.col("id").alias("__i__")))
+        .select((F.lit(50_000) + F.col("__i__")).alias("vec_id"),
+                "embedding", "label")
+    )
+    pair = emb.limit(2).select(
+        (F.col("vec_id") + 90_000).alias("vec_id"), "embedding", "label"
+    )
+    all_vecs = emb.unionByName(flood).unionByName(pair)
+    pairs = embedding_near_dup_pairs(
+        all_vecs, threshold=0.999, n_planes=8, max_bucket=50
+    ).toPandas()
+    got = set(map(tuple, pairs[["id_a", "id_b"]].values.tolist()))
+    # the 60-clone flood bucket was shed: none of its C(60,2) pairs emitted
+    assert not any(50_000 <= a < 50_060 and 50_000 <= b < 50_060
+                   for a, b in got)
+    # duplicates living in ordinary buckets still found
+    assert (0, 90_000) in got and (1, 90_001) in got
+
+
+def test_ivf_ann_sampled_fit(spark):
+    """KMeans fit input is capped at fit_sample rows; the model still
+    assigns the full corpus and self-vectors still rank first."""
+    from pytimetk_spark.webtext.similarity import ivf_ann
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.limit(3).select(F.col("vec_id").alias("query_id"), "embedding")
+    approx = ivf_ann(
+        emb, queries, k=5, n_cells=8, n_probe=3, fit_sample=100
+    ).toPandas()
+    firsts = approx[approx["rank"] == 1]
+    assert (firsts["query_id"].values == firsts["vec_id"].values).all()
+    assert (approx.groupby("query_id").size() == 5).all()
+
+
 def test_cosine_topk_exact_vs_numpy(spark):
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     queries = emb.limit(3).select(

@@ -5,6 +5,7 @@ sorted-column schema, and order-insensitive value content."""
 from __future__ import annotations
 
 import sys
+import time
 
 import duckdb
 import numpy as np
@@ -48,9 +49,11 @@ def main():
         )
     qs, osql = entrymod.queries(), entrymod.oracle_sql()
     failures = []
+    t_start = time.perf_counter()
     for name, fn in qs.items():
         if ONLY and name not in ONLY:
             continue
+        t0 = time.perf_counter()
         try:
             got = fn(spark, SF_DIR).toPandas()
         except Exception as e:
@@ -58,8 +61,11 @@ def main():
             print(f"{name:34s} SPARK-ERROR {str(e)[:120]}")
             continue
         if name not in osql:
-            print(f"{name:34s} rows-only    {len(got):>8} rows")
+            print(f"{name:34s} rows-only    {len(got):>8} rows"
+                  f"   spark={time.perf_counter() - t0:6.2f}s")
             continue
+        t_spark = time.perf_counter() - t0
+        t1 = time.perf_counter()
         try:
             want = con.execute(osql[name]).df()
         except Exception as e:
@@ -84,7 +90,10 @@ def main():
             failures.append((name, "; ".join(status)))
             print(f"{name:34s} MISMATCH    {'; '.join(status)[:160]}")
         else:
-            print(f"{name:34s} OK          {len(g):>8} rows")
+            t_duck = time.perf_counter() - t1
+            print(f"{name:34s} OK          {len(g):>8} rows"
+                  f"   spark={t_spark:6.2f}s duck={t_duck:6.2f}s")
+    print(f"\ntotal elapsed: {time.perf_counter() - t_start:.1f}s")
     spark.stop()
     if failures:
         print(f"\n{len(failures)} FAILURES")
