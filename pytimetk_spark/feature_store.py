@@ -46,6 +46,10 @@ class FeatureStore:
         self.base = Path(base_dir)
         self.base.mkdir(parents=True, exist_ok=True)
         self._pipelines: dict[str, Callable[[DataFrame], DataFrame]] = {}
+        # whether the most recent materialize() call was served from cache
+        # (observability for callers — avoids a second full input
+        # fingerprint scan just to compute a cache-hit metric)
+        self.last_cache_hit: bool | None = None
 
     def register(
         self, name: str, pipeline: Callable[[DataFrame], DataFrame]
@@ -68,7 +72,9 @@ class FeatureStore:
         spark = df.sparkSession
         if meta_path.exists() and not force:
             meta = FeatureSetMetadata(**json.loads(meta_path.read_text()))
+            self.last_cache_hit = True
             return spark.read.parquet(str(out_dir / "data")), meta
+        self.last_cache_hit = False
         result = self._pipelines[name](df)
         result.write.mode("overwrite").parquet(str(out_dir / "data"))
         materialized = spark.read.parquet(str(out_dir / "data"))

@@ -71,14 +71,13 @@ def build_features_with_mlflow(
 ) -> tuple[DataFrame, FeatureSetMetadata]:
     """Materialize (or cache-hit) a registered feature set and record its
     version handle + metadata on the active MLflow run."""
-    from pytimetk_spark.feature_store import _fingerprint
-
     mlflow = _import_mlflow()
     _require_active_run(mlflow, run=run)
 
-    fp, _ = _fingerprint(df)
-    from_cache = not force and store._meta_path(name, fp).exists()
     out, meta = store.materialize(name, df, force=force)
+    # materialize records its own cache outcome — no second full-scan
+    # fingerprint of the input just to compute this metric
+    from_cache = bool(store.last_cache_hit)
     log_feature_metadata_to_mlflow(
         meta=meta,
         name=name,

@@ -25,6 +25,8 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from pytimetk_spark.functions.windows import ordered_window, warn_single_partition
+
 
 def _ord(ts_col: str) -> Column:
     """Ordering key: timestamps sort as epoch doubles so numeric and
@@ -114,6 +116,8 @@ def asof_join(
             _ord(left_on).desc() if desc else _ord(left_on).asc(),
             F.col("__src__").desc(),
         ]
+        if not by:
+            warn_single_partition("asof_join")
         w = (
             Window.partitionBy(*by)
             .orderBy(*order)
@@ -184,7 +188,7 @@ def sessionize(
     ``group_cols``) — scales linearly, no self-join.
     """
     group_cols = list(group_cols or [])
-    w = Window.partitionBy(*group_cols).orderBy(date_column)
+    w = ordered_window(group_cols, date_column, "sessionize")
     ts = F.col(date_column).cast("timestamp").cast("double")
     prev = F.lag(ts).over(w)
     new_sess = F.when(prev.isNull() | ((ts - prev) > float(gap)), 1).otherwise(0)

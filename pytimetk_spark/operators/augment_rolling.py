@@ -30,6 +30,8 @@ from collections.abc import Callable, Sequence
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+from pytimetk_spark.functions.windows import ordered_window
 from pyspark.sql import types as T
 
 from pytimetk_spark.functions.selection import ColumnSelector, resolve_columns
@@ -143,9 +145,7 @@ def _func_expr(col: str, func, frame, approx: bool) -> tuple[str, Column]:
 
 
 def _base_window(group_cols: Sequence[str], date_column: str):
-    if group_cols:
-        return Window.partitionBy(*group_cols).orderBy(date_column)
-    return Window.partitionBy().orderBy(date_column)
+    return ordered_window(group_cols, date_column, "augment_rolling")
 
 
 def augment_rolling(

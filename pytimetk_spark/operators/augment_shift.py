@@ -18,6 +18,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from pytimetk_spark.functions.windows import ordered_window
+
 from pytimetk_spark.functions.selection import ColumnSelector, resolve_columns
 
 
@@ -30,9 +32,7 @@ def _as_list(v) -> list[int]:
 
 
 def _window(group_cols: Sequence[str], date_column: str):
-    if group_cols:
-        return Window.partitionBy(*group_cols).orderBy(date_column)
-    return Window.partitionBy().orderBy(date_column)
+    return ordered_window(group_cols, date_column, "augment_shift")
 
 
 def augment_lags(

@@ -188,8 +188,63 @@ _TS_FEATURES = [
     "flat_spots",
     "arch_stat",
     "unitroot_kpss",
+    "unitroot_kpss_pvalue",
     "unitroot_pp",
+    "unitroot_pp_pvalue",
 ]
+
+# KPSS level-stationarity critical values (Kwiatkowski et al. 1992 Table 1,
+# eta_mu) — identical table statsmodels interpolates; p outside [0.01, 0.10]
+# is clamped to the nearest bound, as statsmodels does.
+_KPSS_CRIT = np.array([0.347, 0.463, 0.574, 0.739])
+_KPSS_P = np.array([0.10, 0.05, 0.025, 0.01])
+
+# MacKinnon (2010, "Critical Values for Cointegration Tests", QED wp 1227)
+# response-surface coefficients for the Dickey-Fuller tau distribution,
+# constant / no-trend, one variable: crit(a, T) = b0 + b1/T + b2/T^2 + b3/T^3
+_MACKINNON_TAU_C = {
+    0.01: (-3.43035, -6.5393, -16.786, -79.433),
+    0.05: (-2.86154, -2.8903, -4.234, -40.040),
+    0.10: (-2.56677, -1.5384, -2.809, 0.0),
+}
+# standard normal quantiles at those tail probabilities (probit anchors)
+_PROBIT = {0.01: -2.3263478740, 0.05: -1.6448536270, 0.10: -1.2815515655}
+
+
+def _kpss_pvalue(stat: float) -> float:
+    if not np.isfinite(stat):
+        return float("nan")
+    return float(np.interp(stat, _KPSS_CRIT, _KPSS_P))
+
+
+def _pp_tau_pvalue(tau: float, nobs: int) -> float:
+    """Approximate p-value of a Phillips-Perron Z-tau statistic via the
+    MacKinnon response-surface critical values: the three finite-sample
+    critical points (1/5/10%) are mapped to their normal quantiles and the
+    statistic is piecewise-linearly interpolated (extrapolated with the end
+    slopes) in probit space, then mapped back through the normal CDF —
+    monotone, exact at the tabulated points, smooth in between."""
+    import math
+
+    if not np.isfinite(tau):
+        return float("nan")
+    alphas = sorted(_MACKINNON_TAU_C)  # [0.01, 0.05, 0.10]
+    crit = [
+        b0 + b1 / nobs + b2 / nobs**2 + b3 / nobs**3
+        for b0, b1, b2, b3 in (_MACKINNON_TAU_C[a] for a in alphas)
+    ]
+    z = [_PROBIT[a] for a in alphas]
+    # crit is increasing with alpha (more negative at 1%); interp on tau
+    if tau <= crit[0]:
+        slope = (z[1] - z[0]) / (crit[1] - crit[0])
+        zq = z[0] + slope * (tau - crit[0])
+    elif tau >= crit[-1]:
+        slope = (z[-1] - z[-2]) / (crit[-1] - crit[-2])
+        zq = z[-1] + slope * (tau - crit[-1])
+    else:
+        zq = float(np.interp(tau, crit, z))
+    p = 0.5 * (1.0 + math.erf(zq / math.sqrt(2.0)))
+    return float(min(max(p, 1e-6), 1 - 1e-6))
 
 
 def ts_features(
@@ -293,9 +348,12 @@ def ts_features(
         # kpss.test lshort=TRUE; statsmodels' "legacy" uses
         # int(12*(n/100)^0.25), a DIFFERENT larger bandwidth) and
         # unitroot_pp (Phillips-Perron
-        # Z-alpha statistic, bandwidth trunc(4*(n/100)^0.25)). Statistics
-        # only — p-values need response-surface tables, which is why the
-        # reference defers to external packages.
+        # Z-alpha statistic, bandwidth trunc(4*(n/100)^0.25)). P-values:
+        # KPSS via the Kwiatkowski table interpolation (statsmodels-
+        # identical); PP via the Z-tau form of the same regression scored
+        # against MacKinnon (2010) response-surface critical values — the
+        # rho-form Z-alpha stat is kept as the headline statistic for
+        # tsfeatures parity, the tau form feeds the p-value surface.
         if n >= 12:
             e = x - x.mean()
             s_cum = np.cumsum(e)
@@ -307,6 +365,7 @@ def ts_features(
             feats["unitroot_kpss"] = (
                 float(s_cum @ s_cum) / (n * n * s2) if s2 > 0 else np.nan
             )
+            feats["unitroot_kpss_pvalue"] = _kpss_pvalue(feats["unitroot_kpss"])
             # PP: OLS x_t = a + rho * x_{t-1} + u_t
             y, yl = x[1:], x[:-1]
             nn = n - 1
@@ -324,12 +383,30 @@ def ts_features(
                     lam += 2.0 / nn * wgt * float(u[lag:] @ u[:-lag])
                 feats["unitroot_pp"] = nn * (rho - 1) - 0.5 * (
                     lam - s2u
-                ) * nn * nn / denom if denom > 0 else np.nan
+                ) * nn * nn / denom
+                # Z-tau (Hamilton 1994 eq 17.6.12): reduces to the plain
+                # t-stat when lam == s2u (no serial correlation)
+                if s2u > 0 and lam > 0:
+                    se_rho = np.sqrt(s2u / denom)
+                    t_rho = (rho - 1.0) / se_rho
+                    z_tau = (
+                        np.sqrt(s2u / lam) * t_rho
+                        - 0.5 * (lam - s2u) / np.sqrt(lam)
+                        * nn * se_rho / np.sqrt(s2u)
+                    )
+                    feats["unitroot_pp_pvalue"] = _pp_tau_pvalue(
+                        float(z_tau), nn
+                    )
+                else:
+                    feats["unitroot_pp_pvalue"] = np.nan
             else:
                 feats["unitroot_pp"] = np.nan
+                feats["unitroot_pp_pvalue"] = np.nan
         else:
             feats["unitroot_kpss"] = np.nan
+            feats["unitroot_kpss_pvalue"] = np.nan
             feats["unitroot_pp"] = np.nan
+            feats["unitroot_pp_pvalue"] = np.nan
         out = pd.DataFrame({k: [v] for k, v in feats.items()})
         for g in group_cols:
             out.insert(0, g, pdf[g].iloc[0])

@@ -17,6 +17,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from pytimetk_spark.functions.windows import ordered_window
+
 from pytimetk_spark.operators.augment_rolling import _grouped_apply
 
 
@@ -29,9 +31,7 @@ def _norm_periods(periods) -> list[int]:
 
 
 def _base(group_cols: Sequence[str], date_column: str):
-    if group_cols:
-        return Window.partitionBy(*group_cols).orderBy(date_column)
-    return Window.partitionBy().orderBy(date_column)
+    return ordered_window(group_cols, date_column, "finance")
 
 
 def _gated_avg(col: Column, frame, min_periods: int) -> Column:

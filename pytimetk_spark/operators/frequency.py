@@ -22,6 +22,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from pytimetk_spark.functions.windows import ordered_window
+
 from pytimetk_spark.functions.datetime import floor_date
 
 # unit table — frequency.py:301-314
@@ -75,9 +77,7 @@ def median_diff_seconds_col(date_column: str, group_cols: Sequence[str]) -> Colu
 
 
 def _with_diffs(df: DataFrame, date_column: str, group_cols: Sequence[str]) -> DataFrame:
-    w = Window.partitionBy(*group_cols).orderBy(date_column) if group_cols else (
-        Window.partitionBy().orderBy(date_column)
-    )
+    w = ordered_window(group_cols, date_column, "frequency")
     ts_sec = F.col(date_column).cast("timestamp").cast("double")
     return df.withColumn(
         "__diff_sec__",

@@ -21,6 +21,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from pytimetk_spark.functions.windows import ordered_window
+
 from pytimetk_spark.functions.datetime import week_of_month
 
 
@@ -113,9 +115,7 @@ def augment_fourier(
     group_cols = list(group_cols or [])
     periods = [periods] if isinstance(periods, int) else list(periods)
     ts_sec = F.col(date_column).cast("timestamp").cast("double")
-    w = Window.partitionBy(*group_cols).orderBy(date_column) if group_cols else (
-        Window.partitionBy().orderBy(date_column)
-    )
+    w = ordered_window(group_cols, date_column, "augment_fourier")
     diffs = df.withColumn("__diff__", ts_sec - F.lag(ts_sec).over(w))
     stats = (
         diffs.groupBy(*group_cols) if group_cols else diffs.groupBy(F.lit(1).alias("__g__"))

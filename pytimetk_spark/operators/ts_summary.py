@@ -19,6 +19,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from pytimetk_spark.functions.windows import ordered_window
+
 
 def ts_summary(
     df: DataFrame,
@@ -27,9 +29,7 @@ def ts_summary(
     approx: bool = False,
 ) -> DataFrame:
     group_cols = list(group_cols or [])
-    w = Window.partitionBy(*group_cols).orderBy(date_column) if group_cols else (
-        Window.partitionBy().orderBy(date_column)
-    )
+    w = ordered_window(group_cols, date_column, "ts_summary")
     ts_sec = F.col(date_column).cast("timestamp").cast("double")
     work = df.withColumn("__diff_sec__", ts_sec - F.lag(ts_sec).over(w))
 

@@ -128,10 +128,101 @@ def load_dataset(spark: SparkSession, name: str = "m4_daily") -> DataFrame:
                          F.pmod(i, F.lit(2)).cast("int") + 1)
             .alias("category_1"),
         )
-    if name in ("bike_sharing_daily", "walmart_sales_weekly"):
-        raise NotImplementedError(
-            f"{name}: multi-covariate demo table not generated; use the "
-            "reference CSV directly if you need the real data."
+    if name == "bike_sharing_daily":
+        # reference datasets/bike_sharing_daily.csv: 731 daily rows
+        # (2011-01-01..2012-12-31), UCI bike-sharing schema — calendar
+        # fields derived from the date, normalized weather covariates,
+        # casual+registered = cnt invariant preserved
+        base = spark.range(731)
+        t = F.col("id")
+        d = F.expr("date '2011-01-01' + cast(id as int)")
+        noise = lambda salt, mod: (
+            F.pmod(F.xxhash64(t, F.lit(salt)), F.lit(mod))
+        )
+        temp = F.round(
+            0.5 - 0.22 * F.cos((t % 365) * (6.283185307179586 / 365.0))
+            + (noise(1, 1600) - 800) / 10000.0, 6,
+        )
+        hum = F.round(0.63 + (noise(2, 4000) - 2000) / 10000.0, 6)
+        wind = F.round(0.19 + (noise(3, 2400) - 1200) / 10000.0, 6)
+        casual = (
+            200 + (temp * 1500).cast("long")
+            + F.when(F.dayofweek(d).isin(1, 7), 400).otherwise(0)
+            + noise(4, 300)
+        )
+        registered = 2500 + (temp * 2500).cast("long") + t + noise(5, 600)
+        return base.select(
+            (t + 1).cast("int").alias("instant"),
+            d.alias("dteday"),
+            (((F.month(d) % 12) / 3).cast("int") + 1).alias("season"),
+            (F.year(d) - 2011).cast("int").alias("yr"),
+            F.month(d).alias("mnth"),
+            F.when(noise(6, 100) < 3, 1).otherwise(0).alias("holiday"),
+            (F.dayofweek(d) - 1).alias("weekday"),
+            F.when(
+                F.dayofweek(d).isin(1, 7) | (noise(6, 100) < 3), 0
+            ).otherwise(1).alias("workingday"),
+            (F.when(hum > 0.75, 2).otherwise(1)
+             + F.when(noise(7, 100) < 5, 1).otherwise(0)).alias("weathersit"),
+            temp.alias("temp"),
+            F.round(temp * 0.95 + 0.03, 6).alias("atemp"),
+            hum.alias("hum"),
+            wind.alias("windspeed"),
+            casual.alias("casual"),
+            registered.alias("registered"),
+            (casual + registered).alias("cnt"),
+        )
+    if name == "walmart_sales_weekly":
+        # reference datasets/walmart_sales_weekly.csv: 7 (Store=1, Dept)
+        # series × 143 Fridays from 2010-02-05; MarkDown1-5 NULL before
+        # 2011-11 (as in the real frame), id = "Store_Dept" string
+        depts = [1, 3, 8, 13, 38, 93, 95]
+        n, periods = len(depts), 143
+        base = spark.range(n * periods).select(
+            (F.col("id") % n).alias("__i__"),
+            (F.col("id") / n).cast("long").alias("__t__"),
+        )
+        t, i = F.col("__t__"), F.col("__i__")
+        dept = F.element_at(
+            F.array(*[F.lit(x) for x in depts]), i.cast("int") + 1
+        )
+        d = F.expr("date '2010-02-05' + cast(7 * __t__ as int)")
+        noise = lambda salt, mod: (
+            F.pmod(F.xxhash64(i, t, F.lit(salt)), F.lit(mod))
+        )
+        sales = F.round(
+            15000.0 + dept * 300.0
+            + 4000.0 * F.sin(t * (6.283185307179586 / 52.0) + i)
+            + (noise(1, 600000) - 300000) / 100.0, 2,
+        )
+        holiday = F.weekofyear(d).isin(6, 36, 47, 52)
+        md = lambda salt: F.when(
+            d >= F.lit("2011-11-01").cast("date"),
+            F.round(noise(salt, 500000) / 100.0, 2),
+        )
+        return base.select(
+            F.concat(F.lit("1_"), dept).alias("id"),
+            F.lit(1).alias("Store"),
+            dept.alias("Dept"),
+            d.alias("Date"),
+            sales.alias("Weekly_Sales"),
+            holiday.alias("IsHoliday"),
+            F.lit("A").alias("Type"),
+            F.lit(151315).alias("Size"),
+            F.round(
+                60.0 - 25.0 * F.cos(t * (6.283185307179586 / 52.0))
+                + (noise(2, 1000) - 500) / 100.0, 2,
+            ).alias("Temperature"),
+            F.round(2.6 + t * 0.005 + noise(3, 60) / 100.0, 3)
+            .alias("Fuel_Price"),
+            md(4).alias("MarkDown1"),
+            md(5).alias("MarkDown2"),
+            md(6).alias("MarkDown3"),
+            md(7).alias("MarkDown4"),
+            md(8).alias("MarkDown5"),
+            F.round(211.0 + t * 0.04, 6).alias("CPI"),
+            F.round(8.1 - t * 0.004 + noise(9, 100) / 1000.0, 3)
+            .alias("Unemployment"),
         )
     raise ValueError(
         f"unknown dataset {name!r}; available: {dataset_names()}"

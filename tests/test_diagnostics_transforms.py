@@ -157,6 +157,12 @@ def test_ts_features_unitroot(spark):
     assert out.loc["noise", "unitroot_kpss"] < 0.4     # 10% critical ~0.347
     assert out.loc["noise", "unitroot_pp"] < -50       # strong rejection
     assert out.loc["walk", "unitroot_pp"] > -15        # cannot reject unit root
+    # p-values: KPSS table interpolation clamps at the tabulated bounds;
+    # PP probit-interpolated MacKinnon surface
+    assert out.loc["walk", "unitroot_kpss_pvalue"] == 0.01   # stat > 0.739
+    assert out.loc["noise", "unitroot_kpss_pvalue"] == 0.10  # stat < 0.347
+    assert out.loc["noise", "unitroot_pp_pvalue"] < 0.01     # reject unit root
+    assert out.loc["walk", "unitroot_pp_pvalue"] > 0.10      # cannot reject
     try:
         from statsmodels.tsa.stattools import kpss
     except ImportError:
@@ -166,8 +172,30 @@ def test_ts_features_unitroot(spark):
         # trunc(3*sqrt(n)/13) — pass that as explicit nlags (statsmodels'
         # "legacy" is int(12*(n/100)**0.25), a different bandwidth)
         nlags = int(np.trunc(3.0 * np.sqrt(len(x)) / 13.0))
-        stat, *_ = kpss(x, regression="c", nlags=nlags)
+        stat, pval, *_ = kpss(x, regression="c", nlags=nlags)
         np.testing.assert_allclose(out.loc[gid, "unitroot_kpss"], stat, rtol=1e-6)
+        # statsmodels interpolates the identical Kwiatkowski table
+        np.testing.assert_allclose(
+            out.loc[gid, "unitroot_kpss_pvalue"], pval, rtol=1e-6
+        )
+
+
+def test_pp_tau_pvalue_surface():
+    """The MacKinnon probit interpolation is exact at the tabulated
+    critical points and monotone decreasing in |tau|."""
+    from pytimetk_spark.operators.diagnostics import (
+        _MACKINNON_TAU_C,
+        _pp_tau_pvalue,
+    )
+
+    nobs = 250
+    for alpha, (b0, b1, b2, b3) in _MACKINNON_TAU_C.items():
+        crit = b0 + b1 / nobs + b2 / nobs**2 + b3 / nobs**3
+        np.testing.assert_allclose(_pp_tau_pvalue(crit, nobs), alpha, rtol=1e-9)
+    taus = np.linspace(-6.0, 1.0, 60)
+    ps = [_pp_tau_pvalue(t, nobs) for t in taus]
+    assert all(a <= b + 1e-12 for a, b in zip(ps, ps[1:]))
+    assert _pp_tau_pvalue(float("nan"), nobs) != _pp_tau_pvalue(0.0, nobs)
 
 
 def test_seasonal_diagnostics(spark):

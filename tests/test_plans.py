@@ -93,3 +93,51 @@ def test_pad_calendar_is_generated_not_shuffled(events):
     # sequence+explode calendar generation present; no global sort by default
     assert "explode" in plan.lower()
     assert "rangepartitioning" not in plan.lower()
+
+
+def test_ungrouped_windows_warn_single_partition(events):
+    import warnings
+
+    from pytimetk_spark.functions.windows import SinglePartitionWarning
+    from pytimetk_spark.operators.asof_join import sessionize
+
+    ev = events.select("ts", "value")
+    for build in (
+        lambda: sessionize(ev, "ts", gap=600.0, group_cols=[]),
+        lambda: tk.augment_lags(ev, "ts", "value", lags=1, group_cols=[]),
+        lambda: tk.augment_rolling(
+            ev, "ts", "value", window=3, window_func="mean", group_cols=[]
+        ),
+        lambda: tk.augment_fourier(
+            ev, "ts", periods=24, max_order=1, group_cols=[]
+        ),
+    ):
+        with warnings.catch_warnings(record=True) as rec:
+            warnings.simplefilter("always")
+            build()
+        assert any(
+            issubclass(w.category, SinglePartitionWarning) for w in rec
+        ), build
+
+    # grouped paths stay silent
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        sessionize(events.select("user_id", "ts", "value"), "ts",
+                   gap=600.0, group_cols=["user_id"])
+        tk.augment_lags(events.select("user_id", "ts", "value"), "ts",
+                        "value", lags=1, group_cols=["user_id"])
+    assert not any(
+        issubclass(w.category, SinglePartitionWarning) for w in rec
+    )
+
+
+def test_grouped_sessionize_and_shift_no_single_partition(events):
+    from pytimetk_spark.operators.asof_join import sessionize
+
+    for out in (
+        sessionize(events.select("user_id", "ts", "value"), "ts",
+                   gap=600.0, group_cols=["user_id"]),
+        tk.augment_lags(events.select("user_id", "ts", "value"), "ts",
+                        "value", lags=1, group_cols=["user_id"]),
+    ):
+        assert "Exchange SinglePartition" not in _plan(out)

@@ -125,3 +125,40 @@ def test_load_dataset_shapes(spark):
     with pytest.raises(ValueError, match="unknown dataset"):
         load_dataset(spark, "nope")
     assert "m4_hourly" in dataset_names()
+
+
+def test_load_dataset_multicovariate_tables(spark):
+    """bike_sharing_daily / walmart_sales_weekly stand-ins: exact reference
+    column order, reference row counts / panel structure, invariants."""
+    from pytimetk_spark.sources.datasets import load_dataset
+
+    bike = load_dataset(spark, "bike_sharing_daily")
+    assert bike.columns == [
+        "instant", "dteday", "season", "yr", "mnth", "holiday", "weekday",
+        "workingday", "weathersit", "temp", "atemp", "hum", "windspeed",
+        "casual", "registered", "cnt",
+    ]
+    bp = bike.toPandas()
+    assert len(bp) == 731  # 2011-01-01 .. 2012-12-31
+    assert (bp.cnt == bp.casual + bp.registered).all()
+    assert set(bp.yr) == {0, 1} and set(bp.season) <= {1, 2, 3, 4}
+    assert bp.temp.between(0, 1).all() and bp.hum.between(0, 1).all()
+    # weekends are never working days
+    assert (bp.loc[bp.weekday.isin([0, 6]), "workingday"] == 0).all()
+
+    wm = load_dataset(spark, "walmart_sales_weekly")
+    assert wm.columns == [
+        "id", "Store", "Dept", "Date", "Weekly_Sales", "IsHoliday", "Type",
+        "Size", "Temperature", "Fuel_Price", "MarkDown1", "MarkDown2",
+        "MarkDown3", "MarkDown4", "MarkDown5", "CPI", "Unemployment",
+    ]
+    wp = wm.toPandas()
+    assert len(wp) == 7 * 143 and wp.id.nunique() == 7
+    assert sorted(wp.Dept.unique()) == [1, 3, 8, 13, 38, 93, 95]
+    one = wp[wp.id == "1_1"].sort_values("Date")
+    assert (pd.to_datetime(one.Date).diff().dropna()
+            == pd.Timedelta(days=7)).all()
+    # MarkDowns are NULL before 2011-11 (as in the reference frame)
+    pre = wp[pd.to_datetime(wp.Date) < "2011-11-01"]
+    post = wp[pd.to_datetime(wp.Date) >= "2011-11-01"]
+    assert pre.MarkDown1.isna().all() and post.MarkDown1.notna().all()
