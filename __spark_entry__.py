@@ -529,6 +529,27 @@ def q_ts_features(spark, sf_dir):
     )
 
 
+def q_ts_features_models(spark, sf_dir):
+    """Model-fit ts_features (holt/hw SSE-fit smoothing parameters via
+    the in-repo Nelder-Mead, AR-prewhitened ARCH/GARCH heterogeneity,
+    unit-root p-values) — iterative optimizations, genuinely
+    non-SQL-expressible, so this is a rows-only contract entry; the
+    numeric behavior is pinned by tests/test_diagnostics_transforms.py
+    (planted-regime goldens + statsmodels differential when installed)."""
+    from pytimetk_spark import ts_features
+
+    ev = _events(spark, sf_dir)
+    daily = tk.summarize_by_time(
+        ev, "ts", "value", group_cols=["event_type"], freq="D", agg_func="count"
+    )
+    out = ts_features(daily, "ts", "value", group_cols=["event_type"], period=7)
+    return out.select(
+        "event_type", "holt_alpha", "holt_beta", "hw_alpha", "hw_beta",
+        "hw_gamma", "arch_acf", "garch_acf", "arch_r2", "garch_r2",
+        "unitroot_kpss_pvalue", "unitroot_pp_pvalue",
+    )
+
+
 def q_apply_by_time(spark, sf_dir):
     """Arbitrary named-lambda downsampling (the Arrow grouped-map escape
     hatch) — lambdas here are SQL-expressible on purpose so the whole path
@@ -1079,6 +1100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "apply_by_time_lambdas": q_apply_by_time,
         "acf_diagnostics": q_acf_diagnostics,
         "ts_features_subset": q_ts_features,
+        "ts_features_models": q_ts_features_models,
         "regime_detection": q_regime_detection,
         "augment_ewm": q_ewm,
         "anomalize": q_anomalize,

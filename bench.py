@@ -148,9 +148,15 @@ def main():
         ).parquet(f"{tier_dir}/d7")
 
     tier_job()  # warm-up
-    t0 = time.time()
-    tier_job()
-    tier_elapsed = time.time() - t0
+    # median of n>=3 measured iterations: single-shot readings on a shared
+    # host swung ±16% round-over-round (r2 959k vs r3 808k pts/s at flat
+    # wall time) — the median is the reported number, min/max recorded
+    tier_runs = []
+    for _ in range(3):
+        t0 = time.time()
+        tier_job()
+        tier_runs.append(time.time() - t0)
+    tier_elapsed = sorted(tier_runs)[len(tier_runs) // 2]
     points = sum(
         spark.read.parquet(f"{tier_dir}/{t}").count() for t in ("h1", "d1", "d7")
     )
@@ -170,6 +176,7 @@ def main():
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "points_per_sec": round(pps, 1),
+                "tier_runs_sec": [round(t, 4) for t in sorted(tier_runs)],
                 "cpus": int(CPUS),
             }
         )

@@ -187,6 +187,15 @@ _TS_FEATURES = [
     "crossing_points",
     "flat_spots",
     "arch_stat",
+    "holt_alpha",
+    "holt_beta",
+    "hw_alpha",
+    "hw_beta",
+    "hw_gamma",
+    "arch_acf",
+    "garch_acf",
+    "arch_r2",
+    "garch_r2",
     "unitroot_kpss",
     "unitroot_kpss_pvalue",
     "unitroot_pp",
@@ -209,6 +218,137 @@ _MACKINNON_TAU_C = {
 }
 # standard normal quantiles at those tail probabilities (probit anchors)
 _PROBIT = {0.01: -2.3263478740, 0.05: -1.6448536270, 0.10: -1.2815515655}
+
+
+def _holt_sse(x: np.ndarray, alpha: float, beta: float) -> float:
+    l, b = x[0], x[1] - x[0]
+    sse = 0.0
+    for t in range(1, x.size):
+        f = l + b
+        e = x[t] - f
+        sse += e * e
+        l_new = alpha * x[t] + (1.0 - alpha) * f
+        b = beta * (l_new - l) + (1.0 - beta) * b
+        l = l_new
+    return sse
+
+
+def _fit_holt(x: np.ndarray) -> tuple[float, float]:
+    """Holt linear-trend smoothing parameters (alpha, beta*) by SSE
+    minimization (tsfeatures holt_parameters fits ets(A,A,N) by MLE; the
+    gaussian-likelihood optimum coincides with the SSE optimum for fixed
+    variance, so this is the same stationary point, documented as an
+    SSE fit)."""
+    from pytimetk_spark.functions.optim import nelder_mead
+
+    clip = lambda p: np.clip(p, 1e-4, 0.9999)
+    obj = lambda p: _holt_sse(x, *clip(p))
+    best = clip(nelder_mead(obj, np.array([0.3, 0.1]), step=0.2))
+    return float(best[0]), float(best[1])
+
+
+def _hw_sse(x: np.ndarray, m: int, alpha: float, beta: float, gamma: float) -> float:
+    l = x[:m].mean()
+    b = (x[m : 2 * m].mean() - l) / m
+    s = (x[:m] - l).astype(float).copy()
+    sse = 0.0
+    for t in range(m, x.size):
+        f = l + b + s[t % m]
+        e = x[t] - f
+        sse += e * e
+        l_new = alpha * (x[t] - s[t % m]) + (1.0 - alpha) * (l + b)
+        b = beta * (l_new - l) + (1.0 - beta) * b
+        s[t % m] = gamma * (x[t] - l - b) + (1.0 - gamma) * s[t % m]
+        l = l_new
+    return sse
+
+
+def _fit_hw(x: np.ndarray, m: int) -> tuple[float, float, float]:
+    """Additive Holt-Winters (alpha, beta*, gamma) by SSE minimization
+    (tsfeatures hw_parameters / ets(A,A,A))."""
+    from pytimetk_spark.functions.optim import nelder_mead
+
+    clip = lambda p: np.clip(p, 1e-4, 0.9999)
+    obj = lambda p: _hw_sse(x, m, *clip(p))
+    best = clip(nelder_mead(obj, np.array([0.3, 0.05, 0.1]), step=0.2))
+    return float(best[0]), float(best[1]), float(best[2])
+
+
+def _lm_r2(z2: np.ndarray, lags: int = 12) -> float:
+    """Engle LM R^2: regress z^2 on a constant + its first ``lags`` lags."""
+    n = z2.size
+    if n <= lags + 4:
+        return float("nan")
+    yt = z2[lags:]
+    design = np.column_stack(
+        [np.ones(n - lags)] + [z2[lags - k : n - k] for k in range(1, lags + 1)]
+    )
+    coef, *_ = np.linalg.lstsq(design, yt, rcond=None)
+    resid = yt - design @ coef
+    tss = float(np.sum((yt - yt.mean()) ** 2))
+    return float(1 - resid @ resid / tss) if tss > 0 else float("nan")
+
+
+def _acf_sumsq(z: np.ndarray, lags: int = 12) -> float:
+    if z.size <= lags + 1 or z.std() == 0:
+        return float("nan")
+    r = acf_np(z, lags)
+    return float((r[1:] ** 2).sum())
+
+
+def _garch11_std_resid(x: np.ndarray) -> np.ndarray | None:
+    """Gaussian-MLE GARCH(1,1) standardized residuals (numpy Nelder-Mead
+    over log-parameters; Bollerslev 1986). Returns None when the fit
+    degenerates."""
+    from pytimetk_spark.functions.optim import nelder_mead
+
+    x = x - x.mean()
+    v0 = float(x.var())
+    if not np.isfinite(v0) or v0 <= 0:
+        return None
+    x2 = x * x
+
+    def nll(p: np.ndarray) -> float:
+        omega = np.exp(p[0])
+        a = 1.0 / (1.0 + np.exp(-p[1])) * 0.5
+        b = 1.0 / (1.0 + np.exp(-p[2])) * (0.999 - a)
+        h = v0
+        ll = 0.0
+        for t in range(x.size):
+            h = max(h, 1e-12)
+            ll += np.log(h) + x2[t] / h
+            h = omega + a * x2[t] + b * h
+        return ll
+
+    p0 = np.array([np.log(v0 * 0.1), 0.0, 1.0])
+    p = nelder_mead(nll, p0, step=0.5, max_iter=200)
+    omega = np.exp(p[0])
+    a = 1.0 / (1.0 + np.exp(-p[1])) * 0.5
+    b = 1.0 / (1.0 + np.exp(-p[2])) * (0.999 - a)
+    h = v0
+    sig = np.empty(x.size)
+    for t in range(x.size):
+        sig[t] = max(h, 1e-12)
+        h = omega + a * x2[t] + b * h
+    if not np.all(np.isfinite(sig)):
+        return None
+    return x / np.sqrt(sig)
+
+
+def _prewhiten(x: np.ndarray, order: int | None = None) -> np.ndarray:
+    """AR(p) OLS residuals (tsfeatures heterogeneity pre-whitens with
+    ar(); fixed p = min(5, n//10) here, documented simplification of R's
+    AIC-selected order)."""
+    n = x.size
+    p = order if order is not None else max(1, min(5, n // 10))
+    if n <= p + 4:
+        return x - x.mean()
+    yt = x[p:]
+    design = np.column_stack(
+        [np.ones(n - p)] + [x[p - k : n - k] for k in range(1, p + 1)]
+    )
+    coef, *_ = np.linalg.lstsq(design, yt, rcond=None)
+    return yt - design @ coef
 
 
 def _kpss_pvalue(stat: float) -> float:
@@ -343,6 +483,39 @@ def ts_features(
             feats["arch_stat"] = float(1 - resid @ resid / tss) if tss > 0 else np.nan
         else:
             feats["arch_stat"] = np.nan
+        # holt/hw smoothing parameters (tsfeatures holt_parameters /
+        # hw_parameters): SSE-fit exponential-smoothing recurrences via
+        # the in-repo Nelder-Mead (functions/optim.py)
+        if n >= 10 and np.isfinite(x).all():
+            feats["holt_alpha"], feats["holt_beta"] = _fit_holt(x)
+        else:
+            feats["holt_alpha"] = np.nan
+            feats["holt_beta"] = np.nan
+        m = int(p)
+        if m >= 2 and n >= 2 * m + 4 and np.isfinite(x).all():
+            feats["hw_alpha"], feats["hw_beta"], feats["hw_gamma"] = _fit_hw(
+                x, m
+            )
+        else:
+            feats["hw_alpha"] = np.nan
+            feats["hw_beta"] = np.nan
+            feats["hw_gamma"] = np.nan
+        # heterogeneity (tsfeatures): AR-prewhitened residuals -> ARCH
+        # acf/R2; GARCH(1,1) standardized residuals -> leftover acf/R2
+        if n >= 30 and x.std() > 0:
+            wh = _prewhiten(x)
+            feats["arch_acf"] = _acf_sumsq(wh * wh)
+            feats["arch_r2"] = _lm_r2(wh * wh)
+            z = _garch11_std_resid(wh)
+            if z is not None:
+                feats["garch_acf"] = _acf_sumsq(z * z)
+                feats["garch_r2"] = _lm_r2(z * z)
+            else:
+                feats["garch_acf"] = np.nan
+                feats["garch_r2"] = np.nan
+        else:
+            for k in ("arch_acf", "garch_acf", "arch_r2", "garch_r2"):
+                feats[k] = np.nan
         # unitroot_kpss (tsfeatures: level-stationarity KPSS statistic,
         # Newey-West bartlett bandwidth trunc(3*sqrt(n)/13) — R tseries
         # kpss.test lshort=TRUE; statsmodels' "legacy" uses

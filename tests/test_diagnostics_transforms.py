@@ -375,3 +375,92 @@ def test_streaming_dedup_and_stateful_ewm(spark, tmp_path):
         want["plen_ewm_mean_alpha_0.3"].to_numpy(),
         rtol=1e-9,
     )
+
+
+def test_nelder_mead_quadratic():
+    from pytimetk_spark.functions.optim import nelder_mead
+
+    f = lambda p: (p[0] - 3.0) ** 2 + 2.0 * (p[1] + 1.0) ** 2 + 5.0
+    best = nelder_mead(f, np.array([0.0, 0.0]))
+    np.testing.assert_allclose(best, [3.0, -1.0], atol=1e-3)
+
+
+def test_holt_hw_parameter_fits():
+    """SSE-fit smoothing parameters discriminate smoothing regimes: a
+    random walk needs alpha ~ 1, noise around a constant needs small
+    alpha; the HW fit beats its own starting point."""
+    from pytimetk_spark.operators.diagnostics import (
+        _fit_holt,
+        _fit_hw,
+        _holt_sse,
+        _hw_sse,
+    )
+
+    rng = np.random.RandomState(7)
+    walk = np.cumsum(rng.randn(300))
+    a_walk, _ = _fit_holt(walk)
+    assert a_walk > 0.8
+
+    noise = 10.0 + 0.05 * rng.randn(300)
+    a_noise, _ = _fit_holt(noise)
+    assert a_noise < 0.35
+
+    t = np.arange(280, dtype=float)
+    seasonal = 0.1 * t + 5.0 * np.sin(t * 2 * np.pi / 7) + 0.3 * rng.randn(280)
+    m = 7
+    al, be, ga = _fit_hw(seasonal, m)
+    assert all(0.0 < v < 1.0 for v in (al, be, ga))
+    assert _hw_sse(seasonal, m, al, be, ga) <= _hw_sse(
+        seasonal, m, 0.3, 0.05, 0.1
+    )
+    # fitted holt params are always the SSE argmin vs the default start
+    for x in (walk, noise):
+        a, b = _fit_holt(x)
+        assert _holt_sse(x, a, b) <= _holt_sse(x, 0.3, 0.1)
+
+
+def test_heterogeneity_features_garch():
+    """Planted GARCH(1,1) series: ARCH effects visible in the prewhitened
+    squares, and the GARCH fit absorbs most of them (garch_r2 < arch_r2).
+    Gaussian noise: both small."""
+    from pytimetk_spark.operators.diagnostics import (
+        _acf_sumsq,
+        _garch11_std_resid,
+        _lm_r2,
+        _prewhiten,
+    )
+
+    rng = np.random.RandomState(11)
+    n = 600
+    h, x = 1.0, np.empty(n)
+    for t in range(n):
+        z = rng.randn()
+        x[t] = np.sqrt(h) * z
+        h = 0.1 + 0.25 * x[t] ** 2 + 0.65 * h
+    wh = _prewhiten(x)
+    arch_r2 = _lm_r2(wh * wh)
+    assert arch_r2 > 0.05
+    zres = _garch11_std_resid(wh)
+    assert zres is not None
+    garch_r2 = _lm_r2(zres * zres)
+    assert garch_r2 < arch_r2
+
+    gauss = rng.randn(n)
+    wg = _prewhiten(gauss)
+    assert _lm_r2(wg * wg) < 0.06
+    assert _acf_sumsq(wg * wg) < 0.1
+
+
+def test_ts_features_new_columns(spark):
+    pdf = pd.DataFrame(
+        {
+            "date": pd.date_range("2020-01-01", periods=120, freq="D"),
+            "value": np.cumsum(np.random.RandomState(3).randn(120)),
+        }
+    )
+    out = ts_features(spark.createDataFrame(pdf), "date", "value").toPandas()
+    for c in ("holt_alpha", "holt_beta", "hw_alpha", "hw_beta", "hw_gamma",
+              "arch_acf", "garch_acf", "arch_r2", "garch_r2",
+              "unitroot_kpss_pvalue", "unitroot_pp_pvalue"):
+        assert c in out.columns
+    assert 0 <= out["holt_alpha"].iloc[0] <= 1

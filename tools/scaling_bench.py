@@ -244,7 +244,12 @@ def orchestrate() -> None:
         w32.quit()
 
     clean = [p for p in pairs if p["clean"]]
-    pool = clean if clean else pairs
+    # eff > 1.0 is physically impossible for this job: it means a transient
+    # host slowdown landed inside exactly one side's measurement window
+    # (calibrations can bracket clean around it) — exclude such pairs from
+    # the headline rather than quoting an artifact
+    plausible = [p for p in clean if p["eff"] <= 1.0]
+    pool = plausible or clean or pairs
     best = max(pool, key=lambda p: p["eff"])
     med = sorted(p["eff"] for p in pool)[len(pool) // 2]
     ceiling = host_ratio / 4
