@@ -529,6 +529,92 @@ def q_ts_features(spark, sf_dir):
     )
 
 
+def q_streaming_tier_1h(spark, sf_dir):
+    """TRUE Structured Streaming 1h tier (streaming/tiers_stream.py:
+    streaming_tier_1h): readStream over the events parquet, event-time
+    tumbling window + 0s watermark, availableNow run to completion into a
+    parquet sink, read back as a batch frame. Append mode emits exactly
+    the windows the final watermark (= max event time) CLOSED — every
+    hourly window with end <= max(ts) — and the oracle filters the same
+    subset, so the whole streaming path is value-checked, not rows-only."""
+    import shutil
+    import tempfile
+
+    from pytimetk_spark.streaming.tiers_stream import streaming_tier_1h
+
+    import os
+
+    _prep(spark)
+    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # the streaming file source requires a DIRECTORY; testdata ships a
+    # single parquet file — stage a symlink to it in a temp dir
+    src_dir = tempfile.mkdtemp(prefix="stream_src_")
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/events.parquet"),
+        f"{src_dir}/events.parquet",
+    )
+    stream = (
+        spark.readStream.schema(batch_schema)
+        .parquet(src_dir)
+        .select(
+            F.col("event_type"),
+            F.col("ts").cast("timestamp").alias("ts"),
+            "value",
+        )
+    )
+    tiered = streaming_tier_1h(
+        stream, url_col="event_type", ts_col="ts", value_col="value",
+        watermark="0 seconds",
+    )
+    work = tempfile.mkdtemp(prefix="stream_tier_")
+    try:
+        q = (
+            tiered.writeStream.format("parquet")
+            .option("path", f"{work}/out")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        out = spark.read.parquet(f"{work}/out").select(
+            F.col("url").alias("event_type"),
+            F.col("bucket_ts").cast("long").alias("bucket_ts"),
+            "cnt",
+            "vsum",
+            F.round("vmin", 6).alias("vmin"),
+            F.round("vmax", 6).alias("vmax"),
+            "vsumsq",
+        )
+        # materialize BEFORE the temp sink dir is deleted
+        pdf = out.toPandas()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        shutil.rmtree(src_dir, ignore_errors=True)
+    res = spark.createDataFrame(pdf, schema=out.schema)
+    return _i4(res, "vsum").withColumn(
+        "vsumsq",
+        F.floor(F.col("vsumsq") * 100 + F.lit(0.5)).cast("long"),
+    )
+
+
+def q_binarize(spark, sf_dir):
+    """binarize (operators/binarize.py — correlation-funnel one-hot) over
+    the categorical / boolean / low-cardinality-numeric paths: exact level
+    frequencies from the single melt job decide categorical treatment, and
+    the one-hot projection is pure Catalyst. The quantile-binned numeric
+    path stays pytest-covered (reference-kernel differential) because a
+    static SQL oracle can't replicate Spark's GK sketch tie-breaks."""
+    from pytimetk_spark.operators.binarize import binarize
+
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        (F.col("user_id") % 3).cast("int").alias("u3"),
+        (F.col("value") > 50.0).alias("highval"),
+    )
+    return binarize(ev, n_bins=4, thresh_infreq=0.01)
+
+
 def q_ts_features_models(spark, sf_dir):
     """Model-fit ts_features (holt/hw SSE-fit smoothing parameters via
     the in-repo Nelder-Mead, AR-prewhitened ARCH/GARCH heterogeneity,
@@ -1105,6 +1191,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "augment_ewm": q_ewm,
         "anomalize": q_anomalize,
         "gorilla_roundtrip": q_gorilla_roundtrip,
+        "streaming_tier_1h": q_streaming_tier_1h,
+        "binarize_onehot": q_binarize,
     }
 
 
@@ -2567,6 +2655,43 @@ def oracle_sql() -> dict[str, str]:
                    (epoch_us(max(ts)) // 1000000)
                      - (epoch_us(min(ts)) // 1000000) AS duration_sec
             FROM s GROUP BY 1, 2
+        """,
+        "binarize_onehot": """
+            -- one-hot contract: string levels sorted, low-cardinality
+            -- numeric (3 uniques <= n_bins+3) treated categorically,
+            -- boolean cast to int; all levels >= 1% so no -OTHER column
+            SELECT
+              CAST(event_type = 'click'    AS INT) AS event_type__click,
+              CAST(event_type = 'error'    AS INT) AS event_type__error,
+              CAST(event_type = 'purchase' AS INT) AS event_type__purchase,
+              CAST(event_type = 'signup'   AS INT) AS event_type__signup,
+              CAST(event_type = 'view'     AS INT) AS event_type__view,
+              CAST(user_id % 3 = 0 AS INT) AS u3__0,
+              CAST(user_id % 3 = 1 AS INT) AS u3__1,
+              CAST(user_id % 3 = 2 AS INT) AS u3__2,
+              CAST(value > 50.0 AS INT) AS highval
+            FROM events
+        """,
+        "streaming_tier_1h": """
+            -- batch mirror of the streaming tumbling-1h tier: identical
+            -- aggregation, restricted to windows the final watermark
+            -- (max event time, 0s delay) closed: window end <= max(ts)
+            WITH mx AS (SELECT max(ts) AS m FROM events),
+            h AS (
+              SELECT event_type, date_trunc('hour', ts) AS b,
+                     count(value) AS cnt, sum(value) AS vsum,
+                     min(value) AS vmin, max(value) AS vmax,
+                     sum(value * value) AS vsumsq
+              FROM events GROUP BY 1, 2)
+            SELECT h.event_type,
+                   epoch_us(h.b) // 1000000 AS bucket_ts,
+                   h.cnt,
+                   CAST(floor(h.vsum * 10000 + 0.5) AS BIGINT) AS vsum,
+                   round(h.vmin, 6) AS vmin,
+                   round(h.vmax, 6) AS vmax,
+                   CAST(floor(h.vsumsq * 100 + 0.5) AS BIGINT) AS vsumsq
+            FROM h, mx
+            WHERE h.b + INTERVAL 1 HOUR <= mx.m
         """,
         "weekday_sequence": """
             WITH d AS (
