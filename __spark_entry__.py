@@ -1287,6 +1287,15 @@ def _minhash_oracle_sql() -> str:
     """
 
 
+_RAW_EMB_CTE = """
+  SELECT vec_id,
+         list_transform(embedding, x -> x::DOUBLE) AS v,
+         sqrt(list_reduce(
+           list_transform(embedding, y -> y::DOUBLE * y::DOUBLE),
+           (acc, w) -> acc + w)) AS nrm
+  FROM embeddings
+"""
+
 _NORM_EMB_CTE = """
   SELECT vec_id,
          list_transform(embedding, x -> x::DOUBLE /
@@ -1322,20 +1331,21 @@ def _near_dup_oracle_sql() -> str:
     from pytimetk_spark.webtext.similarity import _hyperplanes
 
     planes = _hyperplanes(12, 64, 42)
-    dot = _dot_sql("a.nv", "c.nv")
+    dot = _dot_sql("a.v", "c.v") + " / (a.nrm * c.nrm)"
     return f"""
         WITH emb2 AS (
           SELECT vec_id, embedding FROM embeddings
           UNION ALL
           SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id < 10),
-        n AS (
+        e AS (
           SELECT vec_id,
-                 list_transform(embedding, x -> x::DOUBLE /
-                   sqrt(list_reduce(
-                     list_transform(embedding, y -> y::DOUBLE * y::DOUBLE),
-                     (acc, v) -> acc + v))) AS nv
+                 list_transform(embedding, x -> x::DOUBLE) AS v,
+                 sqrt(list_reduce(
+                   list_transform(embedding, y -> y::DOUBLE * y::DOUBLE),
+                   (acc, w) -> acc + w)) AS nrm
           FROM emb2),
-        b AS (SELECT vec_id, nv, {_bucket_sql("nv", planes)} AS bkt FROM n)
+        b AS (SELECT vec_id, v, nrm, {_bucket_sql("v", planes)} AS bkt
+              FROM e)
         SELECT a.vec_id AS id_a, c.vec_id AS id_b,
                round({dot}, 6) AS cosine
         FROM b a JOIN b c ON a.bkt = c.bkt AND a.vec_id < c.vec_id
@@ -1351,15 +1361,16 @@ def _lsh_ann_oracle_sql() -> str:
         ["qb"] + [f"xor(qb, {1 << i})" for i in range(10)]
     )
     return f"""
-        WITH n AS ({_NORM_EMB_CTE}),
-        c AS (SELECT vec_id, nv, {_bucket_sql("nv", planes)} AS bkt FROM n),
-        q0 AS (SELECT vec_id AS query_id, nv AS qv, bkt AS qb
+        WITH e AS ({_RAW_EMB_CTE}),
+        c AS (SELECT vec_id, v, nrm, {_bucket_sql("v", planes)} AS bkt FROM e),
+        q0 AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn, bkt AS qb
                FROM c WHERE vec_id < 3),
-        probes AS (SELECT query_id, qv,
+        probes AS (SELECT query_id, qv, qn,
                           unnest([{probe_list}]) AS bkt
                    FROM q0),
         s AS (SELECT p.query_id, c.vec_id,
-                     max({_dot_sql("c.nv", "p.qv")}) AS cosine
+                     max({_dot_sql("c.v", "p.qv")} / (c.nrm * p.qn))
+                       AS cosine
               FROM c JOIN probes p ON c.bkt = p.bkt
               GROUP BY 1, 2),
         r AS (SELECT *, row_number() OVER
@@ -2038,25 +2049,28 @@ def oracle_sql() -> dict[str, str]:
             FROM toks
         """,
         "cosine_topk_bruteforce": """
-            -- mirrors the Spark plan op-for-op: widen float32→double, L2-
-            -- normalize each vector (sequential fold for the norm), then a
-            -- sequential-fold dot of the two normalized vectors. DuckDB's
-            -- list_cosine_similarity computes in float32 (~1e-7 noise) which
-            -- flipped 6-dp rounding in round 1.
-            WITH n AS (
+            -- mirrors the Spark plan op-for-op: widen float32→double,
+            -- sequential-fold dot of the RAW vectors divided by the norm
+            -- product (the engine never materializes normalized vectors —
+            -- similarity.py carries vector_norm columns). DuckDB's
+            -- list_cosine_similarity computes in float32 (~1e-7 noise)
+            -- which flipped 6-dp rounding in round 1, hence the explicit
+            -- double folds.
+            WITH e AS (
               SELECT vec_id,
-                     list_transform(embedding, x -> x::DOUBLE /
-                       sqrt(list_reduce(
-                         list_transform(embedding, y -> y::DOUBLE * y::DOUBLE),
-                         (a, b) -> a + b))) AS nv
+                     list_transform(embedding, x -> x::DOUBLE) AS v,
+                     sqrt(list_reduce(
+                       list_transform(embedding, y -> y::DOUBLE * y::DOUBLE),
+                       (a, b) -> a + b)) AS nrm
               FROM embeddings),
-            q AS (SELECT vec_id AS query_id, nv AS qv FROM n WHERE vec_id < 3),
+            q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn
+                  FROM e WHERE vec_id < 3),
             s AS (SELECT q.query_id, c.vec_id,
                          list_reduce(
-                           list_transform(list_zip(c.nv, q.qv),
+                           list_transform(list_zip(c.v, q.qv),
                                           p -> p[1] * p[2]),
-                           (a, b) -> a + b) AS cosine
-                  FROM n c CROSS JOIN q),
+                           (a, b) -> a + b) / (c.nrm * q.qn) AS cosine
+                  FROM e c CROSS JOIN q),
             r AS (SELECT *, row_number() OVER
                     (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
                   FROM s)

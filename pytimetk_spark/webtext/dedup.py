@@ -380,18 +380,26 @@ def embedding_near_dup_pairs(
     Buckets larger than ``max_bucket`` are shed before the self-join —
     same flood guard as ``minhash_lsh_candidates``: the within-bucket join
     is quadratic in the hottest bucket, and at web scale one degenerate
-    bucket (zero vectors, templated embeddings) would dominate the job."""
+    bucket (zero vectors, templated embeddings) would dominate the job.
+
+    Sign buckets hash the RAW vectors (scale-invariant); cosine divides
+    the raw dot by per-row norm columns, so no normalized vector copy is
+    materialized (see similarity.normalize_embeddings for why)."""
     from pytimetk_spark.webtext.similarity import (
         _hyperplanes,
         _sign_bucket,
-        normalize_embeddings,
+        vector_norm,
     )
 
-    normed = normalize_embeddings(df, vec_col)
     planes = _hyperplanes(
         n_planes, _first_dim(df, vec_col), seed
     )
-    bucketed = normed.withColumn("__bucket__", _sign_bucket(F.col(vec_col), planes))
+    bucketed = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        vector_norm(F.col(vec_col)).alias("__vn__"),
+        _sign_bucket(F.col(vec_col), planes).alias("__bucket__"),
+    )
     small = (
         bucketed.groupBy("__bucket__")
         .agg(F.count(id_col).alias("__n__"))
@@ -401,7 +409,11 @@ def embedding_near_dup_pairs(
     bucketed = bucketed.join(small, on="__bucket__", how="left_semi")
     a, b = bucketed.alias("a"), bucketed.alias("b")
     dot = F.aggregate(
-        F.zip_with(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"), lambda x, y: x * y),
+        F.zip_with(
+            F.col(f"a.{vec_col}"),
+            F.col(f"b.{vec_col}"),
+            lambda x, y: x.cast("double") * y,
+        ),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
@@ -414,7 +426,7 @@ def embedding_near_dup_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            dot.alias("cosine"),
+            (dot / (F.col("a.__vn__") * F.col("b.__vn__"))).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )

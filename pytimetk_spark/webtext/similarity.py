@@ -20,7 +20,26 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def vector_norm(c: Column) -> Column:
+    """L2 norm of an array column as a TOP-LEVEL projection expression —
+    evaluated once per row."""
+    return F.sqrt(
+        F.aggregate(c, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v)
+    )
+
+
 def normalize_embeddings(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Rewrite ``vec_col`` as its L2-normalized form.
+
+    NOTE (scale): the scalar norm ends up INSIDE the per-element transform
+    lambda after Catalyst's CollapseProject (higher-order-function bodies
+    re-evaluate outer sub-expressions per element), so this costs O(d^2)
+    per row. The hot similarity/dedup paths therefore avoid materializing
+    normalized vectors entirely: they carry ``vector_norm`` as a column
+    and divide the aggregated dot product by the norm product (cosine ==
+    dot(a,b)/(|a||b|)), and hyperplane sign buckets operate on RAW vectors
+    (sign is scale-invariant). This function remains for callers that
+    genuinely need stored unit vectors (e.g. the IVF KMeans geometry)."""
     norm = F.sqrt(
         F.aggregate(
             F.col(vec_col), F.lit(0.0), lambda acc, v: acc + v.cast("double") * v
@@ -49,17 +68,26 @@ def cosine_topk_bruteforce(
     query_id_col: str = "query_id",
 ) -> DataFrame:
     """Exact top-k by cosine for each query vector. ``queries`` must be
-    small (it is broadcast); corpus is scanned once."""
-    c = normalize_embeddings(corpus, vec_col).select(
-        F.col(id_col), F.col(vec_col).alias("__cv__")
+    small (it is broadcast); corpus is scanned once. cosine =
+    dot(a,b)/(|a||b|) with the norms as per-row columns — no normalized
+    copy of any vector is ever materialized (see normalize_embeddings)."""
+    c = corpus.select(
+        F.col(id_col),
+        F.col(vec_col).alias("__cv__"),
+        vector_norm(F.col(vec_col)).alias("__cn__"),
     )
-    q = normalize_embeddings(queries, vec_col).select(
-        F.col(query_id_col), F.col(vec_col).alias("__qv__")
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("__qv__"),
+        vector_norm(F.col(vec_col)).alias("__qn__"),
     )
     scored = c.crossJoin(F.broadcast(q)).select(
         query_id_col,
         id_col,
-        _dot(F.col("__cv__"), F.col("__qv__")).alias("cosine"),
+        (
+            _dot(F.col("__cv__"), F.col("__qv__"))
+            / (F.col("__cn__") * F.col("__qn__"))
+        ).alias("cosine"),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine").desc(), F.col(id_col)
@@ -184,18 +212,22 @@ def lsh_bucket_ann(
 ) -> DataFrame:
     """Approximate top-k: candidates share the query's hyperplane sign
     bucket (or differ by one flipped bit with ``multiprobe``), exact cosine
-    then ranks within candidates."""
+    then ranks within candidates. Buckets hash the RAW vectors (hyperplane
+    sign is scale-invariant) and cosine divides the dot by norm columns —
+    no normalization pass over the corpus."""
     dim = int(corpus.select(F.size(vec_col).alias("d")).first()["d"])
     planes = _hyperplanes(n_planes, dim, seed)
 
-    c = normalize_embeddings(corpus, vec_col).select(
+    c = corpus.select(
         F.col(id_col),
         F.col(vec_col).alias("__cv__"),
+        vector_norm(F.col(vec_col)).alias("__cn__"),
         _sign_bucket(F.col(vec_col), planes).alias("__bucket__"),
     )
-    q = normalize_embeddings(queries, vec_col).select(
+    q = queries.select(
         F.col(query_id_col),
         F.col(vec_col).alias("__qv__"),
+        vector_norm(F.col(vec_col)).alias("__qn__"),
         _sign_bucket(F.col(vec_col), planes).alias("__qb__"),
     )
     if multiprobe:
@@ -208,12 +240,17 @@ def lsh_bucket_ann(
                 ],
             )
         ).alias("__bucket__")
-        q = q.select(query_id_col, "__qv__", probes)
+        q = q.select(query_id_col, "__qv__", "__qn__", probes)
     else:
         q = q.withColumnRenamed("__qb__", "__bucket__")
 
     scored = c.join(F.broadcast(q), on="__bucket__").select(
-        query_id_col, id_col, _dot(F.col("__cv__"), F.col("__qv__")).alias("cosine")
+        query_id_col,
+        id_col,
+        (
+            _dot(F.col("__cv__"), F.col("__qv__"))
+            / (F.col("__cn__") * F.col("__qn__"))
+        ).alias("cosine"),
     ).groupBy(query_id_col, id_col).agg(F.max("cosine").alias("cosine"))
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine").desc(), F.col(id_col)
