@@ -598,6 +598,82 @@ def q_streaming_tier_1h(spark, sf_dir):
     )
 
 
+def q_rolling_apply(spark, sf_dir):
+    """augment_rolling_apply (Arrow grouped-map, frame-level custom
+    kernels) with deliberately SQL-expressible lambdas so the WHOLE
+    apply machinery — per-group sort, window slicing, min_periods gate,
+    column naming — is oracle-checked, mirroring the apply_by_time
+    strategy. (user_id, ts) is unique at every SF, so window contents are
+    deterministic."""
+    ev = _events(spark, sf_dir).select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    out = tk.augment_rolling_apply(
+        ev, "ts", window=7,
+        window_func=[
+            ("vmean", lambda d: d["value"].mean()),
+            ("vrange", lambda d: d["value"].max() - d["value"].min()),
+        ],
+        group_cols=["user_id"],
+    )
+    out = out.select(
+        "user_id",
+        F.col("ts").cast("long").alias("ts"),
+        F.round("value", 6).alias("value"),
+        F.round("rolling_vmean_win_7", 6).alias("rolling_vmean_win_7"),
+        F.round("rolling_vrange_win_7", 6).alias("rolling_vrange_win_7"),
+    )
+    return out
+
+
+def q_retention(spark, sf_dir):
+    """Retention policy end-to-end (rollup/store.py run_rollup +
+    rollup/retention.py apply_retention): roll events into a partitioned
+    1h tier store, expire partitions older than a 10-day keep window from
+    a FIXED 'now' (2024-01-31), read back the surviving tier and
+    aggregate. The oracle recomputes the same hourly tier restricted to
+    bucket_date >= the cutoff — value-checking that expiry dropped
+    exactly the old partitions and left survivors byte-intact."""
+    import datetime as dt
+    import shutil
+    import tempfile
+
+    from pytimetk_spark.rollup.retention import apply_retention
+    from pytimetk_spark.rollup.store import TierStore, run_rollup
+
+    ev = _events(spark, sf_dir).select(
+        F.col("event_type").alias("url"),
+        F.col("ts").cast("timestamp").alias("warc_ts"),
+        "value",
+    )
+    work = tempfile.mkdtemp(prefix="retention_")
+    try:
+        store = TierStore(f"{work}/tiers")
+        run_rollup(
+            spark, ev, store, url_col="url", ts_col="warc_ts",
+            value_col=F.col("value"), tiers=("1h",),
+        )
+        apply_retention(
+            store, policy={"1h": 10}, now=dt.date(2024, 1, 31)
+        )
+        kept = store.read_tier(spark, "1h")
+        out = kept.groupBy("url").agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum("cnt").alias("n_points"),
+            F.min("bucket_ts").cast("long").alias("first_bucket"),
+            F.max("bucket_ts").cast("long").alias("last_bucket"),
+            F.sum("vsum").alias("vsum"),
+        )
+        pdf = _i4(out, "vsum").toPandas()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        pdf,
+        "url string, n_buckets bigint, n_points bigint, "
+        "first_bucket bigint, last_bucket bigint, vsum bigint",
+    )
+
+
 def q_binarize(spark, sf_dir):
     """binarize (operators/binarize.py — correlation-funnel one-hot) over
     the categorical / boolean / low-cardinality-numeric paths: exact level
@@ -1193,6 +1269,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gorilla_roundtrip": q_gorilla_roundtrip,
         "streaming_tier_1h": q_streaming_tier_1h,
         "binarize_onehot": q_binarize,
+        "rolling_apply": q_rolling_apply,
+        "retention_expiry": q_retention,
     }
 
 
@@ -2669,6 +2747,39 @@ def oracle_sql() -> dict[str, str]:
                    (epoch_us(max(ts)) // 1000000)
                      - (epoch_us(min(ts)) // 1000000) AS duration_sec
             FROM s GROUP BY 1, 2
+        """,
+        "retention_expiry": """
+            -- surviving 1h tier after expiring bucket_date < 2024-01-21
+            -- (now=2024-01-31, keep 10 days): recompute + filter
+            WITH t AS (
+              SELECT event_type AS url, date_trunc('hour', ts) AS b,
+                     count(value) AS cnt, sum(value) AS vsum
+              FROM events
+              WHERE CAST(ts AS DATE) >= DATE '2024-01-21'
+              GROUP BY 1, 2)
+            SELECT url,
+                   count(*) AS n_buckets,
+                   sum(cnt) AS n_points,
+                   epoch_us(min(b)) // 1000000 AS first_bucket,
+                   epoch_us(max(b)) // 1000000 AS last_bucket,
+                   CAST(floor(sum(vsum) * 10000 + 0.5) AS BIGINT) AS vsum
+            FROM t GROUP BY 1
+        """,
+        "rolling_apply": """
+            -- ROWS window mirror of the Arrow rolling-apply: NULL until
+            -- min_periods(=window)=7 rows exist in the frame
+            SELECT user_id,
+                   epoch_us(ts) // 1000000 AS ts,
+                   round(value, 6) AS value,
+                   round(CASE WHEN count(*) OVER w >= 7
+                              THEN avg(value) OVER w END, 6)
+                     AS rolling_vmean_win_7,
+                   round(CASE WHEN count(*) OVER w >= 7
+                              THEN max(value) OVER w - min(value) OVER w END,
+                         6) AS rolling_vrange_win_7
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
         """,
         "binarize_onehot": """
             -- one-hot contract: string levels sorted, low-cardinality
