@@ -674,6 +674,26 @@ def q_retention(spark, sf_dir):
     )
 
 
+def q_expanding_apply(spark, sf_dir):
+    """augment_expanding_apply with SQL-expressible lambdas (unbounded-
+    preceding mirror of rolling_apply; min_periods=3)."""
+    ev = _events(spark, sf_dir).select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    out = tk.augment_expanding_apply(
+        ev, "ts",
+        window_func=[("vmean", lambda d: d["value"].mean())],
+        min_periods=3,
+        group_cols=["user_id"],
+    )
+    return out.select(
+        "user_id",
+        F.col("ts").cast("long").alias("ts"),
+        F.round("value", 6).alias("value"),
+        F.round("expanding_vmean", 6).alias("expanding_vmean"),
+    )
+
+
 def q_binarize(spark, sf_dir):
     """binarize (operators/binarize.py — correlation-funnel one-hot) over
     the categorical / boolean / low-cardinality-numeric paths: exact level
@@ -1270,6 +1290,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_tier_1h": q_streaming_tier_1h,
         "binarize_onehot": q_binarize,
         "rolling_apply": q_rolling_apply,
+        "expanding_apply": q_expanding_apply,
         "retention_expiry": q_retention,
     }
 
@@ -2747,6 +2768,17 @@ def oracle_sql() -> dict[str, str]:
                    (epoch_us(max(ts)) // 1000000)
                      - (epoch_us(min(ts)) // 1000000) AS duration_sec
             FROM s GROUP BY 1, 2
+        """,
+        "expanding_apply": """
+            SELECT user_id,
+                   epoch_us(ts) // 1000000 AS ts,
+                   round(value, 6) AS value,
+                   round(CASE WHEN count(*) OVER w >= 3
+                              THEN avg(value) OVER w END, 6)
+                     AS expanding_vmean
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         """,
         "retention_expiry": """
             -- surviving 1h tier after expiring bucket_date < 2024-01-21
