@@ -611,16 +611,21 @@ def q_rolling_apply(spark, sf_dir):
     out = tk.augment_rolling_apply(
         ev, "ts", window=7,
         window_func=[
-            ("vmean", lambda d: d["value"].mean()),
+            ("vsum", lambda d: d["value"].sum()),
             ("vrange", lambda d: d["value"].max() - d["value"].min()),
         ],
         group_cols=["user_id"],
     )
+    # sum (not mean) comparison column: value has 2 decimals, so
+    # floor(sum*100+0.5) is an exact integer on both engines — an
+    # expanding/rolling MEAN lands exactly on 6-dp rounding boundaries
+    # (sum/k rationals) and flipped at sf0.1
     out = out.select(
         "user_id",
         F.col("ts").cast("long").alias("ts"),
         F.round("value", 6).alias("value"),
-        F.round("rolling_vmean_win_7", 6).alias("rolling_vmean_win_7"),
+        F.floor(F.col("rolling_vsum_win_7") * 100 + F.lit(0.5)).cast("long")
+        .alias("rolling_vsum_win_7"),
         F.round("rolling_vrange_win_7", 6).alias("rolling_vrange_win_7"),
     )
     return out
@@ -682,15 +687,17 @@ def q_expanding_apply(spark, sf_dir):
     )
     out = tk.augment_expanding_apply(
         ev, "ts",
-        window_func=[("vmean", lambda d: d["value"].mean())],
+        window_func=[("vsum", lambda d: d["value"].sum())],
         min_periods=3,
         group_cols=["user_id"],
     )
+    # integer-stable sum canon — see q_rolling_apply
     return out.select(
         "user_id",
         F.col("ts").cast("long").alias("ts"),
         F.round("value", 6).alias("value"),
-        F.round("expanding_vmean", 6).alias("expanding_vmean"),
+        F.floor(F.col("expanding_vsum") * 100 + F.lit(0.5)).cast("long")
+        .alias("expanding_vsum"),
     )
 
 
@@ -709,6 +716,59 @@ def q_binarize(spark, sf_dir):
         (F.col("value") > 50.0).alias("highval"),
     )
     return binarize(ev, n_bins=4, thresh_infreq=0.01)
+
+
+def q_streaming_ewm(spark, sf_dir):
+    """Stateful streaming running EWM (streaming/stateful.py:
+    streaming_running_ewm, applyInPandasWithState) run availableNow over
+    the events table and VALUE-checked against the same scale-safe
+    closed-form adjusted-EWM oracle used for augment_ewm — per-row state
+    folding must reproduce pandas ewm(adjust=True) exactly when the
+    stream arrives in order."""
+    import os
+    import shutil
+    import tempfile
+
+    from pytimetk_spark.streaming.stateful import streaming_running_ewm
+
+    _prep(spark)
+    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src_dir = tempfile.mkdtemp(prefix="stream_ewm_src_")
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/events.parquet"),
+        f"{src_dir}/events.parquet",
+    )
+    stream = spark.readStream.schema(batch_schema).parquet(src_dir).select(
+        F.col("user_id"), F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    ewm = streaming_running_ewm(
+        stream, url_col="user_id", ts_col="ts", value_col="value", alpha=0.2
+    )
+    work = tempfile.mkdtemp(prefix="stream_ewm_out_")
+    try:
+        qh = (
+            ewm.writeStream.format("parquet")
+            .option("path", f"{work}/out")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        qh.awaitTermination(300)
+        out = spark.read.parquet(f"{work}/out").select(
+            F.col("url").alias("user_id"),
+            F.col("ts").cast("long").alias("ts"),
+            F.round("value", 6).alias("value"),
+            F.floor(F.col("ewm") * 10000 + F.lit(0.5)).cast("long")
+            .alias("ewm"),
+        )
+        pdf = out.toPandas()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        shutil.rmtree(src_dir, ignore_errors=True)
+    return spark.createDataFrame(
+        pdf, "user_id bigint, ts bigint, value double, ewm bigint"
+    )
 
 
 def q_ts_features_models(spark, sf_dir):
@@ -933,6 +993,50 @@ def q_asof_join_backward(spark, sf_dir):
         )
     )
     out = asof_join(ev, hourly, "ts", right_on="rts", by=["user_id"])
+    out = out.select("user_id", "ts", "value", "hsum", "hn")
+    return _r6(out, "value", "hsum")
+
+
+def q_asof_join_forward(spark, sf_dir):
+    """Forward as-of (next hourly rollup at or after each event) — DuckDB
+    native ASOF with the <= inequality."""
+    from pytimetk_spark.operators.asof_join import asof_join
+
+    ev = _events(spark, sf_dir).select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    hourly = (
+        ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("rts"))
+        .agg(
+            F.sum("value").alias("hsum"),
+            F.count(F.lit(1)).cast("long").alias("hn"),
+        )
+    )
+    out = asof_join(ev, hourly, "ts", right_on="rts", by=["user_id"],
+                    direction="forward")
+    out = out.select("user_id", "ts", "value", "hsum", "hn")
+    return _r6(out, "value", "hsum")
+
+
+def q_asof_join_nearest(spark, sf_dir):
+    """Nearest as-of with a 30-minute tolerance (ties -> backward, as
+    pd.merge_asof) — oracle composes DuckDB's backward + forward ASOF
+    joins and picks the closer side with the same tie rule; out-of-
+    tolerance matches null out, the left row survives."""
+    from pytimetk_spark.operators.asof_join import asof_join
+
+    ev = _events(spark, sf_dir).select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    hourly = (
+        ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("rts"))
+        .agg(
+            F.sum("value").alias("hsum"),
+            F.count(F.lit(1)).cast("long").alias("hn"),
+        )
+    )
+    out = asof_join(ev, hourly, "ts", right_on="rts", by=["user_id"],
+                    direction="nearest", tolerance=1800.0)
     out = out.select("user_id", "ts", "value", "hsum", "hn")
     return _r6(out, "value", "hsum")
 
@@ -1255,6 +1359,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cv_folds": q_cv_folds,
         "interval_join": q_interval_join,
         "asof_join_backward": q_asof_join_backward,
+        "asof_join_forward": q_asof_join_forward,
+        "asof_join_nearest": q_asof_join_nearest,
         "sessionize": q_sessionize,
         "risk_metrics": q_risk_metrics,
         "fip_momentum": q_fip_momentum,
@@ -1288,6 +1394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anomalize": q_anomalize,
         "gorilla_roundtrip": q_gorilla_roundtrip,
         "streaming_tier_1h": q_streaming_tier_1h,
+        "streaming_ewm": q_streaming_ewm,
         "binarize_onehot": q_binarize,
         "rolling_apply": q_rolling_apply,
         "expanding_apply": q_expanding_apply,
@@ -2748,6 +2855,56 @@ def oracle_sql() -> dict[str, str]:
             ASOF LEFT JOIN hourly h
               ON e.user_id = h.user_id AND e.ts >= h.rts
         """,
+        "asof_join_forward": """
+            WITH hourly AS (
+              SELECT user_id, date_trunc('hour', ts) AS rts,
+                     sum(value) AS hsum, count(*) AS hn
+              FROM events GROUP BY 1, 2)
+            SELECT e.user_id, e.ts, round(e.value, 6) AS value,
+                   round(h.hsum, 6) AS hsum, h.hn
+            FROM events e
+            ASOF LEFT JOIN hourly h
+              ON e.user_id = h.user_id AND e.ts <= h.rts
+        """,
+        "asof_join_nearest": """
+            WITH hourly AS (
+              SELECT user_id, date_trunc('hour', ts) AS rts,
+                     sum(value) AS hsum, count(*) AS hn
+              FROM events GROUP BY 1, 2),
+            b AS (
+              SELECT e.user_id, e.ts, e.value,
+                     h.rts AS brts, h.hsum AS bsum, h.hn AS bn
+              FROM events e
+              ASOF LEFT JOIN hourly h
+                ON e.user_id = h.user_id AND e.ts >= h.rts),
+            f AS (
+              SELECT e.user_id, e.ts,
+                     h.rts AS frts, h.hsum AS fsum, h.hn AS fn
+              FROM events e
+              ASOF LEFT JOIN hourly h
+                ON e.user_id = h.user_id AND e.ts <= h.rts),
+            j AS (
+              SELECT b.user_id, b.ts, b.value,
+                     epoch_us(b.ts) - epoch_us(b.brts) AS bd,
+                     epoch_us(f.frts) - epoch_us(f.ts) AS fd,
+                     b.bsum, b.bn, f.fsum, f.fn
+              FROM b JOIN f ON b.user_id = f.user_id AND b.ts = f.ts),
+            pick AS (
+              SELECT user_id, ts, value,
+                     CASE
+                       WHEN bd IS NOT NULL AND bd <= 1800000000
+                            AND (fd IS NULL OR fd > 1800000000 OR bd <= fd)
+                         THEN 'b'
+                       WHEN fd IS NOT NULL AND fd <= 1800000000 THEN 'f'
+                     END AS side,
+                     bsum, bn, fsum, fn
+              FROM j)
+            SELECT user_id, ts, round(value, 6) AS value,
+                   round(CASE side WHEN 'b' THEN bsum
+                                   WHEN 'f' THEN fsum END, 6) AS hsum,
+                   CASE side WHEN 'b' THEN bn WHEN 'f' THEN fn END AS hn
+            FROM pick
+        """,
         "sessionize": """
             WITH d AS (
               SELECT user_id, ts,
@@ -2773,9 +2930,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id,
                    epoch_us(ts) // 1000000 AS ts,
                    round(value, 6) AS value,
-                   round(CASE WHEN count(*) OVER w >= 3
-                              THEN avg(value) OVER w END, 6)
-                     AS expanding_vmean
+                   CAST(floor(CASE WHEN count(*) OVER w >= 3
+                              THEN sum(value) OVER w END * 100 + 0.5)
+                        AS BIGINT) AS expanding_vsum
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
@@ -2803,9 +2960,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id,
                    epoch_us(ts) // 1000000 AS ts,
                    round(value, 6) AS value,
-                   round(CASE WHEN count(*) OVER w >= 7
-                              THEN avg(value) OVER w END, 6)
-                     AS rolling_vmean_win_7,
+                   CAST(floor(CASE WHEN count(*) OVER w >= 7
+                              THEN sum(value) OVER w END * 100 + 0.5)
+                        AS BIGINT) AS rolling_vsum_win_7,
                    round(CASE WHEN count(*) OVER w >= 7
                               THEN max(value) OVER w - min(value) OVER w END,
                          6) AS rolling_vrange_win_7
@@ -2828,6 +2985,25 @@ def oracle_sql() -> dict[str, str]:
               CAST(user_id % 3 = 2 AS INT) AS u3__2,
               CAST(value > 50.0 AS INT) AS highval
             FROM events
+        """,
+        "streaming_ewm": """
+            -- same closed-form adjusted-EWM construction as augment_ewm
+            -- (bounded 256-row trailing self-join), epoch-second ts canon
+            WITH r AS (
+              SELECT user_id, ts, value,
+                     row_number() OVER (PARTITION BY user_id ORDER BY ts) - 1
+                       AS t
+              FROM events)
+            SELECT a.user_id,
+                   epoch_us(a.ts) // 1000000 AS ts,
+                   round(a.value, 6) AS value,
+                   CAST(floor(
+                     sum(b.value * power(0.8, a.t - b.t))
+                     / ((1 - power(0.8, a.t + 1)) / 0.2) * 10000 + 0.5)
+                     AS BIGINT) AS ewm
+            FROM r a JOIN r b
+              ON a.user_id = b.user_id AND b.t BETWEEN a.t - 255 AND a.t
+            GROUP BY a.user_id, a.ts, a.value, a.t
         """,
         "streaming_tier_1h": """
             -- batch mirror of the streaming tumbling-1h tier: identical
