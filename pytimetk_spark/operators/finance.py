@@ -564,36 +564,64 @@ def augment_qsmomentum(
     roc_slow_period: int = 252,
     returns_period: int = 126,
     group_cols: Sequence[str] | None = None,
+    exact_nan_window: bool = False,
 ) -> DataFrame:
     """``{c}_qsmom_{f}_{s}_{r}`` — (ROC_slow − ROC_fast) / std of last r
     returns, over rolling windows of slow_period+1
-    (finance/qsmomentum.py:277-299)."""
+    (finance/qsmomentum.py:277-299).
+
+    Native Catalyst rewrite (round 4): the reference's rolling-window
+    custom function decomposes into plain lags and a rolling population
+    std — roc_slow = (close[t−f] − close[t−s]) / (close[t−s]+1e-10),
+    roc_fast = (close[t] − close[t−f]) / (close[t−f]+1e-10), std =
+    stddev_pop of the last r returns, gated on a full s+1-row window. One
+    Window node, no Python (the Arrow kernel was O(n·s) Python lambdas —
+    ~20 s at sf0.1, now sub-second, and the only scalable shape at 10^12
+    rows). NaN closes: the reference COMPACTS each window (dropna) before
+    indexing; the native path instead propagates NaN through the lags.
+    Pass ``exact_nan_window=True`` to run the original Arrow kernel when
+    closes contain NaNs and that exact semantics matters."""
     group_cols = list(group_cols or [])
     c = close_column
     fp, sp, rp = roc_fast_period, roc_slow_period, returns_period
+    out_name = f"{c}_qsmom_{fp}_{sp}_{rp}"
 
-    def qs(close_arr: np.ndarray) -> float:
-        close = pd.Series(close_arr).dropna()
-        if len(close) < sp + 1:
-            return np.nan
-        returns = close.pct_change(fill_method=None).iloc[-rp:]
-        std_returns = np.std(returns, ddof=0)
-        if not np.isfinite(std_returns) or abs(std_returns) < 1e-10:
-            return np.nan
-        fast_close = close.iloc[-(fp + 1)]
-        slow_close = close.iloc[-(sp + 1)]
-        roc_slow = (fast_close - slow_close) / (slow_close + 1e-10)
-        roc_fast = (close.iloc[-1] - fast_close) / (fast_close + 1e-10)
-        return (roc_slow - roc_fast) / std_returns
+    if exact_nan_window:
+        def qs(close_arr: np.ndarray) -> float:
+            close = pd.Series(close_arr).dropna()
+            if len(close) < sp + 1:
+                return np.nan
+            returns = close.pct_change(fill_method=None).iloc[-rp:]
+            std_returns = np.std(returns, ddof=0)
+            if not np.isfinite(std_returns) or abs(std_returns) < 1e-10:
+                return np.nan
+            fast_close = close.iloc[-(fp + 1)]
+            slow_close = close.iloc[-(sp + 1)]
+            roc_slow = (fast_close - slow_close) / (slow_close + 1e-10)
+            roc_fast = (close.iloc[-1] - fast_close) / (fast_close + 1e-10)
+            return (roc_slow - roc_fast) / std_returns
 
-    def kernel(pdf: pd.DataFrame) -> pd.Series:
-        return pdf[c].rolling(window=sp + 1, min_periods=sp + 1).apply(
-            lambda x: qs(np.asarray(x, dtype=float)), raw=True
-        )
+        def kernel(pdf: pd.DataFrame) -> pd.Series:
+            return pdf[c].rolling(window=sp + 1, min_periods=sp + 1).apply(
+                lambda x: qs(np.asarray(x, dtype=float)), raw=True
+            )
 
-    return _grouped_apply(
-        df, date_column, group_cols, {f"{c}_qsmom_{fp}_{sp}_{rp}": kernel}
+        return _grouped_apply(df, date_column, group_cols, {out_name: kernel})
+
+    w = _base(group_cols, date_column)
+    ret = F.col(c) / F.lag(c).over(w) - 1
+    work = df.withColumn("__qs_ret__", ret)
+    sd = F.stddev_pop("__qs_ret__").over(w.rowsBetween(-(rp - 1), 0))
+    cnt = F.count(c).over(w.rowsBetween(-sp, 0))
+    fast = F.lag(c, fp).over(w)
+    slow = F.lag(c, sp).over(w)
+    roc_slow = (fast - slow) / (slow + F.lit(1e-10))
+    roc_fast = (F.col(c) - fast) / (fast + F.lit(1e-10))
+    qsmom = F.when(
+        (cnt == sp + 1) & sd.isNotNull() & (sd >= 1e-10),
+        (roc_slow - roc_fast) / sd,
     )
+    return work.withColumn(out_name, qsmom).drop("__qs_ret__")
 
 
 def _detect_regimes(

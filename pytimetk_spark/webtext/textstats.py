@@ -145,9 +145,18 @@ def document_fingerprint(
     minima string instead of the raw array."""
     from pytimetk_spark.webtext.dedup import _h64, shingle_tokens
 
+    # staged projection: the shingle+hash+sort sub-tree is aliased ONCE
+    # and referenced twice downstream (output column + combined digest) —
+    # inlining it would make Catalyst evaluate the whole shingle hashing
+    # twice per row (CollapseProject keeps multiply-referenced non-cheap
+    # aliases staged; same fix as minhash_signatures)
     sh = shingle_tokens(F.col(text_col), shingle_size)
     hashes = F.transform(sh, lambda s: _h64(s, hash_variant))
-    minima = F.slice(F.array_sort(hashes), 1, k)
+    staged = df.select(
+        F.col(id_col),
+        F.slice(F.array_sort(hashes), 1, k).alias("fingerprint_minhashes"),
+    )
+    minima = F.col("fingerprint_minhashes")
     if hash_variant == "xxhash64":
         combined = F.xxhash64(minima)
     else:
@@ -155,8 +164,8 @@ def document_fingerprint(
             F.array_join(F.transform(minima, lambda x: x.cast("string")), ","),
             hash_variant,
         )
-    return df.select(
+    return staged.select(
         F.col(id_col),
-        minima.alias("fingerprint_minhashes"),
+        minima,
         combined.alias("fingerprint64"),
     )
