@@ -38,23 +38,30 @@ def _tokens(text: Column) -> Column:
 
 def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """n_chars, whitespace token count, BPE-ish regex token count, mean
-    token length."""
+    token length.
+
+    The tokenization array is STAGED as a column (referenced 3× below —
+    size, length fold, size again); inlined it would re-run the
+    regexp+split per reference (CollapseProject keeps multiply-referenced
+    non-cheap aliases staged)."""
     t = F.col(text_col)
-    ws_tokens = _tokens(t)
+    staged = df.withColumn("__ws_toks__", _tokens(t))
+    toks = F.col("__ws_toks__")
     # pattern passed as a lit Column — embedding it in a SQL string literal
     # would eat the \s escape ('\s' → 's')
     bpe_count = F.size(F.regexp_extract_all(t, F.lit(_TOKEN_RE), F.lit(0)))
     return (
-        df.withColumn("n_chars", F.length(t))
-        .withColumn("n_tokens_ws", F.size(ws_tokens))
+        staged.withColumn("n_chars", F.length(t))
+        .withColumn("n_tokens_ws", F.size(toks))
         .withColumn("n_tokens_bpe", bpe_count)
         .withColumn(
             "mean_token_len",
             F.aggregate(
-                ws_tokens, F.lit(0), lambda acc, x: acc + F.length(x)
+                toks, F.lit(0), lambda acc, x: acc + F.length(x)
             ).cast("double")
-            / F.size(ws_tokens),
+            / F.size(toks),
         )
+        .drop("__ws_toks__")
     )
 
 
@@ -64,34 +71,45 @@ def language_id(
     """n-gram-free stopword-ratio heuristic: score per language = fraction
     of the doc's distinct tokens that are that language's function words;
     argmax wins. A greatest/when chain — fully native."""
-    toks = F.array_distinct(_tokens(F.col(text_col)))
-    scores = {
-        lang: (
-            F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
-            .cast("double")
-            / F.greatest(F.size(toks), F.lit(1))
+    # two staged projections: (1) the distinct-token array — referenced
+    # by every language score — then (2) the 8 score COLUMNS, so the
+    # greatest/when argmax chain below references cheap column refs
+    # instead of re-embedding (and re-evaluating) each score expression
+    # ~6× per language per row
+    staged = df.withColumn(
+        "__lid_toks__", F.array_distinct(_tokens(F.col(text_col)))
+    )
+    toks = F.col("__lid_toks__")
+    out = staged
+    for lang, words in STOPWORDS.items():
+        out = out.withColumn(
+            f"langscore_{lang}",
+            F.size(
+                F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))
+            ).cast("double")
+            / F.greatest(F.size(toks), F.lit(1)),
         )
-        for lang, words in STOPWORDS.items()
-    }
-    best = F.greatest(*scores.values())
+    score_cols = {lang: F.col(f"langscore_{lang}") for lang in STOPWORDS}
+    best = F.greatest(*score_cols.values())
     pred = F.lit(None).cast("string")
-    for lang, sc in reversed(list(scores.items())):
+    for lang, sc in reversed(list(score_cols.items())):
         pred = F.when(sc == best, F.lit(lang)).otherwise(pred)
-    out = df
-    for lang, sc in scores.items():
-        out = out.withColumn(f"langscore_{lang}", sc)
     return out.withColumn(
         out_col, F.when(best > 0, pred).otherwise(F.lit("unknown"))
-    )
+    ).drop("__lid_toks__")
 
 
 def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Gopher-style quality heuristics + composite score in [0, 1]:
     length band, mean word length band, punctuation ratio, digit ratio,
     stopword hit, uppercase ratio."""
+    # staged: metric expressions (regexp scans, token fold) computed ONCE
+    # as columns; the band flags and composite score then reference cheap
+    # column refs instead of re-evaluating each O(n_chars) scan 2-3×
     t = F.col(text_col)
+    staged = df.withColumn("__q_toks__", _tokens(t))
+    toks = F.col("__q_toks__")
     n_chars = F.length(t)
-    toks = _tokens(t)
     n_tokens = F.greatest(F.size(toks), F.lit(1))
     mean_len = (
         F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x)).cast("double")
@@ -103,12 +121,24 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     en_stop = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
     stop_hits = F.size(F.array_intersect(F.array_distinct(toks), en_stop))
 
-    ok_len = (n_chars >= 20) & (n_chars <= 100_000)
-    ok_word_len = (mean_len >= 2.0) & (mean_len <= 12.0)
-    ok_punct = punct <= 0.25
-    ok_digits = digits <= 0.3
-    ok_upper = upper <= 0.3
-    has_stop = stop_hits >= 1
+    metrics = (
+        staged.withColumn("q_n_chars", n_chars)
+        .withColumn("q_mean_word_len", mean_len)
+        .withColumn("q_punct_ratio", punct)
+        .withColumn("q_digit_ratio", digits)
+        .withColumn("q_upper_ratio", upper)
+        .withColumn("q_stopword_hits", stop_hits)
+        .drop("__q_toks__")
+    )
+
+    ok_len = (F.col("q_n_chars") >= 20) & (F.col("q_n_chars") <= 100_000)
+    ok_word_len = (
+        (F.col("q_mean_word_len") >= 2.0) & (F.col("q_mean_word_len") <= 12.0)
+    )
+    ok_punct = F.col("q_punct_ratio") <= 0.25
+    ok_digits = F.col("q_digit_ratio") <= 0.3
+    ok_upper = F.col("q_upper_ratio") <= 0.3
+    has_stop = F.col("q_stopword_hits") >= 1
 
     score = (
         ok_len.cast("int")
@@ -118,15 +148,7 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
         + ok_upper.cast("int")
         + has_stop.cast("int")
     ).cast("double") / 6
-    return (
-        df.withColumn("q_n_chars", n_chars)
-        .withColumn("q_mean_word_len", mean_len)
-        .withColumn("q_punct_ratio", punct)
-        .withColumn("q_digit_ratio", digits)
-        .withColumn("q_upper_ratio", upper)
-        .withColumn("q_stopword_hits", stop_hits)
-        .withColumn("quality_score", score)
-    )
+    return metrics.withColumn("quality_score", score)
 
 
 def document_fingerprint(
