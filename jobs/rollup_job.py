@@ -61,6 +61,10 @@ def main() -> None:
     for m in manifests:
         print(json.dumps({"tier": m.tier, "partition": m.partition,
                           "rows": m.output_rows, "points_per_sec": round(m.points_per_sec, 1)}))
+    print(json.dumps({
+        "written_partitions": len(manifests),
+        "resumed_skipped": len(manifests) == 0,
+    }))
     if args.retention:
         dropped = apply_retention(store)
         print(json.dumps({"retention_dropped": dropped}))
