@@ -141,3 +141,40 @@ def test_grouped_sessionize_and_shift_no_single_partition(events):
                         "value", lags=1, group_cols=["user_id"]),
     ):
         assert "Exchange SinglePartition" not in _plan(out)
+
+
+def test_staged_projections_not_reinlined(spark):
+    """Expensive sub-trees staged as columns must appear ONCE in the
+    optimized plan — CollapseProject keeps multiply-referenced non-cheap
+    aliases staged, and these counts pin that property so a refactor
+    can't silently re-inline an O(row)-expensive expression per consumer."""
+    from pytimetk_spark.webtext.dedup import minhash_signatures
+    from pytimetk_spark.webtext.textstats import (
+        document_fingerprint,
+        language_id,
+        token_stats,
+    )
+
+    # parquet-backed: LocalRelation plans stringify with truncated
+    # expression trees, hiding the sub-expression occurrences we count
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+    def optimized(df):
+        return df._jdf.queryExecution().optimizedPlan().toString()
+
+    # md5 minhash: the per-shingle hash must be materialized once, not
+    # embedded in all 64 permutation min-expressions
+    sig_plan = optimized(minhash_signatures(docs, hash_variant="md5"))
+    assert sig_plan.count("md5") == 1
+
+    # fingerprint: shingle+hash+sort staged once (output + digest)
+    fp_plan = optimized(document_fingerprint(docs, hash_variant="md5"))
+    assert fp_plan.count("md5") <= 2  # stage hash + combined digest
+
+    # language-ID: ONE tokenization for all 8 language scores + argmax
+    lid_plan = optimized(language_id(docs))
+    assert lid_plan.count("split(") == 1
+
+    # token_stats: one split for size/fold/size
+    ts_plan = optimized(token_stats(docs))
+    assert ts_plan.count("split(") == 1
