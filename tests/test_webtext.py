@@ -255,3 +255,115 @@ def test_multimodal_decode_stub(spark, docs):
         decode_image_batch(src, "blob", fake=False).collect()
     with pytest.raises(Exception, match="NotImplementedError|ffmpeg"):
         sample_video_frames(src, "blob").collect()
+
+
+def _make_bmp(pix: np.ndarray) -> bytes:
+    """Minimal 24-bpp bottom-up BMP from an HxWx3 uint8 RGB array."""
+    import struct
+
+    h, w = pix.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    body = bytearray()
+    for row in pix[::-1]:  # bottom-up
+        line = bytearray()
+        for r, g, b in row:
+            line += bytes((b, g, r))
+        line += b"\x00" * (stride - len(line))
+        body += line
+    header = struct.pack(
+        "<2sIHHI", b"BM", 54 + len(body), 0, 0, 54
+    ) + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body),
+                    2835, 2835, 0, 0)
+    return bytes(header) + bytes(body)
+
+
+def _make_ppm(pix: np.ndarray) -> bytes:
+    h, w = pix.shape[:2]
+    return f"P6\n# test\n{w} {h}\n255\n".encode() + pix.tobytes()
+
+
+def _make_wav(samples: np.ndarray, rate: int = 8000, bits: int = 16) -> bytes:
+    import struct
+
+    if bits == 16:
+        raw = (samples * 32767).astype("<i2").tobytes()
+    else:
+        raw = ((samples * 127) + 128).clip(0, 255).astype("u1").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * bits // 8, bits // 8, bits)
+    return (b"RIFF" + struct.pack("<I", 36 + len(raw)) + b"WAVE"
+            + b"fmt " + struct.pack("<I", 16) + fmt
+            + b"data" + struct.pack("<I", len(raw)) + raw)
+
+
+def test_real_image_decode_bmp_ppm(spark):
+    from pytimetk_spark.webtext.multimodal import (
+        _decode_uncompressed_image,
+        decode_image_batch,
+    )
+
+    rng = np.random.RandomState(9)
+    pix = rng.randint(0, 256, (10, 7, 3)).astype(np.uint8)
+    # kernel-level: both containers round-trip to the exact pixels
+    np.testing.assert_array_equal(_decode_uncompressed_image(_make_bmp(pix)), pix)
+    np.testing.assert_array_equal(_decode_uncompressed_image(_make_ppm(pix)), pix)
+    assert _decode_uncompressed_image(b"\x89PNG\r\n") is None  # compressed
+
+    pdf = pd.DataFrame(
+        {"doc_id": [1, 2], "img": [_make_bmp(pix), _make_ppm(pix)]}
+    )
+    out = (
+        decode_image_batch(
+            spark.createDataFrame(pdf), "img", target_size=(4, 4)
+        )
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert (out["width"] == 4).all() and (out["height"] == 4).all()
+    # identical pixels through either container -> identical features
+    np.testing.assert_allclose(
+        np.array(out.loc[0, "features"]), np.array(out.loc[1, "features"])
+    )
+    np.testing.assert_allclose(np.array(out.loc[0, "features"]).sum(), 1.0,
+                               rtol=1e-6)
+    # compressed bytes still raise (stub tier), fake=True still works
+    bad = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [3], "img": [b"\x89PNG\r\n\x1a\n"]})
+    )
+    with pytest.raises(Exception, match="NotImplementedError|PIL"):
+        decode_image_batch(bad, "img").collect()
+    assert decode_image_batch(bad, "img", fake=True).count() == 1
+
+
+def test_real_wav_decode(spark):
+    from pytimetk_spark.webtext.multimodal import decode_audio_batch
+
+    t = np.arange(8000, dtype=np.float64) / 8000.0
+    sine = 0.5 * np.sin(2 * np.pi * 440 * t)  # 1 s of A440 at half scale
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "wav": [_make_wav(sine, 8000, 16), _make_wav(sine, 8000, 8)],
+        }
+    )
+    out = (
+        decode_audio_batch(spark.createDataFrame(pdf), "wav")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert (out["sample_rate"] == 8000).all()
+    assert (out["n_samples"] == 8000).all()
+    np.testing.assert_allclose(out["duration_sec"], 1.0, rtol=1e-9)
+    # sine RMS = amplitude/sqrt(2); 440 Hz -> 880 zero crossings/sec
+    np.testing.assert_allclose(out.loc[0, "rms"], 0.5 / np.sqrt(2), rtol=1e-3)
+    np.testing.assert_allclose(out.loc[0, "peak"], 0.5, rtol=1e-3)
+    np.testing.assert_allclose(
+        out["zero_crossing_rate"], 880 / 8000, rtol=0.05
+    )
+    # non-WAV bytes raise (needs ffmpeg)
+    bad = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [3], "wav": [b"ID3\x03mp3junk"]})
+    )
+    with pytest.raises(Exception, match="NotImplementedError|ffmpeg|WAVE"):
+        decode_audio_batch(bad, "wav").collect()
