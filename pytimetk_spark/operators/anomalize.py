@@ -28,6 +28,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from pytimetk_spark.functions.windows import warn_single_partition
 from pyspark.sql import types as T
 
 from pytimetk_spark.operators.frequency import (
@@ -278,6 +280,7 @@ def anomalize(
     if group_cols:
         grouped = df.groupBy(*group_cols)
     else:
+        warn_single_partition("anomalize")
         grouped = df.withColumn("__gg__", F.lit(1)).groupBy("__gg__")
     result = grouped.applyInPandas(fn, schema=schema)
     if bind_data:

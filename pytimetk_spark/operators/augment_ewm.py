@@ -19,6 +19,8 @@ from collections.abc import Sequence
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from pytimetk_spark.functions.windows import warn_single_partition
 from pyspark.sql import types as T
 
 from pytimetk_spark.functions.selection import ColumnSelector, resolve_columns
@@ -74,5 +76,6 @@ def augment_ewm(
     if group_cols:
         grouped = df.groupBy(*group_cols)
     else:
+        warn_single_partition("augment_ewm")
         grouped = df.withColumn("__gg__", F.lit(1)).groupBy("__gg__")
     return grouped.applyInPandas(fn, schema=schema)

@@ -31,6 +31,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from pytimetk_spark.functions.windows import warn_single_partition
+
 from pytimetk_spark.functions.windows import ordered_window
 from pyspark.sql import types as T
 
@@ -250,6 +252,7 @@ def _grouped_apply(
     else:
         # ungrouped: a constant grouping column (groupBy(lit) is rejected by
         # the Spark 4 analyzer in flatMapGroupsInPandas)
+        warn_single_partition("augment_rolling_apply")
         grouped = df.withColumn("__gg__", F.lit(1)).groupBy("__gg__")
     return grouped.applyInPandas(fn, schema=schema)
 

@@ -19,6 +19,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from pytimetk_spark.functions.windows import warn_single_partition
 from pyspark.sql import types as T
 
 from pytimetk_spark.operators.anomalize import _classical_decompose, _numeric_period
@@ -116,6 +118,7 @@ def acf_diagnostics(
     if group_cols:
         grouped = df.groupBy(*group_cols)
     else:
+        warn_single_partition("diagnostics")
         grouped = df.withColumn("__gg__", F.lit(1)).groupBy("__gg__")
     return grouped.applyInPandas(fn, schema=schema)
 
@@ -167,6 +170,7 @@ def stl_diagnostics(
     if group_cols:
         grouped = df.groupBy(*group_cols)
     else:
+        warn_single_partition("diagnostics")
         grouped = df.withColumn("__gg__", F.lit(1)).groupBy("__gg__")
     return grouped.applyInPandas(fn, schema=schema)
 
@@ -588,6 +592,7 @@ def ts_features(
     if group_cols:
         grouped = df.groupBy(*group_cols)
     else:
+        warn_single_partition("diagnostics")
         grouped = df.withColumn("__gg__", F.lit(1)).groupBy("__gg__")
     return grouped.applyInPandas(fn, schema=schema)
 
