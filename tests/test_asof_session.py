@@ -333,3 +333,68 @@ def test_interval_join_plan_is_hash_join(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_asof_join_hypothesis_vs_merge_asof(spark):
+    """Property test: random frames (nullable right values, duplicate left
+    keys, sparse groups), every direction, with/without tolerance —
+    engine == pd.merge_asof. Few examples (a Spark job each), but each is
+    a fresh adversarial shape."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(
+        max_examples=6, deadline=None,
+        suppress_health_check=list(HealthCheck),
+    )
+    @given(st.data())
+    def run(data):
+        rng = np.random.RandomState(data.draw(st.integers(0, 10_000)))
+        n_left = data.draw(st.integers(1, 40))
+        n_right = data.draw(st.integers(1, 25))
+        n_keys = data.draw(st.integers(1, 4))
+        direction = data.draw(
+            st.sampled_from(["backward", "forward", "nearest"])
+        )
+        tol = data.draw(st.sampled_from([None, 50.0, 1000.0]))
+        base = pd.Timestamp("2024-05-01")
+        left = pd.DataFrame(
+            {
+                "k": rng.randint(0, n_keys, n_left),
+                "ts": base
+                + pd.to_timedelta(rng.randint(0, 5000, n_left), unit="s"),
+                "q": np.arange(n_left),
+            }
+        )
+        rts = np.sort(rng.choice(5000, n_right, replace=False))
+        right = pd.DataFrame(
+            {
+                "k": rng.randint(0, n_keys, n_right),
+                "rts": base + pd.to_timedelta(rts, unit="s"),
+                "px": np.where(
+                    rng.rand(n_right) < 0.3, np.nan, rng.randn(n_right)
+                ),
+            }
+        ).drop_duplicates(["k", "rts"])
+        got = (
+            asof_join(
+                spark.createDataFrame(left),
+                spark.createDataFrame(right),
+                "ts", right_on="rts", by=["k"], direction=direction,
+                tolerance=tol,
+            )
+            .toPandas()
+            .sort_values(["k", "ts", "q"])
+            .reset_index(drop=True)
+        )
+        want = pd.merge_asof(
+            left.sort_values("ts"),
+            right.sort_values("rts"),
+            left_on="ts", right_on="rts", by="k", direction=direction,
+            tolerance=None if tol is None else pd.Timedelta(seconds=tol),
+        ).sort_values(["k", "ts", "q"]).reset_index(drop=True)
+        pd.testing.assert_series_equal(
+            got["px"], want["px"], check_names=False
+        )
+
+    run()
