@@ -200,6 +200,9 @@ _TS_FEATURES = [
     "garch_acf",
     "arch_r2",
     "garch_r2",
+    "sparsity",
+    "adi",
+    "cv2",
     "unitroot_kpss",
     "unitroot_kpss_pvalue",
     "unitroot_pp",
@@ -520,6 +523,22 @@ def ts_features(
         else:
             for k in ("arch_acf", "garch_acf", "arch_r2", "garch_r2"):
                 feats[k] = np.nan
+        # sparsity / intermittent-demand features (Syntetos-Boylan):
+        # sparsity = zero fraction; adi = average inter-demand interval
+        # (n / #nonzero); cv2 = squared coefficient of variation of the
+        # NONZERO demands — the classic ADI/CV^2 intermittency quadrant
+        if n > 0:
+            nz = x[x != 0]
+            feats["sparsity"] = float((x == 0).mean())
+            feats["adi"] = float(n / nz.size) if nz.size else np.nan
+            feats["cv2"] = (
+                float((nz.std(ddof=0) / nz.mean()) ** 2)
+                if nz.size and nz.mean() != 0 else np.nan
+            )
+        else:
+            feats["sparsity"] = np.nan
+            feats["adi"] = np.nan
+            feats["cv2"] = np.nan
         # unitroot_kpss (tsfeatures: level-stationarity KPSS statistic,
         # Newey-West bartlett bandwidth trunc(3*sqrt(n)/13) — R tseries
         # kpss.test lshort=TRUE; statsmodels' "legacy" uses

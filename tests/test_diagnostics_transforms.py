@@ -464,3 +464,29 @@ def test_ts_features_new_columns(spark):
               "unitroot_kpss_pvalue", "unitroot_pp_pvalue"):
         assert c in out.columns
     assert 0 <= out["holt_alpha"].iloc[0] <= 1
+
+
+def test_ts_features_intermittency(spark):
+    """Syntetos-Boylan goldens: a planted intermittent series with known
+    zero pattern yields exact sparsity/adi and the right cv2."""
+    x = np.zeros(60)
+    x[::5] = 10.0          # 12 demands of 10 -> cv2 = 0
+    x[5] = 20.0            # one double-size demand
+    pdf = pd.DataFrame(
+        {"date": pd.date_range("2021-01-01", periods=60, freq="D"),
+         "value": x}
+    )
+    out = ts_features(spark.createDataFrame(pdf), "date", "value").toPandas()
+    nz = x[x != 0]
+    assert out["sparsity"].iloc[0] == (x == 0).mean()
+    assert out["adi"].iloc[0] == 60 / nz.size
+    np.testing.assert_allclose(
+        out["cv2"].iloc[0], (nz.std(ddof=0) / nz.mean()) ** 2, rtol=1e-9
+    )
+    # dense non-zero series: sparsity 0, adi 1
+    dense = pd.DataFrame(
+        {"date": pd.date_range("2021-01-01", periods=30, freq="D"),
+         "value": np.arange(1.0, 31.0)}
+    )
+    d = ts_features(spark.createDataFrame(dense), "date", "value").toPandas()
+    assert d["sparsity"].iloc[0] == 0.0 and d["adi"].iloc[0] == 1.0
