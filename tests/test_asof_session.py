@@ -344,7 +344,7 @@ def test_asof_join_hypothesis_vs_merge_asof(spark):
     from hypothesis import strategies as st
 
     @settings(
-        max_examples=6, deadline=None,
+        max_examples=6, deadline=None, derandomize=True,
         suppress_health_check=list(HealthCheck),
     )
     @given(st.data())
