@@ -1325,57 +1325,31 @@ def q_gorilla_roundtrip(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ROTATION POLICY (round 5, per VERDICT r4 #3/#9): the driver evaluates
+    # only the FIRST 50 dict entries, so dict order is the evidence roster.
+    #   1. Rows with NO driver evidence ever, or last verified in round 2,
+    #      occupy the front of the window until they earn a green driver row.
+    #   2. Any row that has EVER gone red in a driver run (sessionize, red
+    #      r1-r4) stays pinned inside the window for TWO consecutive green
+    #      driver rounds before it may cycle out.
+    #   3. Long-stable rows (green in the latest driver round and at least
+    #      one earlier round) cycle to the tail to make room; they remain in
+    #      the contract and in the local mirror (tools/check_contract.py runs
+    #      ALL rows every round regardless of position).
+    # Round-5 window: 23 tail rows from r4 (7 never-run + 16 r2-stale),
+    # sessionize (rule 2), 2 new rows (frequency_grouped, ts_features_ets),
+    # and 24 keepers; 25 finance/augment/correlate rows green in both r3+r4
+    # cycle out under rule 3.
     return {
-        "summarize_by_time_hourly": q_summarize_hourly,
-        "summarize_by_time_daily_lineitem": q_summarize_daily_lineitem,
-        "summarize_by_time_month_end": q_summarize_month_end,
-        "pad_by_time_hourly": q_pad_by_time,
-        "filter_by_time": q_filter_by_time,
-        "future_frame_daily": q_future_frame,
-        "augment_shift": q_augment_shift,
-        "augment_rolling": q_augment_rolling,
-        "augment_expanding": q_augment_expanding,
-        "timeseries_signature": q_timeseries_signature,
-        "ts_summary": q_ts_summary,
-        "rollup_tier_1h": q_rollup_tier_1h,
-        "rollup_tier_1d_from_1h": q_rollup_tier_1d,
-        "rollup_salted_1h": q_rollup_salted_1h,
-        "gap_fill_tier_1h": q_gap_fill_tier,
-        "finance_drawdown": q_drawdown,
-        "finance_bbands": q_bbands,
-        "finance_roc": q_roc,
-        "finance_atr": q_atr,
-        "finance_cmo": q_cmo,
-        "finance_stochastic": q_stochastic,
-        "finance_rsi": q_rsi,
-        "finance_macd": q_macd,
-        "finance_ewma_volatility": q_ewma_vol,
-        "augment_pct_change": q_pct_change,
-        "correlate_pearson": q_correlate_pearson,
-        "correlate_spearman": q_correlate_spearman,
-        "correlate_kendall": q_correlate_kendall,
-        "datetime_rounding": q_datetime_rounding,
-        "weekday_sequence": q_weekday_sequence,
-        "cv_folds": q_cv_folds,
-        "interval_join": q_interval_join,
-        "asof_join_backward": q_asof_join_backward,
-        "asof_join_forward": q_asof_join_forward,
-        "asof_join_nearest": q_asof_join_nearest,
-        "sessionize": q_sessionize,
-        "risk_metrics": q_risk_metrics,
-        "fip_momentum": q_fip_momentum,
-        "qsmomentum": q_qsmomentum,
-        "finance_ppo": q_ppo,
-        "finance_adx": q_adx,
-        "finance_hurst": q_hurst,
-        "seasonal_trend_frequency": q_seasonal_trend_frequency,
-        "weekend_sequence": q_weekend_sequence,
-        "augment_fourier": q_fourier,
-        "holiday_signature": q_holiday_signature,
-        "dedup_exact": q_dedup_exact,
-        "token_stats": q_token_stats,
-        "language_scores": q_language_scores,
-        "cosine_topk_bruteforce": q_cosine_topk,
+        # -- never driver-run (7) --
+        "streaming_tier_1h": q_streaming_tier_1h,
+        "streaming_ewm": q_streaming_ewm,
+        "binarize_onehot": q_binarize,
+        "rolling_apply": q_rolling_apply,
+        "expanding_apply": q_expanding_apply,
+        "retention_expiry": q_retention,
+        "ts_features_models": q_ts_features_models,
+        # -- last driver-verified in round 2 (16) --
         "quality_score": q_quality_score,
         "minhash_dedup": q_minhash_dedup,
         "simhash": q_simhash,
@@ -1388,17 +1362,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "apply_by_time_lambdas": q_apply_by_time,
         "acf_diagnostics": q_acf_diagnostics,
         "ts_features_subset": q_ts_features,
-        "ts_features_models": q_ts_features_models,
         "regime_detection": q_regime_detection,
         "augment_ewm": q_ewm,
         "anomalize": q_anomalize,
         "gorilla_roundtrip": q_gorilla_roundtrip,
-        "streaming_tier_1h": q_streaming_tier_1h,
-        "streaming_ewm": q_streaming_ewm,
-        "binarize_onehot": q_binarize,
-        "rolling_apply": q_rolling_apply,
-        "expanding_apply": q_expanding_apply,
-        "retention_expiry": q_retention,
+        # -- ever-red, pinned per rule 2 (oracle HUGEINT fixed this round) --
+        "sessionize": q_sessionize,
+        # -- keepers: headline aggregation/rollup/join surface (24) --
+        "summarize_by_time_hourly": q_summarize_hourly,
+        "summarize_by_time_daily_lineitem": q_summarize_daily_lineitem,
+        "summarize_by_time_month_end": q_summarize_month_end,
+        "pad_by_time_hourly": q_pad_by_time,
+        "filter_by_time": q_filter_by_time,
+        "future_frame_daily": q_future_frame,
+        "timeseries_signature": q_timeseries_signature,
+        "ts_summary": q_ts_summary,
+        "rollup_tier_1h": q_rollup_tier_1h,
+        "rollup_tier_1d_from_1h": q_rollup_tier_1d,
+        "rollup_salted_1h": q_rollup_salted_1h,
+        "gap_fill_tier_1h": q_gap_fill_tier,
+        "cv_folds": q_cv_folds,
+        "interval_join": q_interval_join,
+        "asof_join_backward": q_asof_join_backward,
+        "asof_join_forward": q_asof_join_forward,
+        "asof_join_nearest": q_asof_join_nearest,
+        "risk_metrics": q_risk_metrics,
+        "seasonal_trend_frequency": q_seasonal_trend_frequency,
+        "holiday_signature": q_holiday_signature,
+        "dedup_exact": q_dedup_exact,
+        "token_stats": q_token_stats,
+        "language_scores": q_language_scores,
+        "cosine_topk_bruteforce": q_cosine_topk,
+        # ---- driver window cutoff (first 50 entries above) ----
+        # -- cycled out this round under rule 3 (green r3+r4) --
+        "fip_momentum": q_fip_momentum,
+        "qsmomentum": q_qsmomentum,
+        "augment_shift": q_augment_shift,
+        "augment_rolling": q_augment_rolling,
+        "augment_expanding": q_augment_expanding,
+        "finance_drawdown": q_drawdown,
+        "finance_bbands": q_bbands,
+        "finance_roc": q_roc,
+        "finance_atr": q_atr,
+        "finance_cmo": q_cmo,
+        "finance_stochastic": q_stochastic,
+        "finance_rsi": q_rsi,
+        "finance_macd": q_macd,
+        "finance_ewma_volatility": q_ewma_vol,
+        "finance_ppo": q_ppo,
+        "finance_adx": q_adx,
+        "finance_hurst": q_hurst,
+        "augment_pct_change": q_pct_change,
+        "correlate_pearson": q_correlate_pearson,
+        "correlate_spearman": q_correlate_spearman,
+        "correlate_kendall": q_correlate_kendall,
+        "datetime_rounding": q_datetime_rounding,
+        "weekday_sequence": q_weekday_sequence,
+        "weekend_sequence": q_weekend_sequence,
+        "augment_fourier": q_fourier,
     }
 
 
@@ -2915,9 +2936,11 @@ def oracle_sql() -> dict[str, str]:
               WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
             s AS (
               SELECT user_id, ts,
-                     sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                     CAST(sum(new_sess) OVER (PARTITION BY user_id
+                                         ORDER BY ts
                                          ROWS BETWEEN UNBOUNDED PRECEDING
-                                         AND CURRENT ROW) - 1 AS session_id
+                                         AND CURRENT ROW) - 1 AS BIGINT)
+                       AS session_id
               FROM d)
             SELECT user_id, session_id, count(*) AS n_events,
                    epoch_us(min(ts)) // 1000000 AS session_start,
@@ -2948,7 +2971,7 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY 1, 2)
             SELECT url,
                    count(*) AS n_buckets,
-                   sum(cnt) AS n_points,
+                   CAST(sum(cnt) AS BIGINT) AS n_points,
                    epoch_us(min(b)) // 1000000 AS first_bucket,
                    epoch_us(max(b)) // 1000000 AS last_bucket,
                    CAST(floor(sum(vsum) * 10000 + 0.5) AS BIGINT) AS vsum

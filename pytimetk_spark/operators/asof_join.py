@@ -78,6 +78,10 @@ def asof_join(
         F.lit(None).cast(ltype).alias("__rts__"),
         F.lit(0).alias("__src__"),
     )
+    # pd.merge_asof rejects null keys outright; a null right_on row would
+    # otherwise sort nulls-first and its non-null packed struct could attach
+    # to left rows with no real match (ADVICE r4).
+    right = right.filter(F.col(right_on).isNotNull())
     r2 = right.select(
         *[
             (
@@ -132,7 +136,10 @@ def asof_join(
         )
         mts = F.col("__m__").getField("__mts__")
         dist = F.abs(lts - _as_double(mts, ltype))
-        keep = F.col("__m__").isNotNull()
+        # gate on the matched TIMESTAMP, not the struct: the struct is
+        # non-null for any matched right row, __mts__ is the proof the match
+        # carries a real key (ADVICE r4)
+        keep = mts.isNotNull()
         if tolerance is not None:
             keep = keep & (dist <= F.lit(float(tolerance)))
         return out.select(

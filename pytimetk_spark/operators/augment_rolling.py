@@ -225,6 +225,7 @@ def _grouped_apply(
     new_cols: dict[str, Callable[[pd.DataFrame], pd.Series]],
     multi_kernel: Callable[[pd.DataFrame], dict[str, pd.Series]] | None = None,
     multi_names: Sequence[str] | None = None,
+    op_name: str = "grouped_apply",
 ) -> DataFrame:
     """Run per-group pandas kernels producing new double columns; original
     columns pass through. One Arrow round-trip per group. Either a dict of
@@ -252,7 +253,7 @@ def _grouped_apply(
     else:
         # ungrouped: a constant grouping column (groupBy(lit) is rejected by
         # the Spark 4 analyzer in flatMapGroupsInPandas)
-        warn_single_partition("augment_rolling_apply")
+        warn_single_partition(op_name)
         grouped = df.withColumn("__gg__", F.lit(1)).groupBy("__gg__")
     return grouped.applyInPandas(fn, schema=schema)
 
@@ -287,7 +288,8 @@ def augment_rolling_apply(
 
         for name, kernel in window_func:
             new_cols[f"rolling_{name}_win_{w_size}"] = make(kernel)
-    return _grouped_apply(df, date_column, group_cols, new_cols)
+    return _grouped_apply(df, date_column, group_cols, new_cols,
+                          op_name="augment_rolling_apply")
 
 
 def augment_expanding_apply(
@@ -315,4 +317,5 @@ def augment_expanding_apply(
             return col_fn
 
         new_cols[f"expanding_{name}"] = make()
-    return _grouped_apply(df, date_column, group_cols, new_cols)
+    return _grouped_apply(df, date_column, group_cols, new_cols,
+                          op_name="augment_expanding_apply")

@@ -361,6 +361,7 @@ def augment_macd(
     return _grouped_apply(
         df, date_column, group_cols, {},
         multi_kernel=macd_all, multi_names=[line, signal, hist],
+        op_name="augment_macd",
     )
 
 
@@ -382,7 +383,8 @@ def augment_ppo(
         ema_s = pdf[c].ewm(span=slow_period, adjust=False, min_periods=0).mean()
         return (ema_f - ema_s) / ema_s * 100
 
-    return _grouped_apply(df, date_column, group_cols, {name: ppo})
+    return _grouped_apply(df, date_column, group_cols, {name: ppo},
+                          op_name="augment_ppo")
 
 
 def augment_adx(
@@ -430,7 +432,8 @@ def augment_adx(
         return out
 
     return _grouped_apply(
-        df, date_column, group_cols, {}, multi_kernel=adx_all, multi_names=names
+        df, date_column, group_cols, {}, multi_kernel=adx_all,
+        multi_names=names, op_name="augment_adx",
     )
 
 
@@ -461,7 +464,8 @@ def augment_ewma_volatility(
             return kernel
 
         new_cols[f"{c}_ewma_vol_{w}_{decay_factor:.2f}"] = make()
-    return _grouped_apply(df, date_column, group_cols, new_cols)
+    return _grouped_apply(df, date_column, group_cols, new_cols,
+                          op_name="augment_ewma_volatility")
 
 
 def augment_hurst_exponent(
@@ -502,7 +506,8 @@ def augment_hurst_exponent(
             return kernel
 
         new_cols[f"{c}_hurst_{w}"] = make()
-    return _grouped_apply(df, date_column, group_cols, new_cols)
+    return _grouped_apply(df, date_column, group_cols, new_cols,
+                          op_name="augment_hurst_exponent")
 
 
 def augment_fip_momentum(
@@ -606,7 +611,9 @@ def augment_qsmomentum(
                 lambda x: qs(np.asarray(x, dtype=float)), raw=True
             )
 
-        return _grouped_apply(df, date_column, group_cols, {out_name: kernel})
+        return _grouped_apply(df, date_column, group_cols,
+                              {out_name: kernel},
+                              op_name="augment_qsmomentum")
 
     w = _base(group_cols, date_column)
     ret = F.col(c) / F.lag(c).over(w) - 1
@@ -711,5 +718,5 @@ def augment_regime_detection(
 
     return _grouped_apply(
         df, date_column, group_cols, {}, multi_kernel=kernel,
-        multi_names=out_names,
+        multi_names=out_names, op_name="augment_regime_detection",
     )

@@ -52,6 +52,7 @@ def augment_hilbert(
     return _grouped_apply(
         df, date_column, list(group_cols or []),
         {f"{c}_hilbert_real": real, f"{c}_hilbert_imag": imag},
+        op_name="augment_hilbert",
     )
 
 
@@ -101,7 +102,8 @@ def augment_wavelet(
         sl = f"{s:g}"
         new_cols[f"{method}_scale_{sl}_real"] = make(s, "real")
         new_cols[f"{method}_scale_{sl}_imag"] = make(s, "imag")
-    return _grouped_apply(df, date_column, list(group_cols or []), new_cols)
+    return _grouped_apply(df, date_column, list(group_cols or []), new_cols,
+                          op_name="augment_wavelet")
 
 
 def _bspline_basis(x: np.ndarray, knots: np.ndarray, degree: int) -> np.ndarray:
@@ -166,4 +168,5 @@ def augment_spline(
 
     for i in range(df_spline):
         new_cols[f"{c}_spline_{i}"] = make(i)
-    return _grouped_apply(df, date_column, list(group_cols or []), new_cols)
+    return _grouped_apply(df, date_column, list(group_cols or []), new_cols,
+                          op_name="augment_spline")

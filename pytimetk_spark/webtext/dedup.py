@@ -19,9 +19,44 @@ Scale notes (10^12 docs):
 from __future__ import annotations
 
 import random
+import warnings
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+class BucketShedWarning(UserWarning):
+    """An LSH bucket cap is active: oversized buckets (and every candidate
+    pair inside them) are dropped. Recall is traded for join-flood safety."""
+
+
+def _observe_shed(sizes: DataFrame, n_col: str, max_bucket: int, op: str):
+    """Attach a zero-extra-pass shed observation to the bucket-size frame.
+
+    ``Observation`` metrics are collected DURING the action that consumes
+    the plan (no second scan — the 100-TB-safe way to count what a cap
+    discards), exposed to callers on the result as
+    ``result._shed_observation``; ``.get`` blocks until an action ran.
+    A Python-side BucketShedWarning fires immediately so the cap is never
+    silent (ADVICE r4 / repo 'no silent caps' practice)."""
+    from pyspark.sql import Observation
+
+    obs = Observation(f"{op}_shed")
+    over = F.col(n_col) > max_bucket
+    sizes = sizes.observe(
+        obs,
+        F.sum(F.when(over, 1).otherwise(0)).alias("shed_buckets"),
+        F.sum(F.when(over, F.col(n_col)).otherwise(0)).alias("shed_rows"),
+    )
+    warnings.warn(
+        f"{op}: max_bucket={max_bucket} is active — buckets above the cap "
+        "are shed (recall trade-off). After an action, read "
+        "result._shed_observation.get for shed_buckets/shed_rows; pass "
+        "max_bucket=None to disable shedding.",
+        BucketShedWarning,
+        stacklevel=3,
+    )
+    return sizes, obs
 
 _MERSENNE = (1 << 61) - 1
 _MOD31 = 2147483647  # 2^31 - 1
@@ -153,7 +188,7 @@ def minhash_lsh_candidates(
     id_col: str = "doc_id",
     bands: int = 16,
     rows_per_band: int = 4,
-    max_bucket: int = 1000,
+    max_bucket: int | None = 1000,
     hash_variant: str = "xxhash64",
 ) -> DataFrame:
     """Candidate pairs (id_a < id_b) sharing ≥1 LSH band bucket.
@@ -191,12 +226,20 @@ def minhash_lsh_candidates(
     exploded = sig_df.select(F.col(id_col), band_cols).select(
         id_col, "bb.band", "bb.bucket"
     )
-    sizes = exploded.groupBy("band", "bucket").agg(F.count(id_col).alias("n"))
-    small = sizes.filter(F.col("n") <= max_bucket).select("band", "bucket")
-    pruned = exploded.join(small, on=["band", "bucket"], how="left_semi")
+    obs = None
+    if max_bucket is None:
+        pruned = exploded
+    else:
+        sizes = exploded.groupBy("band", "bucket").agg(
+            F.count(id_col).alias("n")
+        )
+        sizes, obs = _observe_shed(sizes, "n", max_bucket,
+                                   "minhash_lsh_candidates")
+        small = sizes.filter(F.col("n") <= max_bucket).select("band", "bucket")
+        pruned = exploded.join(small, on=["band", "bucket"], how="left_semi")
     a = pruned.alias("a")
     b = pruned.alias("b")
-    return (
+    out = (
         a.join(
             b,
             (F.col(f"a.band") == F.col("b.band"))
@@ -208,6 +251,9 @@ def minhash_lsh_candidates(
         )
         .distinct()
     )
+    if obs is not None:
+        out._shed_observation = obs
+    return out
 
 
 def ngram_jaccard_pairs(
@@ -261,7 +307,13 @@ def minhash_dedup(
     sizing, both sides of the candidate self-join, the Jaccard verify) and
     recomputing the shingle+hash work per branch dominates the job (~9× at
     sf0.01). At cluster scale write signatures to a table instead — same
-    materialize-once principle."""
+    materialize-once principle.
+
+    The cached signatures live until released: the handle is attached to
+    the result as ``result._minhash_sigs_handle`` — after the result has
+    materialized (action ran), call ``release_minhash_cache(result)`` (or
+    ``.unpersist()`` on the handle) to free executor storage. Unpersisting
+    BEFORE the action would silently recompute the four branches."""
     sigs = minhash_signatures(
         df, text_col, id_col, n_hashes, shingle_size, hash_variant=hash_variant
     )
@@ -276,7 +328,21 @@ def minhash_dedup(
         F.col("jaccard") >= threshold
     )
     losers = dups.select(F.col("id_b").alias(id_col)).distinct()
-    return df.join(losers, on=id_col, how="left_anti")
+    out = df.join(losers, on=id_col, how="left_anti")
+    if persist:
+        out._minhash_sigs_handle = sigs
+    return out
+
+
+def release_minhash_cache(result: DataFrame) -> bool:
+    """Unpersist the signature cache attached by ``minhash_dedup`` once the
+    result has been consumed. Returns True if a cache was released."""
+    sigs = getattr(result, "_minhash_sigs_handle", None)
+    if sigs is None:
+        return False
+    sigs.unpersist()
+    result._minhash_sigs_handle = None
+    return True
 
 
 # ---------------------------------------------------------------------------
@@ -371,7 +437,7 @@ def embedding_near_dup_pairs(
     threshold: float = 0.95,
     n_planes: int = 12,
     seed: int = 42,
-    max_bucket: int = 1000,
+    max_bucket: int | None = 1000,
 ) -> DataFrame:
     """Near-duplicate vectors by cosine ≥ threshold. Candidates via
     random-hyperplane LSH (sign-bit bucket), verification via native
@@ -400,13 +466,15 @@ def embedding_near_dup_pairs(
         vector_norm(F.col(vec_col)).alias("__vn__"),
         _sign_bucket(F.col(vec_col), planes).alias("__bucket__"),
     )
-    small = (
-        bucketed.groupBy("__bucket__")
-        .agg(F.count(id_col).alias("__n__"))
-        .filter(F.col("__n__") <= max_bucket)
-        .select("__bucket__")
-    )
-    bucketed = bucketed.join(small, on="__bucket__", how="left_semi")
+    obs = None
+    if max_bucket is not None:
+        sizes = bucketed.groupBy("__bucket__").agg(
+            F.count(id_col).alias("__n__")
+        )
+        sizes, obs = _observe_shed(sizes, "__n__", max_bucket,
+                                   "embedding_near_dup_pairs")
+        small = sizes.filter(F.col("__n__") <= max_bucket).select("__bucket__")
+        bucketed = bucketed.join(small, on="__bucket__", how="left_semi")
     a, b = bucketed.alias("a"), bucketed.alias("b")
     dot = F.aggregate(
         F.zip_with(
@@ -417,7 +485,7 @@ def embedding_near_dup_pairs(
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
-    return (
+    out = (
         a.join(
             b,
             (F.col("a.__bucket__") == F.col("b.__bucket__"))
@@ -430,6 +498,9 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+    if obs is not None:
+        out._shed_observation = obs
+    return out
 
 
 def _first_dim(df: DataFrame, vec_col: str) -> int:

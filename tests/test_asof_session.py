@@ -398,3 +398,30 @@ def test_asof_join_hypothesis_vs_merge_asof(spark):
         )
 
     run()
+
+
+def test_asof_null_right_key_rows_ignored(spark):
+    """A right row with a NULL key must never attach (pd.merge_asof rejects
+    null keys outright); before the r5 fix its non-null packed struct could
+    bind to left rows with no real match (ADVICE r4)."""
+    left = spark.createDataFrame(
+        pd.DataFrame({"sym": ["a", "a"],
+                      "ts": pd.to_datetime(["2024-03-01 00:00:10",
+                                            "2024-03-01 00:10:00"]),
+                      "qty": [1, 2]})
+    )
+    right_pd = pd.DataFrame(
+        {"sym": ["a", "a"],
+         "rts": [pd.NaT, pd.Timestamp("2024-03-01 00:05:00")],
+         "px": [99.0, 1.5]}
+    )
+    right = spark.createDataFrame(right_pd)
+    out = (
+        asof_join(left, right, left_on="ts", right_on="rts", by=["sym"])
+        .orderBy("ts")
+        .toPandas()
+    )
+    # first left row precedes every REAL right key -> no match (px null),
+    # NOT the null-key row's px=99
+    assert pd.isna(out["px"].iloc[0])
+    assert out["px"].iloc[1] == 1.5

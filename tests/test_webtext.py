@@ -367,3 +367,50 @@ def test_real_wav_decode(spark):
     )
     with pytest.raises(Exception, match="NotImplementedError|ffmpeg|WAVE"):
         decode_audio_batch(bad, "wav").collect()
+
+
+def test_shed_observation_and_minhash_cache_release(spark):
+    """The r5 'no silent caps' plumbing: (a) the shed Observation reports
+    how many buckets/rows the max_bucket cap dropped, collected during the
+    SAME action (no second scan); (b) release_minhash_cache unpersists the
+    signature cache minhash_dedup attaches to its result."""
+    import warnings
+
+    from pytimetk_spark.webtext.dedup import (
+        BucketShedWarning,
+        embedding_near_dup_pairs,
+        minhash_dedup,
+        release_minhash_cache,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    flood = (
+        emb.filter(F.col("vec_id") == 2)
+        .crossJoin(spark.range(60).select(F.col("id").alias("__i__")))
+        .select((F.lit(70_000) + F.col("__i__")).alias("vec_id"),
+                "embedding", "label")
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        pairs = embedding_near_dup_pairs(
+            emb.unionByName(flood), threshold=0.999, n_planes=8, max_bucket=50
+        )
+        assert any(issubclass(x.category, BucketShedWarning) for x in w)
+    pairs.count()  # action -> observation materializes
+    shed = pairs._shed_observation.get
+    assert shed["shed_buckets"] >= 1
+    assert shed["shed_rows"] >= 60
+    # max_bucket=None disables both the cap and the observation
+    no_cap = embedding_near_dup_pairs(
+        emb.limit(20), threshold=0.999, n_planes=8, max_bucket=None
+    )
+    assert not hasattr(no_cap, "_shed_observation")
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(200)
+    deduped = minhash_dedup(docs)
+    deduped.count()
+    sigs = deduped._minhash_sigs_handle
+    assert sigs.storageLevel.useMemory or sigs.storageLevel.useDisk
+    assert release_minhash_cache(deduped) is True
+    assert not sigs.storageLevel.useMemory and not sigs.storageLevel.useDisk
+    assert release_minhash_cache(deduped) is False

@@ -40,6 +40,33 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
+def dtype_class_mismatches(spark_df: pd.DataFrame,
+                           oracle_df: pd.DataFrame) -> list[str]:
+    """Flag columns whose dtype CLASS differs between the Spark result and
+    the DuckDB oracle — the driver's value-hash is dtype-sensitive while the
+    old blanket ``astype("int64")`` coercion was not, which is exactly how a
+    HUGEINT oracle column (DuckDB windowed ``sum()`` over integers → int128 →
+    pandas float64) hid the 4-round ``sessionize`` failure (VERDICT r4 #1-2).
+
+    An oracle float column is a mismatch against a Spark integer column
+    UNLESS it contains NaNs (DuckDB widens NULL-able integer columns to
+    float64 in pandas, and Spark's toPandas does the same — that widening is
+    symmetric and legitimate)."""
+    bad = []
+    for c in sorted(set(spark_df.columns) & set(oracle_df.columns)):
+        s, o = spark_df[c], oracle_df[c]
+        s_int = pd.api.types.is_integer_dtype(s)
+        o_int = pd.api.types.is_integer_dtype(o)
+        o_float = pd.api.types.is_float_dtype(o)
+        s_float = pd.api.types.is_float_dtype(s)
+        if s_int and o_float and not o.isna().any():
+            bad.append(f"{c}: spark {s.dtype} vs oracle {o.dtype}"
+                       " (non-null float oracle — HUGEINT/DECIMAL leak?)")
+        elif o_int and s_float and not s.isna().any():
+            bad.append(f"{c}: spark {s.dtype} vs oracle {o.dtype}")
+    return bad
+
+
 def main():
     spark = tk.get_spark(master="local[4]", shuffle_partitions=8)
     con = duckdb.connect()
@@ -74,6 +101,9 @@ def main():
             continue
         g, w = normalize(got), normalize(want)
         status = []
+        dt_bad = dtype_class_mismatches(got, want)
+        if dt_bad:
+            status.append("DTYPE " + "; ".join(dt_bad))
         if len(g) != len(w):
             status.append(f"ROWS {len(g)} vs {len(w)}")
         if list(g.columns) != list(w.columns):
