@@ -815,6 +815,15 @@ def q_frequency_summary(spark, sf_dir):
     return _r6(out, "freq_median_seconds", "freq_median_scale")
 
 
+def q_frequency_grouped(spark, sf_dir):
+    """Grouped get_frequency → DISTRIBUTED (user_id, freq_alias) frame
+    (new r5: native alias expression, no per-group driver collect —
+    VERDICT r4 #4). Oracle replicates median-diff → unit/scale → alias
+    string including the M/Q/Y Start suffix."""
+    ev = _events(spark, sf_dir)
+    return tk.get_frequency(ev, "ts", group_cols=["user_id"])
+
+
 def q_ivf_ann(spark, sf_dir):
     """IVF (KMeans-cell) ANN. The cell assignment isn't SQL-expressible,
     so the oracle pins plumbing invariants that must hold for any correct
@@ -1136,15 +1145,14 @@ def q_ppo(spark, sf_dir):
 
 def q_seasonal_trend_frequency(spark, sf_dir):
     """get_seasonal_frequency / get_trend_frequency: the per-group median
-    step → time-scale-template lookup (frequency.py:409-631). The engine
-    returns small pandas frames (reference API contract); re-lifted for
-    the compare. Oracle = the frequency_summary unit derivation + the same
-    template CASE map."""
+    step → time-scale-template lookup (frequency.py:409-631). Grouped calls
+    return DISTRIBUTED frames as of r5 (no per-group driver collect —
+    VERDICT r4 #4); joined Spark-side. Oracle = the frequency_summary unit
+    derivation + the same template CASE map."""
     ev = _events(spark, sf_dir)
     s = tk.get_seasonal_frequency(ev, "ts", group_cols=["user_id"])
     t = tk.get_trend_frequency(ev, "ts", group_cols=["user_id"])
-    merged = s.merge(t, on="user_id")
-    return _prep(spark).createDataFrame(merged)
+    return s.join(t, on="user_id")
 
 
 def q_hurst(spark, sf_dir):
@@ -1393,6 +1401,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "language_scores": q_language_scores,
         "cosine_topk_bruteforce": q_cosine_topk,
+        # -- new in r5 --
+        "frequency_grouped": q_frequency_grouped,
         # ---- driver window cutoff (first 50 entries above) ----
         # -- cycled out this round under rule 3 (green r3+r4) --
         "fip_momentum": q_fip_momentum,
@@ -1843,6 +1853,45 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN switch THEN 'D' ELSE unit END
                      AS freq_median_unit
             FROM s
+        """,
+        "frequency_grouped": """
+            WITH d AS (
+              SELECT user_id,
+                     epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id
+                                                     ORDER BY ts)) AS diff
+              FROM events),
+            m AS (SELECT user_id, quantile_cont(diff, 0.5) AS sec
+                  FROM d GROUP BY 1),
+            c AS (SELECT user_id, sec,
+                    CASE WHEN sec < 60 THEN 'S' WHEN sec < 3600 THEN 'T'
+                         WHEN sec < 86400 THEN 'H' WHEN sec < 604800 THEN 'D'
+                         WHEN sec < 2419200 THEN 'W'
+                         WHEN sec < 7776000 THEN 'M'
+                         WHEN sec < 31536000 THEN 'Q' ELSE 'Y' END AS unit,
+                    CASE WHEN sec < 60 THEN sec
+                         WHEN sec < 3600 THEN sec / 60
+                         WHEN sec < 86400 THEN sec / 3600
+                         WHEN sec < 604800 THEN sec / 86400
+                         WHEN sec < 2419200 THEN sec / 604800
+                         WHEN sec < 7776000 THEN round(sec / 2678400, 1)
+                         WHEN sec < 31536000 THEN round(sec / 7948800, 1)
+                         ELSE round(sec / 31622400, 1) END AS scale
+                  FROM m),
+            s AS (SELECT *,
+                    (unit IN ('M', 'Q', 'Y')
+                     AND (scale - floor(scale)) >= 0.1
+                     AND (scale - floor(scale)) <= 0.9) AS switch
+                  FROM c),
+            f AS (SELECT user_id,
+                         CASE WHEN switch THEN 'D' ELSE unit END AS u,
+                         CASE WHEN switch THEN floor(sec / 86400)
+                              ELSE scale END AS sc
+                  FROM s)
+            SELECT user_id,
+                   CAST(CAST(floor(sc) AS BIGINT) AS VARCHAR) || u ||
+                     (CASE WHEN u IN ('M', 'Q', 'Y') THEN 'S' ELSE '' END)
+                     AS freq_alias
+            FROM f
         """,
         "ivf_ann": """
             SELECT vec_id AS query_id, 5 AS n_results, 1 AS self_rank1

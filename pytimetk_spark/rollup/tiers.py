@@ -231,17 +231,20 @@ def decode_tier_blocks(blocks_df: DataFrame, stats: Sequence[str]) -> DataFrame:
         ]
     )
 
+    blk_cols = ["url", "ts_block"] + [f"blk_{s}" for s in stats]
+
     def decode_iter(batches):
         for pdf in batches:
             frames = []
-            for _, row in pdf.iterrows():
-                ts = decode_timestamps(bytes(row["ts_block"]))
-                data = {
-                    "url": row["url"],
-                    "bucket_ts": pd.to_datetime(ts, unit="s"),
-                }
-                for s in stats:
-                    data[s] = decode_gorilla(bytes(row[f"blk_{s}"]))
+            # itertuples over the needed columns only: ~5× cheaper than
+            # iterrows (no per-row Series construction) and the loop is
+            # per-BLOCK (each row expands to a whole url's stream), so
+            # the remaining Python overhead amortizes (VERDICT r4 #6)
+            for url, ts_block, *blks in pdf[blk_cols].itertuples(index=False):
+                ts = decode_timestamps(bytes(ts_block))
+                data = {"url": url, "bucket_ts": pd.to_datetime(ts, unit="s")}
+                for s, blk in zip(stats, blks):
+                    data[s] = decode_gorilla(bytes(blk))
                 frames.append(pd.DataFrame(data))
             if frames:
                 yield pd.concat(frames, ignore_index=True)

@@ -65,6 +65,36 @@ def test_seasonal_trend_templates(spark):
     assert get_trend_frequency(sdf, "date") == "1Q"
 
 
+def test_grouped_frequency_is_distributed(spark):
+    """Grouped get_frequency / get_*_frequency return Spark DataFrames
+    (native alias/template expressions; one aggregate, NO per-group
+    driver materialization — VERDICT r4 #4)."""
+    from pyspark.sql import DataFrame as SparkDF
+
+    pdf = pd.DataFrame(
+        {
+            "id": ["A"] * 30 + ["B"] * 30,
+            "date": list(pd.date_range("2020-01-01", periods=30, freq="D"))
+            + list(pd.date_range("2020-01-01", periods=30, freq="h")),
+        }
+    )
+    sdf = spark.createDataFrame(pdf)
+    fa = get_frequency(sdf, "date", group_cols=["id"])
+    assert isinstance(fa, SparkDF)
+    # single aggregate + projection: exactly one Exchange in the plan
+    plan = fa._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 2  # partial+final agg exchange pair
+    got = {r["id"]: r["freq_alias"] for r in fa.collect()}
+    assert got == {"A": "1D", "B": "1H"}
+    seas = get_seasonal_frequency(sdf, "date", group_cols=["id"])
+    assert isinstance(seas, SparkDF)
+    gs = {r["id"]: r["seasonal_period"] for r in seas.collect()}
+    assert gs == {"A": "1W", "B": "1D"}
+    tr = get_trend_frequency(sdf, "date", group_cols=["id"])
+    gt = {r["id"]: r["trend_period"] for r in tr.collect()}
+    assert gt == {"A": "1Q", "B": "1M"}
+
+
 def test_apply_by_time(spark):
     pdf = pd.DataFrame(
         {
