@@ -792,6 +792,55 @@ def q_ts_features_models(spark, sf_dir):
     )
 
 
+def q_ts_features_ets(spark, sf_dir):
+    """ets(A,A,N)/(A,A,A) MLE fits (new r5: concentrated Gaussian
+    likelihood, initial states profiled out by exact OLS). The optimizer
+    itself is non-SQL-expressible, so the oracle pins invariants that any
+    correct MLE fit must satisfy exactly — series length, admissible
+    parameters (0<α,β*<1; 0<γ≤1−α), and that the optimum is no worse than
+    the simplex's own start point (a real optimization guarantee) —
+    hash-checkable because they are deterministic 0/1 outcomes."""
+    from pytimetk_spark.operators.diagnostics import (
+        _ets_profile_sse,
+        _fit_holt,
+        _fit_hw,
+    )
+
+    ev = _events(spark, sf_dir)
+    daily = tk.summarize_by_time(
+        ev, "ts", "value", group_cols=["event_type"], freq="D",
+        agg_func="count",
+    )
+
+    def fit(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("ts")
+        x = pdf["value"].to_numpy(dtype=float)
+        a, b = _fit_holt(x)
+        ha, hb, hg = _fit_hw(x, 7)
+        holt_ok = int(0.0 < a < 1.0 and 0.0 < b < 1.0)
+        hw_ok = int(0.0 < ha < 1.0 and 0.0 < hb < 1.0
+                    and 0.0 < hg <= (1.0 - ha) + 1e-12)
+        improves = int(
+            _ets_profile_sse(x, a, b, None, 0)
+            <= _ets_profile_sse(x, 0.3, 0.1, None, 0) + 1e-9
+        )
+        return pd.DataFrame({
+            "event_type": [pdf["event_type"].iloc[0]],
+            "n_days": [len(x)],
+            "holt_admissible": [holt_ok],
+            "hw_admissible": [hw_ok],
+            "mle_not_worse_than_start": [improves],
+        })
+
+    return daily.groupBy("event_type").applyInPandas(
+        fit,
+        schema="event_type string, n_days bigint, holt_admissible bigint, "
+               "hw_admissible bigint, mle_not_worse_than_start bigint",
+    )
+
+
 def q_apply_by_time(spark, sf_dir):
     """Arbitrary named-lambda downsampling (the Arrow grouped-map escape
     hatch) — lambdas here are SQL-expressible on purpose so the whole path
@@ -1403,6 +1452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk_bruteforce": q_cosine_topk,
         # -- new in r5 --
         "frequency_grouped": q_frequency_grouped,
+        "ts_features_ets": q_ts_features_ets,
         # ---- driver window cutoff (first 50 entries above) ----
         # -- cycled out this round under rule 3 (green r3+r4) --
         "fip_momentum": q_fip_momentum,
@@ -1896,6 +1946,16 @@ def oracle_sql() -> dict[str, str]:
         "ivf_ann": """
             SELECT vec_id AS query_id, 5 AS n_results, 1 AS self_rank1
             FROM embeddings WHERE vec_id < 3
+        """,
+        "ts_features_ets": """
+            -- the MLE fit itself is not SQL-expressible; pin its exact
+            -- deterministic invariants (see q_ts_features_ets)
+            SELECT event_type,
+                   count(DISTINCT date_trunc('day', ts)) AS n_days,
+                   CAST(1 AS BIGINT) AS holt_admissible,
+                   CAST(1 AS BIGINT) AS hw_admissible,
+                   CAST(1 AS BIGINT) AS mle_not_worse_than_start
+            FROM events GROUP BY 1
         """,
         "regime_detection": """
             SELECT event_type,

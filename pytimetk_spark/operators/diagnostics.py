@@ -227,58 +227,90 @@ _MACKINNON_TAU_C = {
 _PROBIT = {0.01: -2.3263478740, 0.05: -1.6448536270, 0.10: -1.2815515655}
 
 
-def _holt_sse(x: np.ndarray, alpha: float, beta: float) -> float:
-    l, b = x[0], x[1] - x[0]
-    sse = 0.0
-    for t in range(1, x.size):
-        f = l + b
-        e = x[t] - f
-        sse += e * e
-        l_new = alpha * x[t] + (1.0 - alpha) * f
-        b = beta * (l_new - l) + (1.0 - beta) * b
-        l = l_new
-    return sse
+def _ets_profile_sse(
+    x: np.ndarray, alpha: float, beta: float, gamma: float | None, m: int
+) -> float:
+    """Concentrated SSE of ets(A,A,N) (``gamma is None``) / ets(A,A,A):
+    for FIXED smoothing parameters the one-step errors are AFFINE in the
+    initial states (level, trend, m seasonals), so the likelihood-optimal
+    initial states are profiled out EXACTLY by one OLS solve per objective
+    evaluation — joint MLE without an 11-dim simplex (the reference
+    delegates these fits to R ets() via the tsfeatures package,
+    ts_features.py:28-51; Hyndman et al. 2008 ch.2 state space form).
+
+    Mechanics: each state is carried as a K-vector — column 0 is the
+    particular response driven by the data with ZERO initial states;
+    columns 1..K-1 are the homogeneous unit-initial-state responses (zero
+    data). The additive error recursions
+        e_t = x_t − (l+b+s),  l ← l+b+αe,  b ← b+αβ*e,  s ← s+γe
+    are linear, so superposition gives e_t(init) = target_t − design_t·init
+    and OLS recovers the profiled optimum."""
+    x = np.asarray(x, dtype=float)
+    n = x.size
+    seasonal = gamma is not None
+    k_init = 2 + (m if seasonal else 0)
+    K = 1 + k_init
+    L = np.zeros(K)
+    B = np.zeros(K)
+    L[1] = 1.0  # unit-l0 response column
+    B[2] = 1.0  # unit-b0 response column
+    if seasonal:
+        S = np.zeros((m, K))
+        for j in range(m):
+            S[j, 3 + j] = 1.0
+    design = np.empty((n, k_init))
+    target = np.empty(n)
+    ab = alpha * beta
+    for t in range(n):
+        F = L + B + S[t % m] if seasonal else L + B
+        target[t] = x[t] - F[0]
+        design[t] = -F[1:]
+        E = -F  # e decomposed over columns; particular col gets +x_t
+        E[0] += x[t]
+        if seasonal:
+            S[t % m] = S[t % m] + gamma * E
+        L = L + B + alpha * E
+        B = B + ab * E
+    init, *_ = np.linalg.lstsq(design, target, rcond=None)
+    resid = target - design @ init
+    return float(resid @ resid)
 
 
 def _fit_holt(x: np.ndarray) -> tuple[float, float]:
-    """Holt linear-trend smoothing parameters (alpha, beta*) by SSE
-    minimization (tsfeatures holt_parameters fits ets(A,A,N) by MLE; the
-    gaussian-likelihood optimum coincides with the SSE optimum for fixed
-    variance, so this is the same stationary point, documented as an
-    SSE fit)."""
+    """ets(A,A,N) MLE smoothing parameters (alpha, beta* = trend
+    smoothing, the statsmodels ``smoothing_trend`` convention; R ets()
+    reports beta = alpha·beta*). Concentrated Gaussian likelihood: the
+    initial level/trend are profiled out exactly inside
+    ``_ets_profile_sse``, so the simplex runs over (alpha, beta*) only —
+    minimizing n·log(SSE*/n), which shares its argmin with SSE*
+    (tsfeatures holt_parameters, reference ts_features.py:28-51)."""
     from pytimetk_spark.functions.optim import nelder_mead
 
     clip = lambda p: np.clip(p, 1e-4, 0.9999)
-    obj = lambda p: _holt_sse(x, *clip(p))
+    obj = lambda p: _ets_profile_sse(x, *clip(p), None, 0)
     best = clip(nelder_mead(obj, np.array([0.3, 0.1]), step=0.2))
     return float(best[0]), float(best[1])
 
 
-def _hw_sse(x: np.ndarray, m: int, alpha: float, beta: float, gamma: float) -> float:
-    l = x[:m].mean()
-    b = (x[m : 2 * m].mean() - l) / m
-    s = (x[:m] - l).astype(float).copy()
-    sse = 0.0
-    for t in range(m, x.size):
-        f = l + b + s[t % m]
-        e = x[t] - f
-        sse += e * e
-        l_new = alpha * (x[t] - s[t % m]) + (1.0 - alpha) * (l + b)
-        b = beta * (l_new - l) + (1.0 - beta) * b
-        s[t % m] = gamma * (x[t] - l - b) + (1.0 - gamma) * s[t % m]
-        l = l_new
-    return sse
-
-
 def _fit_hw(x: np.ndarray, m: int) -> tuple[float, float, float]:
-    """Additive Holt-Winters (alpha, beta*, gamma) by SSE minimization
-    (tsfeatures hw_parameters / ets(A,A,A))."""
+    """ets(A,A,A) MLE (alpha, beta*, gamma), admissible region γ ≤ 1−α
+    enforced by the γ = (1−α)·γ* parameterization; initial level/trend/
+    seasonals profiled out exactly (tsfeatures hw_parameters). The
+    level/seasonal confounding (add c to every seasonal, subtract from
+    l0 — identical forecasts) lands on lstsq's min-norm solution and
+    cannot move the reported smoothing parameters."""
     from pytimetk_spark.functions.optim import nelder_mead
 
-    clip = lambda p: np.clip(p, 1e-4, 0.9999)
-    obj = lambda p: _hw_sse(x, m, *clip(p))
-    best = clip(nelder_mead(obj, np.array([0.3, 0.05, 0.1]), step=0.2))
-    return float(best[0]), float(best[1]), float(best[2])
+    clip = lambda v: float(np.clip(v, 1e-4, 0.9999))
+
+    def unpack(p):
+        a = clip(p[0])
+        return a, clip(p[1]), (1.0 - a) * clip(p[2])
+
+    obj = lambda p: _ets_profile_sse(x, *unpack(p), m)
+    best = unpack(nelder_mead(obj, np.array([0.3, 0.1, 0.3]), step=0.2,
+                              max_iter=250))
+    return best
 
 
 def _lm_r2(z2: np.ndarray, lags: int = 12) -> float:

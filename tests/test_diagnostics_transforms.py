@@ -386,14 +386,13 @@ def test_nelder_mead_quadratic():
 
 
 def test_holt_hw_parameter_fits():
-    """SSE-fit smoothing parameters discriminate smoothing regimes: a
+    """ets-MLE smoothing parameters discriminate smoothing regimes: a
     random walk needs alpha ~ 1, noise around a constant needs small
-    alpha; the HW fit beats its own starting point."""
+    alpha; fits always beat their own start point and stay admissible."""
     from pytimetk_spark.operators.diagnostics import (
+        _ets_profile_sse,
         _fit_holt,
         _fit_hw,
-        _holt_sse,
-        _hw_sse,
     )
 
     rng = np.random.RandomState(7)
@@ -409,14 +408,136 @@ def test_holt_hw_parameter_fits():
     seasonal = 0.1 * t + 5.0 * np.sin(t * 2 * np.pi / 7) + 0.3 * rng.randn(280)
     m = 7
     al, be, ga = _fit_hw(seasonal, m)
-    assert all(0.0 < v < 1.0 for v in (al, be, ga))
-    assert _hw_sse(seasonal, m, al, be, ga) <= _hw_sse(
-        seasonal, m, 0.3, 0.05, 0.1
+    assert 0.0 < al < 1.0 and 0.0 < be < 1.0
+    assert 0.0 < ga <= (1.0 - al) + 1e-12  # admissible region
+    assert _ets_profile_sse(seasonal, al, be, ga, m) <= _ets_profile_sse(
+        seasonal, 0.3, 0.1, 0.7 * 0.3, m
     )
-    # fitted holt params are always the SSE argmin vs the default start
+    # fitted holt params are always the concentrated-SSE argmin vs start
     for x in (walk, noise):
         a, b = _fit_holt(x)
-        assert _holt_sse(x, a, b) <= _holt_sse(x, 0.3, 0.1)
+        assert _ets_profile_sse(x, a, b, None, 0) <= _ets_profile_sse(
+            x, 0.3, 0.1, None, 0
+        )
+
+
+def test_ets_profile_sse_is_exact_init_minimum():
+    """The OLS profiling inside _ets_profile_sse is EXACT: no explicit
+    (l0, b0) choice on a dense grid can beat it, and at the true data-
+    generating initial states the direct recursion SSE is ≥ profiled."""
+    from pytimetk_spark.operators.diagnostics import _ets_profile_sse
+
+    rng = np.random.RandomState(0)
+    alpha, beta = 0.42, 0.18
+    l, b = 10.0, 0.5
+    xs = []
+    for _ in range(300):
+        e = rng.randn() * 0.3
+        xs.append(l + b + e)
+        l, b = l + b + alpha * e, b + alpha * beta * e
+    x = np.array(xs)
+
+    def direct_sse(l0, b0):
+        l, b, sse = l0, b0, 0.0
+        for t in range(x.size):
+            e = x[t] - (l + b)
+            sse += e * e
+            l, b = l + b + alpha * e, b + alpha * beta * e
+        return sse
+
+    prof = _ets_profile_sse(x, alpha, beta, None, 0)
+    grid = min(
+        direct_sse(10.0 + dl, 0.5 + db)
+        for dl in np.linspace(-1, 1, 11)
+        for db in np.linspace(-0.2, 0.2, 11)
+    )
+    assert prof <= grid + 1e-9
+    assert prof <= direct_sse(10.0, 0.5) + 1e-9
+
+
+def test_ets_mle_recovers_planted_parameters():
+    """Series generated exactly from the additive state-space recursions
+    are recovered to within finite-sample likelihood error; the fitted
+    optimum dominates the true parameters in concentrated SSE (the MLE
+    property a correct optimizer must satisfy)."""
+    from pytimetk_spark.operators.diagnostics import (
+        _ets_profile_sse,
+        _fit_holt,
+        _fit_hw,
+    )
+
+    rng = np.random.RandomState(3)
+    a_t, bs_t = 0.45, 0.2
+    l, b = 10.0, 0.5
+    xs = []
+    for _ in range(500):
+        e = rng.randn() * 0.3
+        xs.append(l + b + e)
+        l, b = l + b + a_t * e, b + a_t * bs_t * e
+    x = np.array(xs)
+    a, bs = _fit_holt(x)
+    assert abs(a - a_t) < 0.15 and abs(bs - bs_t) < 0.15
+    assert _ets_profile_sse(x, a, bs, None, 0) <= _ets_profile_sse(
+        x, a_t, bs_t, None, 0
+    ) + 1e-9
+
+    m, g_t = 7, 0.25
+    l, b = 20.0, 0.1
+    s = np.array([3, -2, 1, 0, -1, 2, -3], dtype=float)
+    xs = []
+    for t in range(500):
+        e = rng.randn() * 0.4
+        xs.append(l + b + s[t % m] + e)
+        s[t % m] += g_t * e
+        l, b = l + b + a_t * e, b + a_t * bs_t * e
+    x2 = np.array(xs)
+    ah, bh, gh = _fit_hw(x2, m)
+    assert abs(ah - a_t) < 0.2 and abs(gh - g_t) < 0.2
+    assert _ets_profile_sse(x2, ah, bh, gh, m) <= _ets_profile_sse(
+        x2, a_t, bs_t, g_t, m
+    ) + 1e-9
+
+
+def test_ets_mle_vs_statsmodels_differential():
+    """When statsmodels is available, the concentrated-likelihood fit must
+    land on the same smoothing parameters as ExponentialSmoothing with
+    estimated initialization (both minimize the same profiled SSE)."""
+    pytest.importorskip("statsmodels")
+    from statsmodels.tsa.holtwinters import ExponentialSmoothing
+
+    from pytimetk_spark.operators.diagnostics import (
+        _ets_profile_sse,
+        _fit_holt,
+    )
+
+    rng = np.random.RandomState(11)
+    l, b = 5.0, 0.2
+    xs = []
+    for _ in range(400):
+        e = rng.randn() * 0.5
+        xs.append(l + b + e)
+        l, b = l + b + 0.4 * e, b + 0.4 * 0.15 * e
+    x = np.array(xs)
+    a, bs = _fit_holt(x)
+    sm = ExponentialSmoothing(
+        x, trend="add", initialization_method="estimated"
+    ).fit()
+    # same objective -> the two optima cannot differ in value; params to
+    # rtol 1e-4 when both optimizers converge
+    ours = _ets_profile_sse(x, a, bs, None, 0)
+    # statsmodels smoothing_trend is beta* directly (Holt formulation
+    # b_t = beta*(l_t - l_{t-1}) + (1-beta*) b_{t-1}), same as our beta
+    theirs = _ets_profile_sse(
+        x,
+        float(sm.params["smoothing_level"]),
+        float(sm.params["smoothing_trend"]),
+        None,
+        0,
+    )
+    assert ours <= theirs * (1 + 1e-3)
+    np.testing.assert_allclose(
+        a, float(sm.params["smoothing_level"]), rtol=1e-1
+    )
 
 
 def test_heterogeneity_features_garch():
