@@ -3,13 +3,16 @@ columns with typed metadata.
 
 Decode support tiers:
 
-* **REAL, dependency-free** — uncompressed containers parsed in pure
-  numpy: BMP (24/32-bpp uncompressed) and binary PPM (P6) images with
-  nearest-neighbor resize + luminance-histogram features, and WAV
-  (PCM 8/16/32-bit) audio with sample-rate/duration/RMS/ZCR/peak
-  features. No PIL/ffmpeg needed; differential-tested against
-  bytes synthesized from known pixel/sample arrays.
-* **Stubbed** — compressed codecs (JPEG/PNG/WebP, MP3/AAC, MP4/WebM)
+* **REAL, dependency-free** — parsed in pure numpy: baseline JPEG
+  (full entropy + IDCT decode, webtext/jpeg.py — the dominant real-web
+  image format), BMP (24/32-bpp uncompressed) and binary PPM (P6)
+  images with nearest-neighbor resize + luminance-histogram features,
+  and WAV (PCM 8/16/32-bit) audio with sample-rate/duration/RMS/ZCR/
+  peak features. No PIL/ffmpeg needed; differential-tested against
+  bytes synthesized from known pixel/sample arrays (JPEG: against an
+  in-tests reference encoder, tests/jpeg_ref.py).
+* **Stubbed** — remaining compressed codecs (progressive JPEG,
+  PNG/WebP, MP3/AAC, MP4/WebM)
   need PIL/ffmpeg, absent in this environment: those raise
   NotImplementedError (or take the deterministic byte-level ``fake=True``
   path), but the Spark-side plumbing — schemas, ``mapInPandas`` Arrow
@@ -100,9 +103,10 @@ def decode_image_batch(
 ) -> DataFrame:
     """Image decode + nearest-neighbor resize + feature extraction.
 
-    REAL pure-numpy decode for uncompressed BMP (24/32-bpp BI_RGB) and
-    binary PPM (P6); features = normalized 8-bin luminance histogram of
-    the resized image. Compressed formats (JPEG/PNG/...) need PIL →
+    REAL pure-numpy decode for baseline JPEG (webtext/jpeg.py — full
+    Huffman + IDCT), uncompressed BMP (24/32-bpp BI_RGB) and binary PPM
+    (P6); features = normalized 8-bin luminance histogram of
+    the resized image. Other formats (progressive JPEG/PNG/...) need PIL →
     NotImplementedError unless ``fake=True``, which produces a
     DETERMINISTIC byte-level stand-in (real schema and batch shape),
     keeping the distributed plumbing testable for any format.
@@ -138,12 +142,19 @@ def decode_image_batch(
             # inherently per-file; numpy does the pixel work inside
             for i, blob in zip(ids, blobs):
                 img = _decode_uncompressed_image(blob)
+                if img is None and blob[:2] == b"\xff\xd8":
+                    from pytimetk_spark.webtext.jpeg import (
+                        decode_baseline_jpeg,
+                    )
+
+                    img = decode_baseline_jpeg(blob)
                 if img is None:
                     raise NotImplementedError(
-                        "only uncompressed BMP (24/32bpp) and binary PPM "
-                        "(P6) decode without PIL; compressed formats "
-                        "(JPEG/PNG/...) need PIL — or pass fake=True for "
-                        "the deterministic byte-level stand-in"
+                        "baseline JPEG, uncompressed BMP (24/32bpp) and "
+                        "binary PPM (P6) decode dependency-free; other "
+                        "formats (progressive JPEG/PNG/WebP/...) need PIL "
+                        "— or pass fake=True for the deterministic "
+                        "byte-level stand-in"
                     )
                 resized = _nn_resize(img, target_size[1], target_size[0])
                 lum = (

@@ -414,3 +414,89 @@ def test_shed_observation_and_minhash_cache_release(spark):
     assert release_minhash_cache(deduped) is True
     assert not sigs.storageLevel.useMemory and not sigs.storageLevel.useDisk
     assert release_minhash_cache(deduped) is False
+
+
+def _gradient_img(h=41, w=67):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack([
+        (xx * 3 + yy) % 256,
+        (128 + 60 * np.sin(xx / 9.0) + 40 * np.cos(yy / 7.0)),
+        (255 - xx * 2 - yy) % 256,
+    ], axis=-1).clip(0, 255).astype(np.uint8)
+
+
+def test_jpeg_baseline_decode_differential():
+    """Pixel differential for the pure-numpy baseline JPEG decoder against
+    an independent in-tests encoder (tests/jpeg_ref.py): 4:4:4 and
+    grayscale at flat quant=1 must round-trip within DCT+YCbCr rounding
+    (|err| <= 3); 4:2:0 and coarser quant within quantization bounds;
+    restart intervals decode identically to the unrestarted stream."""
+    from jpeg_ref import encode_baseline_jpeg
+
+    from pytimetk_spark.webtext.jpeg import decode_baseline_jpeg
+
+    img = _gradient_img()
+    h, w = img.shape[:2]
+
+    dec = decode_baseline_jpeg(encode_baseline_jpeg(img, quant=1))
+    assert dec.shape == (h, w, 3)
+    assert np.abs(dec.astype(float) - img.astype(float)).max() <= 3
+
+    gray = decode_baseline_jpeg(
+        encode_baseline_jpeg(img, quant=1, grayscale=True)
+    )
+    luma = 0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2]
+    assert np.abs(gray[..., 0].astype(float) - luma).max() <= 3
+    np.testing.assert_array_equal(gray[..., 0], gray[..., 1])
+
+    sub = decode_baseline_jpeg(
+        encode_baseline_jpeg(img, quant=1, subsample=True)
+    )
+    assert np.abs(sub.astype(float) - img.astype(float)).max() <= 12
+    assert np.abs(sub.astype(float) - img.astype(float)).mean() <= 3
+
+    q8 = decode_baseline_jpeg(encode_baseline_jpeg(img, quant=8))
+    assert np.abs(q8.astype(float) - img.astype(float)).max() <= 16
+
+    plain = decode_baseline_jpeg(encode_baseline_jpeg(img, quant=1))
+    dri = decode_baseline_jpeg(
+        encode_baseline_jpeg(img, quant=1, restart_interval=2)
+    )
+    np.testing.assert_array_equal(plain, dri)
+
+
+def test_jpeg_decoder_rejects_out_of_scope():
+    """Non-JPEG and unsupported variants return None (stub fallback)."""
+    from jpeg_ref import encode_baseline_jpeg
+
+    from pytimetk_spark.webtext.jpeg import decode_baseline_jpeg
+
+    assert decode_baseline_jpeg(b"\x89PNG\r\n\x1a\n") is None
+    assert decode_baseline_jpeg(b"") is None
+    blob = bytearray(encode_baseline_jpeg(_gradient_img(17, 19), quant=1))
+    sof = blob.find(b"\xff\xc0")
+    blob[sof + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
+    assert decode_baseline_jpeg(bytes(blob)) is None
+
+
+def test_jpeg_through_decode_image_batch(spark):
+    """decode_image_batch now handles baseline JPEG in the REAL tier:
+    the same pixels through BMP and JPEG (quant=1) give near-identical
+    luminance-histogram features."""
+    from jpeg_ref import encode_baseline_jpeg
+
+    from pytimetk_spark.webtext.multimodal import decode_image_batch
+
+    img = _gradient_img(32, 48)
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2],
+        "img": [_make_bmp(img), encode_baseline_jpeg(img, quant=1)],
+    })
+    out = (
+        decode_image_batch(spark.createDataFrame(pdf), "img",
+                           target_size=(16, 16))
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    f_bmp = np.array(out.loc[0, "features"])
+    f_jpg = np.array(out.loc[1, "features"])
+    assert np.abs(f_bmp - f_jpg).max() <= 0.05
