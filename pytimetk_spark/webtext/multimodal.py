@@ -3,16 +3,19 @@ columns with typed metadata.
 
 Decode support tiers:
 
-* **REAL, dependency-free** — parsed in pure numpy: baseline JPEG
-  (full entropy + IDCT decode, webtext/jpeg.py — the dominant real-web
-  image format), BMP (24/32-bpp uncompressed) and binary PPM (P6)
+* **REAL, dependency-free** — parsed in pure numpy/stdlib: baseline
+  JPEG (full entropy + IDCT decode, webtext/jpeg.py — the dominant
+  real-web image format), PNG (stdlib-zlib inflate + all five scanline
+  filters, webtext/png.py: gray/RGB/palette/alpha, 8-bit
+  non-interlaced), BMP (24/32-bpp uncompressed) and binary PPM (P6)
   images with nearest-neighbor resize + luminance-histogram features,
   and WAV (PCM 8/16/32-bit) audio with sample-rate/duration/RMS/ZCR/
   peak features. No PIL/ffmpeg needed; differential-tested against
   bytes synthesized from known pixel/sample arrays (JPEG: against an
-  in-tests reference encoder, tests/jpeg_ref.py).
-* **Stubbed** — remaining compressed codecs (progressive JPEG,
-  PNG/WebP, MP3/AAC, MP4/WebM)
+  in-tests reference encoder, tests/jpeg_ref.py; PNG: exact lossless
+  round-trips across every filter type).
+* **Stubbed** — remaining compressed codecs (progressive JPEG, Adam7
+  PNG, WebP, MP3/AAC, MP4/WebM)
   need PIL/ffmpeg, absent in this environment: those raise
   NotImplementedError (or take the deterministic byte-level ``fake=True``
   path), but the Spark-side plumbing — schemas, ``mapInPandas`` Arrow
@@ -103,10 +106,12 @@ def decode_image_batch(
 ) -> DataFrame:
     """Image decode + nearest-neighbor resize + feature extraction.
 
-    REAL pure-numpy decode for baseline JPEG (webtext/jpeg.py — full
-    Huffman + IDCT), uncompressed BMP (24/32-bpp BI_RGB) and binary PPM
+    REAL pure-numpy/stdlib decode for baseline JPEG (webtext/jpeg.py —
+    full Huffman + IDCT), PNG (webtext/png.py — zlib inflate + unfilter),
+    uncompressed BMP (24/32-bpp BI_RGB) and binary PPM
     (P6); features = normalized 8-bin luminance histogram of
-    the resized image. Other formats (progressive JPEG/PNG/...) need PIL →
+    the resized image. Other formats (progressive JPEG, Adam7 PNG,
+    WebP/...) need PIL →
     NotImplementedError unless ``fake=True``, which produces a
     DETERMINISTIC byte-level stand-in (real schema and batch shape),
     keeping the distributed plumbing testable for any format.
@@ -148,11 +153,16 @@ def decode_image_batch(
                     )
 
                     img = decode_baseline_jpeg(blob)
+                if img is None and blob[:8] == b"\x89PNG\r\n\x1a\n":
+                    from pytimetk_spark.webtext.png import decode_png
+
+                    img = decode_png(blob)
                 if img is None:
                     raise NotImplementedError(
-                        "baseline JPEG, uncompressed BMP (24/32bpp) and "
-                        "binary PPM (P6) decode dependency-free; other "
-                        "formats (progressive JPEG/PNG/WebP/...) need PIL "
+                        "baseline JPEG, non-interlaced 8-bit PNG, "
+                        "uncompressed BMP (24/32bpp) and binary PPM (P6) "
+                        "decode dependency-free; other formats "
+                        "(progressive JPEG, Adam7 PNG, WebP/...) need PIL "
                         "— or pass fake=True for the deterministic "
                         "byte-level stand-in"
                     )

@@ -1,0 +1,137 @@
+"""Pure-stdlib PNG decoder (zlib inflate + scanline unfilter).
+
+Second compressed web-image format in the REAL decode tier (after
+baseline JPEG, webtext/jpeg.py): PNG's DEFLATE stream is handled by the
+stdlib ``zlib`` module, so a dependency-free decode needs only chunk
+parsing and the five scanline filters (RFC 2083 / W3C PNG spec).
+
+Supported: 8-bit samples, color types 0 (gray), 2 (RGB), 3 (palette +
+PLTE), 4 (gray+alpha), 6 (RGBA), non-interlaced. Returns None for
+Adam7 interlace, 1/2/4/16-bit depths, or malformed streams — callers
+fall back to the stub tier. Alpha is composited over white (web
+convention for feature extraction); palette expands through PLTE.
+
+Performance shape: inflate is C-speed (zlib); unfilter is per-ROW numpy
+with vectorized None/Up rows and sequential Sub/Average/Paeth recurrences
+per row (inherent data dependency along x). Runs per blob inside
+mapInPandas, same boundary as the JPEG/BMP/WAV decoders.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_SIG = b"\x89PNG\r\n\x1a\n"
+# color type -> samples per pixel
+_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def decode_png(blob: bytes) -> np.ndarray | None:
+    """Decode a PNG blob -> HxWx3 uint8 RGB, or None if out of scope."""
+    if not blob.startswith(_SIG):
+        return None
+    pos = 8
+    ihdr = None
+    plte = None
+    idat = bytearray()
+    n = len(blob)
+    while pos + 8 <= n:
+        length, ctype = struct.unpack_from(">I4s", blob, pos)
+        data = blob[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            w, h, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or color not in _CHANNELS or comp != 0 or filt != 0:
+                return None
+            if interlace != 0:  # Adam7: out of scope
+                return None
+            ihdr = (w, h, color)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if ihdr is None or not idat:
+        return None
+    w, h, color = ihdr
+    ch = _CHANNELS[color]
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    stride = w * ch
+    if len(raw) < h * (stride + 1):
+        return None
+    rows = np.frombuffer(raw[: h * (stride + 1)], np.uint8).reshape(
+        h, stride + 1
+    )
+    filters = rows[:, 0]
+    img = _unfilter(rows[:, 1:].astype(np.int32), filters, ch)
+    img = img.reshape(h, w, ch)
+    if color == 3:
+        if plte is None or (img[..., 0] >= len(plte)).any():
+            return None
+        return plte[img[..., 0]]
+    if color == 0:
+        g = img[..., 0].astype(np.uint8)
+        return np.stack([g, g, g], axis=-1)
+    if color == 2:
+        return img.astype(np.uint8)
+    # alpha variants: composite over white (feature-extraction convention)
+    if color == 4:
+        g, a = img[..., 0].astype(float), img[..., 1].astype(float) / 255.0
+        g = g * a + 255.0 * (1 - a)
+        g = np.clip(g, 0, 255).astype(np.uint8)
+        return np.stack([g, g, g], axis=-1)
+    rgbf = img[..., :3].astype(float)
+    a = img[..., 3:4].astype(float) / 255.0
+    out = rgbf * a + 255.0 * (1 - a)
+    return np.clip(out, 0, 255).astype(np.uint8)
+
+
+def _unfilter(rows: np.ndarray, filters: np.ndarray, bpp: int) -> np.ndarray:
+    """Invert the five PNG scanline filters in place (rows int32,
+    values mod 256 at the end). None/Up are whole-row vector ops; Sub/
+    Average/Paeth carry an x-recurrence, looped per pixel position but
+    vectorized over the ``bpp`` interleaved channels."""
+    h, stride = rows.shape
+    prev = np.zeros(stride, np.int32)
+    for y in range(h):
+        r = rows[y]
+        f = filters[y]
+        if f == 0:
+            r &= 0xFF
+        elif f == 2:  # Up
+            r += prev
+            r &= 0xFF
+        elif f == 1:  # Sub
+            for x in range(bpp, stride):
+                r[x] = (r[x] + r[x - bpp]) & 0xFF
+        elif f == 3:  # Average
+            for x in range(stride):
+                left = r[x - bpp] if x >= bpp else 0
+                r[x] = (r[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for x in range(stride):
+                a = r[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                if pa <= pb and pa <= pc:
+                    pred = a
+                elif pb <= pc:
+                    pred = b
+                else:
+                    pred = c
+                r[x] = (r[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter {f}")
+        prev = r
+    return rows

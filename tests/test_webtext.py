@@ -500,3 +500,125 @@ def test_jpeg_through_decode_image_batch(spark):
     f_bmp = np.array(out.loc[0, "features"])
     f_jpg = np.array(out.loc[1, "features"])
     assert np.abs(f_bmp - f_jpg).max() <= 0.05
+
+
+def _make_png(pix: np.ndarray, color: int, filters=None, palette=None,
+              interlace: int = 0) -> bytes:
+    """Minimal PNG encoder (test fixture): forward-filters each row with
+    the given filter type (cycling), so every unfilter path is exercised.
+    ``pix``: HxW (gray/palette-index), HxWx2 (gray+alpha), HxWx3 (RGB),
+    HxWx4 (RGBA) uint8."""
+    import struct
+    import zlib
+
+    def chunk(ctype, data):
+        c = ctype + data
+        return struct.pack(">I", len(data)) + c + struct.pack(
+            ">I", zlib.crc32(c) & 0xFFFFFFFF
+        )
+
+    h, w = pix.shape[:2]
+    ch = 1 if pix.ndim == 2 else pix.shape[2]
+    bpp = ch
+    flat = pix.reshape(h, w * ch).astype(np.int32)
+    filters = filters or [0]
+    raw = bytearray()
+    prev = np.zeros(w * ch, np.int32)
+    for y in range(h):
+        f = filters[y % len(filters)]
+        r = flat[y]
+        if f == 0:
+            enc = r.copy()
+        elif f == 1:  # Sub
+            left = np.concatenate([np.zeros(bpp, np.int32), r[:-bpp]])
+            enc = (r - left) & 0xFF
+        elif f == 2:  # Up
+            enc = (r - prev) & 0xFF
+        elif f == 3:  # Average
+            left = np.concatenate([np.zeros(bpp, np.int32), r[:-bpp]])
+            enc = (r - ((left + prev) >> 1)) & 0xFF
+        else:  # Paeth
+            left = np.concatenate([np.zeros(bpp, np.int32), r[:-bpp]])
+            upleft = np.concatenate([np.zeros(bpp, np.int32), prev[:-bpp]])
+            p = left + prev - upleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+            pred = np.where((pa <= pb) & (pa <= pc), left,
+                            np.where(pb <= pc, prev, upleft))
+            enc = (r - pred) & 0xFF
+        raw.append(f)
+        raw += enc.astype(np.uint8).tobytes()
+        prev = r
+    out = bytearray(b"\x89PNG\r\n\x1a\n")
+    out += chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color, 0, 0,
+                                      interlace))
+    if palette is not None:
+        out += chunk(b"PLTE", palette.astype(np.uint8).tobytes())
+    out += chunk(b"IDAT", zlib.compress(bytes(raw)))
+    out += chunk(b"IEND", b"")
+    return bytes(out)
+
+
+def test_png_decode_exact_roundtrip_all_filters():
+    """PNG is lossless: decode must reproduce EXACT pixels for every
+    color type, with rows cycling through all five filter types so each
+    unfilter recurrence (None/Sub/Up/Average/Paeth) is hit."""
+    from pytimetk_spark.webtext.png import decode_png
+
+    rng = np.random.RandomState(4)
+    filters = [0, 1, 2, 3, 4, 4, 3, 2, 1]
+    rgb = rng.randint(0, 256, (23, 17, 3)).astype(np.uint8)
+    np.testing.assert_array_equal(
+        decode_png(_make_png(rgb, color=2, filters=filters)), rgb
+    )
+    gray = rng.randint(0, 256, (23, 17)).astype(np.uint8)
+    out = decode_png(_make_png(gray, color=0, filters=filters))
+    np.testing.assert_array_equal(out[..., 0], gray)
+    np.testing.assert_array_equal(out[..., 1], gray)
+    # palette
+    palette = rng.randint(0, 256, (16, 3)).astype(np.uint8)
+    idx = rng.randint(0, 16, (23, 17)).astype(np.uint8)
+    np.testing.assert_array_equal(
+        decode_png(_make_png(idx, color=3, filters=filters, palette=palette)),
+        palette[idx],
+    )
+    # RGBA: fully-opaque alpha must reproduce RGB exactly; transparent
+    # composites to white
+    rgba = np.dstack([rgb, np.full((23, 17), 255, np.uint8)])
+    np.testing.assert_array_equal(
+        decode_png(_make_png(rgba, color=6, filters=filters)), rgb
+    )
+    rgba[..., 3] = 0
+    np.testing.assert_array_equal(
+        decode_png(_make_png(rgba, color=6, filters=filters)),
+        np.full((23, 17, 3), 255, np.uint8),
+    )
+    # gray+alpha opaque
+    ga = np.dstack([gray, np.full((23, 17), 255, np.uint8)])
+    np.testing.assert_array_equal(
+        decode_png(_make_png(ga, color=4, filters=filters))[..., 0], gray
+    )
+
+
+def test_png_decoder_rejects_out_of_scope(spark):
+    from jpeg_ref import encode_baseline_jpeg
+
+    from pytimetk_spark.webtext.multimodal import decode_image_batch
+    from pytimetk_spark.webtext.png import decode_png
+
+    rng = np.random.RandomState(5)
+    rgb = rng.randint(0, 256, (9, 9, 3)).astype(np.uint8)
+    assert decode_png(b"\xff\xd8\xff") is None  # not PNG
+    assert decode_png(_make_png(rgb, color=2, interlace=1)) is None  # Adam7
+    # end-to-end through decode_image_batch: PNG exact == BMP features
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "img": [_make_bmp(rgb), _make_png(rgb, color=2, filters=[0, 4]),
+                encode_baseline_jpeg(rgb, quant=1)],
+    })
+    out = (
+        decode_image_batch(spark.createDataFrame(pdf), "img",
+                           target_size=(8, 8))
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    np.testing.assert_allclose(np.array(out.loc[0, "features"]),
+                               np.array(out.loc[1, "features"]))
