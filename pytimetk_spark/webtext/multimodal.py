@@ -157,14 +157,18 @@ def decode_image_batch(
                     from pytimetk_spark.webtext.png import decode_png
 
                     img = decode_png(blob)
+                if img is None and blob[:6] in (b"GIF87a", b"GIF89a"):
+                    from pytimetk_spark.webtext.gif import decode_gif
+
+                    img = decode_gif(blob)
                 if img is None:
                     raise NotImplementedError(
-                        "baseline JPEG, non-interlaced 8-bit PNG, "
-                        "uncompressed BMP (24/32bpp) and binary PPM (P6) "
-                        "decode dependency-free; other formats "
-                        "(progressive JPEG, Adam7 PNG, WebP/...) need PIL "
-                        "— or pass fake=True for the deterministic "
-                        "byte-level stand-in"
+                        "baseline JPEG, non-interlaced 8-bit PNG, GIF "
+                        "(first frame), uncompressed BMP (24/32bpp) and "
+                        "binary PPM (P6) decode dependency-free; other "
+                        "formats (progressive JPEG, Adam7 PNG, WebP/...) "
+                        "need PIL — or pass fake=True for the "
+                        "deterministic byte-level stand-in"
                     )
                 resized = _nn_resize(img, target_size[1], target_size[0])
                 lum = (

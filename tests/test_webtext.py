@@ -622,3 +622,141 @@ def test_png_decoder_rejects_out_of_scope(spark):
     )
     np.testing.assert_allclose(np.array(out.loc[0, "features"]),
                                np.array(out.loc[1, "features"]))
+
+
+def _lzw_encode(indices, min_code: int) -> bytes:
+    """Real GIF-variant LZW encoder (test fixture): builds the string
+    table so the decoder's growth + KwKwK paths are exercised."""
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    out_bits = []
+    width = min_code + 1
+
+    def emit(code):
+        nonlocal width
+        out_bits.append((code, width))
+
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    emit(clear)
+    prev = b""
+    for px in indices:
+        cur = prev + bytes([px])
+        if cur in table:
+            prev = cur
+            continue
+        emit(table[prev])
+        table[cur] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << width) and width < 12:
+            width += 1
+        if next_code >= 4096:
+            emit(clear)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code + 1
+        prev = bytes([px])
+    if prev:
+        emit(table[prev])
+    emit(eoi)
+    acc = nbits = 0
+    raw = bytearray()
+    for code, w in out_bits:
+        acc |= code << nbits
+        nbits += w
+        while nbits >= 8:
+            raw.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        raw.append(acc & 0xFF)
+    return bytes(raw)
+
+
+def _make_gif(idx: np.ndarray, palette: np.ndarray, interlaced=False,
+              transparent=None, version=b"GIF89a") -> bytes:
+    import struct
+
+    h, w = idx.shape
+    bits = max(2, int(palette.shape[0] - 1).bit_length())
+    size_field = bits - 1
+    pal = np.zeros(((1 << bits), 3), np.uint8)
+    pal[: len(palette)] = palette
+    out = bytearray(version)
+    out += struct.pack("<HHBBB", w, h, 0x80 | size_field, 0, 0)
+    out += pal.tobytes()
+    if transparent is not None:
+        out += bytes([0x21, 0xF9, 4, 0x01, 0, 0, transparent, 0])
+    rows = idx
+    if interlaced:
+        order = np.concatenate(
+            [np.arange(0, h, 8), np.arange(4, h, 8),
+             np.arange(2, h, 4), np.arange(1, h, 2)]
+        )
+        rows = idx[order]
+    out += bytes([0x2C]) + struct.pack(
+        "<HHHHB", 0, 0, w, h, 0x40 if interlaced else 0
+    )
+    min_code = bits
+    out += bytes([min_code])
+    data = _lzw_encode(rows.reshape(-1).tolist(), min_code)
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += bytes([0, 0x3B])
+    return bytes(out)
+
+
+def test_gif_decode_exact_roundtrip():
+    """GIF is lossless palette indexing: LZW round-trip must reproduce
+    exact pixels, including interlaced row ordering, transparency
+    compositing, and table-growth/KwKwK code paths (large random index
+    grids force dictionary growth past several width bumps)."""
+    from pytimetk_spark.webtext.gif import decode_gif
+
+    rng = np.random.RandomState(6)
+    palette = rng.randint(0, 256, (16, 3)).astype(np.uint8)
+    idx = rng.randint(0, 16, (37, 29)).astype(np.uint8)
+    np.testing.assert_array_equal(
+        decode_gif(_make_gif(idx, palette)), palette[idx]
+    )
+    np.testing.assert_array_equal(
+        decode_gif(_make_gif(idx, palette, interlaced=True)), palette[idx]
+    )
+    # GIF87a + larger grid to push the code width up
+    big = rng.randint(0, 16, (80, 90)).astype(np.uint8)
+    np.testing.assert_array_equal(
+        decode_gif(_make_gif(big, palette, version=b"GIF87a")),
+        palette[big],
+    )
+    # transparency -> white
+    t = decode_gif(_make_gif(idx, palette, transparent=3))
+    expect = palette[idx].astype(float)
+    expect[idx == 3] = 255.0
+    np.testing.assert_array_equal(t, expect.astype(np.uint8))
+    # KwKwK stress: long runs of one symbol generate cScSc patterns
+    runs = np.repeat(np.arange(4, dtype=np.uint8), 300).reshape(30, 40)
+    np.testing.assert_array_equal(
+        decode_gif(_make_gif(runs, palette)), palette[runs]
+    )
+    assert decode_gif(b"NOTGIF") is None
+
+
+def test_gif_through_decode_image_batch(spark):
+    from pytimetk_spark.webtext.multimodal import decode_image_batch
+
+    rng = np.random.RandomState(8)
+    rgb_levels = (rng.randint(0, 8, (16, 16)) * 32).astype(np.uint8)
+    palette = np.stack([np.arange(8) * 32] * 3, axis=-1).astype(np.uint8)
+    idx = (rgb_levels // 32).astype(np.uint8)
+    rgb = palette[idx]
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2],
+        "img": [_make_bmp(rgb), _make_gif(idx, palette)],
+    })
+    out = (
+        decode_image_batch(spark.createDataFrame(pdf), "img",
+                           target_size=(8, 8))
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    np.testing.assert_allclose(np.array(out.loc[0, "features"]),
+                               np.array(out.loc[1, "features"]))
