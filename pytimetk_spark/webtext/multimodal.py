@@ -351,24 +351,63 @@ def sample_video_frames(
     binary_col: str,
     id_col: str = "doc_id",
     every_n_seconds: float = 1.0,
+    decode: bool = False,
 ) -> DataFrame:
-    """Frame sampling — requires ffmpeg/av (absent): the UDF signature,
-    output schema (one row per sampled frame) and batching are defined so a
-    decoder drop-in is mechanical."""
+    """Keyframe sampling from MP4 containers — REAL at the container
+    layer (webtext/mp4.py parses the ISO BMFF sample tables and returns
+    the nearest sync sample at-or-before each target timestamp, with its
+    ENCODED payload bytes and codec fourcc). That is the shape a crawl
+    pipeline ships to a GPU decode stage: Spark selects and extracts the
+    byte ranges; pixels never transit the cluster.
+
+    ``decode=True`` (pixels) requires an H.264/H.265 codec → ffmpeg/pyav,
+    absent here: NotImplementedError (the one remaining stub layer)."""
     schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),
             T.StructField("frame_idx", T.IntegerType()),
             T.StructField("frame_ts_sec", T.DoubleType()),
-            T.StructField("frame_png", T.BinaryType()),
+            T.StructField("codec", T.StringType()),
+            T.StructField("frame_payload", T.BinaryType()),
         ]
     )
+    if decode:
 
-    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        raise NotImplementedError(
-            "video frame sampling requires ffmpeg/pyav, which is not installed"
-        )
-        yield  # pragma: no cover
+        def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            raise NotImplementedError(
+                "pixel decode of video keyframes requires ffmpeg/pyav "
+                "(H.264/H.265 bitstreams); container-level sampling "
+                "(decode=False) is fully supported"
+            )
+            yield  # pragma: no cover
+
+    else:
+
+        def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from pytimetk_spark.webtext.mp4 import extract_keyframes
+
+            for pdf in batches:
+                rows = []
+                for i, blob in zip(pdf["doc_id"].to_numpy(),
+                                   pdf["__bin__"].to_numpy()):
+                    got = extract_keyframes(
+                        bytes(blob or b""), every_n_seconds
+                    )
+                    if got is None:
+                        raise NotImplementedError(
+                            "not an unfragmented ISO BMFF (MP4) stream — "
+                            "fragmented MP4/WebM/AVI containers are not "
+                            "supported"
+                        )
+                    rows.extend(
+                        (int(i), idx, ts, codec, payload)
+                        for idx, ts, codec, payload in got
+                    )
+                yield pd.DataFrame(
+                    rows,
+                    columns=["doc_id", "frame_idx", "frame_ts_sec",
+                             "codec", "frame_payload"],
+                )
 
     src = df.select(F.col(id_col).alias("doc_id"), F.col(binary_col).alias("__bin__"))
     return src.mapInPandas(sample, schema=schema)

@@ -760,3 +760,139 @@ def test_gif_through_decode_image_batch(spark):
     )
     np.testing.assert_allclose(np.array(out.loc[0, "features"]),
                                np.array(out.loc[1, "features"]))
+
+
+def _make_mp4(frames, fps=4.0, sync_every=4, timescale=1000,
+              codec=b"avc1", n_chunks=2):
+    """Minimal unfragmented MP4 (test fixture): one video track whose
+    samples are the given payload byte strings, spread over ``n_chunks``
+    mdat chunks, keyframe every ``sync_every`` samples."""
+    import struct
+
+    def box(btype, payload):
+        return struct.pack(">I", len(payload) + 8) + btype + payload
+
+    def fullbox(btype, ver, payload):
+        return box(btype, bytes([ver, 0, 0, 0]) + payload)
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isommp41")
+    mdat_payload = b"".join(frames)
+    mdat_start = len(ftyp) + 8  # first sample offset
+    mdat = box(b"mdat", mdat_payload)
+
+    n = len(frames)
+    delta = int(round(timescale / fps))
+    duration = n * delta
+    sizes = [len(f) for f in frames]
+    # chunk split: n_chunks roughly equal runs
+    per = (n + n_chunks - 1) // n_chunks
+    chunk_first_sample = list(range(0, n, per))
+    chunk_offsets = []
+    off = mdat_start
+    si = 0
+    for c, first in enumerate(chunk_first_sample):
+        chunk_offsets.append(off)
+        cnt = min(per, n - first)
+        off += sum(sizes[first:first + cnt])
+        si += cnt
+
+    mvhd = fullbox(b"mvhd", 0, struct.pack(
+        ">IIII", 0, 0, timescale, duration) + b"\x00" * 80)
+    tkhd = fullbox(b"tkhd", 0, struct.pack(">IIIII", 0, 0, 1, 0, duration)
+                   + b"\x00" * 52
+                   + struct.pack(">II", 320 << 16, 240 << 16))
+    mdhd = fullbox(b"mdhd", 0, struct.pack(">IIIIHH", 0, 0, timescale,
+                                           duration, 0x55C4, 0))
+    hdlr = fullbox(b"hdlr", 0, struct.pack(">I", 0) + b"vide"
+                   + b"\x00" * 12 + b"vh\x00")
+    stsd_entry = struct.pack(">I", 16) + codec + b"\x00" * 8
+    stsd = fullbox(b"stsd", 0, struct.pack(">I", 1) + stsd_entry)
+    stts = fullbox(b"stts", 0, struct.pack(">III", 1, n, delta))
+    if len(set(sizes)) == 1:
+        stsz = fullbox(b"stsz", 0, struct.pack(">II", sizes[0], n))
+    else:
+        stsz = fullbox(b"stsz", 0, struct.pack(">II", 0, n)
+                       + b"".join(struct.pack(">I", s) for s in sizes))
+    # stsc: runs where samples-per-chunk changes
+    runs = []
+    for c, first in enumerate(chunk_first_sample):
+        cnt = min(per, n - first)
+        if not runs or runs[-1][1] != cnt:
+            runs.append((c + 1, cnt))
+    stsc = fullbox(b"stsc", 0, struct.pack(">I", len(runs))
+                   + b"".join(struct.pack(">III", fc, cnt, 1)
+                              for fc, cnt in runs))
+    stco = fullbox(b"stco", 0, struct.pack(">I", len(chunk_offsets))
+                   + b"".join(struct.pack(">I", o) for o in chunk_offsets))
+    sync = list(range(1, n + 1, sync_every))
+    stss = fullbox(b"stss", 0, struct.pack(">I", len(sync))
+                   + b"".join(struct.pack(">I", s) for s in sync))
+    stbl = box(b"stbl", stsd + stts + stsc + stsz + stco + stss)
+    minf = box(b"minf", stbl)
+    mdia = box(b"mdia", mdhd + hdlr + minf)
+    trak = box(b"trak", tkhd + mdia)
+    moov = box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
+
+
+def test_mp4_container_parse_and_keyframe_extraction():
+    """The ISO BMFF parser recovers the exact sample geometry a real
+    muxer would write (sizes, per-chunk offsets via stsc runs, stts
+    timestamps, stss sync set), and extract_keyframes returns the exact
+    encoded payload bytes of the sync sample at-or-before each target
+    timestamp."""
+    from pytimetk_spark.webtext.mp4 import extract_keyframes, parse_mp4
+
+    rng = np.random.RandomState(12)
+    frames = [bytes(rng.randint(0, 256, rng.randint(40, 200)).astype(np.uint8))
+              for _ in range(24)]
+    blob = _make_mp4(frames, fps=4.0, sync_every=4, n_chunks=3)
+
+    info = parse_mp4(blob)
+    trk = info.video_track()
+    assert trk.codec == "avc1" and trk.handler == "vide"
+    assert (trk.width, trk.height) == (320.0, 240.0)
+    assert trk.n_samples == 24
+    np.testing.assert_array_equal(trk.sample_sizes,
+                                  [len(f) for f in frames])
+    # offsets address the exact payloads
+    for i in (0, 7, 11, 23):
+        o, s = int(trk.sample_offsets[i]), int(trk.sample_sizes[i])
+        assert blob[o:o + s] == frames[i]
+    np.testing.assert_allclose(trk.sample_ts,
+                               np.arange(24) * 0.25, rtol=1e-9)
+    np.testing.assert_array_equal(trk.sync_samples, [0, 4, 8, 12, 16, 20])
+
+    got = extract_keyframes(blob, every_n_seconds=1.0)
+    # 6s of video @1s cadence -> targets 0..5s -> sync samples 0,4,8,...20
+    assert [g[0] for g in got] == [0, 4, 8, 12, 16, 20]
+    for idx, ts, codec, payload in got:
+        assert codec == "avc1"
+        assert payload == frames[idx]
+        assert abs(ts - idx * 0.25) < 1e-9
+
+    assert parse_mp4(b"\x00\x00\x00\x08freeXXXX") is None
+    assert extract_keyframes(b"not a container") is None
+
+
+def test_sample_video_frames_spark(spark):
+    from pytimetk_spark.webtext.multimodal import sample_video_frames
+
+    rng = np.random.RandomState(13)
+    frames = [bytes(rng.randint(0, 256, 64).astype(np.uint8))
+              for _ in range(8)]
+    blob = _make_mp4(frames, fps=2.0, sync_every=2)
+    pdf = pd.DataFrame({"doc_id": [7], "video": [blob]})
+    out = (
+        sample_video_frames(spark.createDataFrame(pdf), "video",
+                            every_n_seconds=1.0)
+        .toPandas().sort_values("frame_idx").reset_index(drop=True)
+    )
+    assert list(out["frame_idx"]) == [0, 2, 4, 6]
+    assert (out["codec"] == "avc1").all()
+    for _, r in out.iterrows():
+        assert bytes(r["frame_payload"]) == frames[r["frame_idx"]]
+    # pixel decode stays the honest stub
+    with pytest.raises(Exception, match="ffmpeg|pyav"):
+        sample_video_frames(spark.createDataFrame(pdf), "video",
+                            decode=True).collect()
