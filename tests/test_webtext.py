@@ -896,3 +896,59 @@ def test_sample_video_frames_spark(spark):
     with pytest.raises(Exception, match="ffmpeg|pyav"):
         sample_video_frames(spark.createDataFrame(pdf), "video",
                             decode=True).collect()
+
+
+def test_codec_roundtrips_hypothesis():
+    """Property test over random image shapes/content for all four
+    decoders: PNG and GIF are lossless (bit-exact); baseline JPEG at
+    flat quant=1 bounded by DCT+colorspace rounding; every PNG example
+    uses a random per-row filter mix. Kernel-level (no Spark job per
+    example), so examples are cheap."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from jpeg_ref import encode_baseline_jpeg
+    from pytimetk_spark.webtext.gif import decode_gif
+    from pytimetk_spark.webtext.jpeg import decode_baseline_jpeg
+    from pytimetk_spark.webtext.png import decode_png
+
+    @settings(
+        max_examples=25, deadline=None, derandomize=True,
+        suppress_health_check=list(HealthCheck),
+    )
+    @given(st.data())
+    def run(data):
+        rng = np.random.RandomState(data.draw(st.integers(0, 10_000)))
+        h = data.draw(st.integers(1, 40))
+        w = data.draw(st.integers(1, 40))
+        smooth = data.draw(st.booleans())
+        if smooth:
+            yy, xx = np.mgrid[0:h, 0:w]
+            base = (xx * rng.randint(1, 5) + yy * rng.randint(1, 5)) % 256
+            rgb = np.stack([base, 255 - base, (base * 2) % 256],
+                           axis=-1).astype(np.uint8)
+        else:
+            rgb = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+
+        # PNG: bit-exact under a random filter mix
+        filters = [data.draw(st.integers(0, 4)) for _ in range(5)]
+        np.testing.assert_array_equal(
+            decode_png(_make_png(rgb, color=2, filters=filters)), rgb
+        )
+        # GIF: bit-exact through a palette quantization of the content
+        idx = (rgb[..., 0] >> 4).astype(np.uint8)
+        palette = np.stack([np.arange(16) * 17] * 3, axis=-1).astype(np.uint8)
+        interlaced = data.draw(st.booleans())
+        np.testing.assert_array_equal(
+            decode_gif(_make_gif(idx, palette, interlaced=interlaced)),
+            palette[idx],
+        )
+        # JPEG: 4:4:4 quant=1 within rounding; random images are the
+        # hardest case for DCT ringing so the bound is looser than the
+        # smooth-gradient golden (still tight in mean)
+        dec = decode_baseline_jpeg(encode_baseline_jpeg(rgb, quant=1))
+        assert dec.shape == rgb.shape
+        err = np.abs(dec.astype(float) - rgb.astype(float))
+        assert err.max() <= 4 and err.mean() <= 1.5
+
+    run()
