@@ -280,14 +280,28 @@ def decode_audio_batch(
 ) -> DataFrame:
     """REAL WAV (RIFF PCM 8/16/32-bit) feature extraction in pure numpy:
     sample rate, channel count, duration, RMS, peak, zero-crossing rate
-    (on the channel-mean mono mix, normalized to [-1, 1]). Compressed
-    audio (MP3/AAC/OGG) raises NotImplementedError — those need ffmpeg."""
+    (on the channel-mean mono mix, normalized to [-1, 1]).
+
+    MP3 streams get the frame-layer metadata tier (webtext/mp3.py):
+    sample rate, channels, exact duration and frame-derived sample count
+    from walking the MPEG headers — the sample-level stats (rms/peak/
+    zcr) are NULL because they genuinely need the MDCT decode (ffmpeg).
+    Other compressed audio (AAC/OGG) raises NotImplementedError."""
     import struct
 
     def _wav_features(blob: bytes):
         if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+            from pytimetk_spark.webtext.mp3 import parse_mp3_info
+
+            info = parse_mp3_info(blob)
+            if info is not None:
+                return (info.sample_rate, info.n_channels,
+                        int(round(info.duration_sec * info.sample_rate)),
+                        info.duration_sec,
+                        float("nan"), float("nan"), float("nan"))
             raise NotImplementedError(
-                "only RIFF/WAVE PCM decodes without ffmpeg"
+                "RIFF/WAVE PCM decodes fully; MP3 gets frame-layer "
+                "metadata; AAC/OGG need ffmpeg"
             )
         pos = 12
         fmt = None

@@ -952,3 +952,41 @@ def test_codec_roundtrips_hypothesis():
         assert err.max() <= 4 and err.mean() <= 1.5
 
     run()
+
+
+def test_mp3_frame_walker(spark):
+    """MPEG frame-header walking recovers exact stream geometry from a
+    synthesized valid frame chain: rate/channels/frame count/duration/
+    average bitrate, ID3v2 skip, false-sync rejection; Spark audio
+    extractor returns the metadata tier with NULL sample-level stats."""
+    from pytimetk_spark.webtext.mp3 import parse_mp3_info, synthesize_mp3_stream
+    from pytimetk_spark.webtext.multimodal import decode_audio_batch
+
+    # MPEG1 Layer III, br_idx 9 = 128 kbps, sr_idx 0 = 44100 Hz
+    blob = synthesize_mp3_stream(100, br_idx=9, sr_idx=0)
+    info = parse_mp3_info(blob)
+    assert (info.sample_rate, info.layer, info.version) == (44100, 3, "MPEG1")
+    assert info.n_frames == 100 and info.n_channels == 2
+    assert abs(info.duration_sec - 100 * 1152 / 44100) < 1e-9
+    assert abs(info.bitrate_kbps_avg - 128.0) < 0.5
+    # ID3v2-prefixed + mono + MPEG2 (576 samples/frame layer III)
+    blob2 = synthesize_mp3_stream(40, version_bits=2, br_idx=5, sr_idx=1,
+                                  mono=True, id3=True)
+    info2 = parse_mp3_info(blob2)
+    assert (info2.version, info2.n_channels, info2.sample_rate) == (
+        "MPEG2", 1, 24000)
+    assert abs(info2.duration_sec - 40 * 576 / 24000) < 1e-9
+    # arbitrary binary with a lone fake sync byte must NOT parse
+    assert parse_mp3_info(b"\xff\xfbjunk" + b"A" * 50) is None
+
+    pdf = pd.DataFrame({"doc_id": [1, 2],
+                        "audio": [_make_wav(np.sin(np.linspace(0, 80, 8000))),
+                                  blob]})
+    out = (
+        decode_audio_batch(spark.createDataFrame(pdf), "audio")
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert out.loc[1, "sample_rate"] == 44100
+    assert abs(out.loc[1, "duration_sec"] - 100 * 1152 / 44100) < 1e-6
+    assert np.isnan(out.loc[1, "rms"])  # sample stats need the codec
+    assert out.loc[0, "rms"] > 0  # WAV path unaffected
