@@ -9,13 +9,17 @@ Decode support tiers:
   filters, webtext/png.py: gray/RGB/palette/alpha, 8-bit
   non-interlaced), BMP (24/32-bpp uncompressed) and binary PPM (P6)
   images with nearest-neighbor resize + luminance-histogram features,
-  and WAV (PCM 8/16/32-bit) audio with sample-rate/duration/RMS/ZCR/
-  peak features. No PIL/ffmpeg needed; differential-tested against
-  bytes synthesized from known pixel/sample arrays (JPEG: against an
-  in-tests reference encoder, tests/jpeg_ref.py; PNG: exact lossless
-  round-trips across every filter type).
+  GIF (LZW, first frame, incl. interlace — webtext/gif.py), WebP
+  lossless (full VP8L: prefix/LZ77/cache entropy engine + all four
+  transforms — webtext/webp.py), and WAV (PCM 8/16/32-bit) audio with
+  sample-rate/duration/RMS/ZCR/peak features; MP4 container keyframe
+  sampling and MP3 frame-layer metadata parse without a codec. No
+  PIL/ffmpeg needed; differential-tested against bytes synthesized
+  from known pixel/sample arrays (JPEG: against an in-tests reference
+  encoder, tests/jpeg_ref.py; PNG/GIF/WebP: exact lossless round-trips
+  across filters/interlace/transform combinations).
 * **Stubbed** — remaining compressed codecs (progressive JPEG, Adam7
-  PNG, WebP, MP3/AAC, MP4/WebM)
+  PNG, lossy-VP8 WebP, MP3/AAC sample decode, MP4/WebM frame decode)
   need PIL/ffmpeg, absent in this environment: those raise
   NotImplementedError (or take the deterministic byte-level ``fake=True``
   path), but the Spark-side plumbing — schemas, ``mapInPandas`` Arrow
@@ -161,13 +165,21 @@ def decode_image_batch(
                     from pytimetk_spark.webtext.gif import decode_gif
 
                     img = decode_gif(blob)
+                if (img is None and blob[:4] == b"RIFF"
+                        and blob[8:12] == b"WEBP"):
+                    from pytimetk_spark.webtext.webp import (
+                        decode_webp_lossless,
+                    )
+
+                    img = decode_webp_lossless(blob)
                 if img is None:
                     raise NotImplementedError(
                         "baseline JPEG, non-interlaced 8-bit PNG, GIF "
-                        "(first frame), uncompressed BMP (24/32bpp) and "
-                        "binary PPM (P6) decode dependency-free; other "
-                        "formats (progressive JPEG, Adam7 PNG, WebP/...) "
-                        "need PIL — or pass fake=True for the "
+                        "(first frame), WebP-lossless (VP8L), "
+                        "uncompressed BMP (24/32bpp) and binary PPM (P6) "
+                        "decode dependency-free; other formats "
+                        "(progressive JPEG, Adam7 PNG, lossy-VP8 "
+                        "WebP/...) need PIL — or pass fake=True for the "
                         "deterministic byte-level stand-in"
                     )
                 resized = _nn_resize(img, target_size[1], target_size[0])

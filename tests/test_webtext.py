@@ -762,6 +762,94 @@ def test_gif_through_decode_image_batch(spark):
                                np.array(out.loc[1, "features"]))
 
 
+def test_webp_lossless_decode_roundtrip():
+    """VP8L is lossless: every feature of the bitstream must round-trip
+    bit-exact through the tests-side reference encoder — literal prefix
+    coding, LZ77 dist=1 runs, color cache, meta-prefix groups, and all
+    four transforms (subtract-green, predictor, color, palette)."""
+    from webp_ref import encode_vp8l
+
+    from pytimetk_spark.webtext.webp import decode_webp_lossless
+
+    rng = np.random.RandomState(42)
+    rgb = rng.randint(0, 256, (13, 17, 3)).astype(np.uint8)
+    for kw in (
+        {},
+        {"subtract_green": True},
+        {"predictor_bits": 3},
+        {"color_bits": 3, "color_deltas": (20, 200, 7)},
+        {"subtract_green": True, "predictor_bits": 2},
+        {"lz77": True},
+        {"cache_bits": 4},
+        {"meta_bits": 2,
+         "group_of": lambda y, x: ((y >> 2) + (x >> 2)) % 2},
+    ):
+        np.testing.assert_array_equal(
+            decode_webp_lossless(encode_vp8l(rgb, **kw)), rgb, err_msg=str(kw)
+        )
+    # degenerate geometries (single pixel / single row / single column)
+    for h, w in [(1, 1), (1, 9), (9, 1)]:
+        img = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+        np.testing.assert_array_equal(
+            decode_webp_lossless(encode_vp8l(img, predictor_bits=2)), img
+        )
+    # palette sizes across every index-packing width (8/4/2/1 px per byte)
+    for n in (2, 4, 16, 200):
+        colors = rng.randint(0, 256, (n, 3)).astype(np.uint8)
+        img = colors[rng.randint(0, n, (11, 23))]
+        np.testing.assert_array_equal(
+            decode_webp_lossless(encode_vp8l(img, palette=True)), img
+        )
+    # LZ77 runs long enough to need length extra-bits
+    runs = np.repeat(rng.randint(0, 256, (5, 7, 3)), 40, axis=1).astype(
+        np.uint8
+    )
+    np.testing.assert_array_equal(
+        decode_webp_lossless(encode_vp8l(runs, lz77=True)), runs
+    )
+
+
+def test_webp_alpha_and_rejects():
+    from webp_ref import encode_vp8l
+
+    from pytimetk_spark.webtext.webp import decode_webp_lossless
+
+    rng = np.random.RandomState(7)
+    rgb = rng.randint(0, 256, (9, 12, 3)).astype(np.uint8)
+    a = rng.randint(0, 256, (9, 12)).astype(np.uint8)
+    af = a[..., None] / 255.0
+    expect = np.clip(rgb * af + 255.0 * (1 - af), 0, 255).astype(np.uint8)
+    np.testing.assert_array_equal(
+        decode_webp_lossless(encode_vp8l(rgb, alpha=a)), expect
+    )
+    # lossy VP8 chunk and non-WebP bytes -> None (stub fallback)
+    assert decode_webp_lossless(
+        b"RIFF\x10\x00\x00\x00WEBPVP8 \x04\x00\x00\x00abcd"
+    ) is None
+    assert decode_webp_lossless(b"NOTAWEBP____") is None
+
+
+def test_webp_through_decode_image_batch(spark):
+    from webp_ref import encode_vp8l
+
+    from pytimetk_spark.webtext.multimodal import decode_image_batch
+
+    rng = np.random.RandomState(9)
+    rgb = (rng.randint(0, 8, (16, 16, 1)) * 32 + np.zeros(3, np.uint8)
+           ).astype(np.uint8)
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2],
+        "img": [_make_bmp(rgb), encode_vp8l(rgb, subtract_green=True)],
+    })
+    out = (
+        decode_image_batch(spark.createDataFrame(pdf), "img",
+                           target_size=(8, 8))
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    np.testing.assert_allclose(np.array(out.loc[0, "features"]),
+                               np.array(out.loc[1, "features"]))
+
+
 def _make_mp4(frames, fps=4.0, sync_every=4, timescale=1000,
               codec=b"avc1", n_chunks=2):
     """Minimal unfragmented MP4 (test fixture): one video track whose
@@ -908,9 +996,12 @@ def test_codec_roundtrips_hypothesis():
     from hypothesis import strategies as st
 
     from jpeg_ref import encode_baseline_jpeg
+    from webp_ref import encode_vp8l
+
     from pytimetk_spark.webtext.gif import decode_gif
     from pytimetk_spark.webtext.jpeg import decode_baseline_jpeg
     from pytimetk_spark.webtext.png import decode_png
+    from pytimetk_spark.webtext.webp import decode_webp_lossless
 
     @settings(
         max_examples=25, deadline=None, derandomize=True,
@@ -942,6 +1033,17 @@ def test_codec_roundtrips_hypothesis():
         np.testing.assert_array_equal(
             decode_gif(_make_gif(idx, palette, interlaced=interlaced)),
             palette[idx],
+        )
+        # WebP-lossless: bit-exact under a random transform combination
+        np.testing.assert_array_equal(
+            decode_webp_lossless(encode_vp8l(
+                rgb,
+                subtract_green=data.draw(st.booleans()),
+                predictor_bits=data.draw(st.sampled_from([0, 2, 4])),
+                lz77=data.draw(st.booleans()),
+                cache_bits=data.draw(st.sampled_from([0, 3])),
+            )),
+            rgb,
         )
         # JPEG: 4:4:4 quant=1 within rounding; random images are the
         # hardest case for DCT ringing so the bound is looser than the
