@@ -6,8 +6,8 @@ Decode support tiers:
 * **REAL, dependency-free** — parsed in pure numpy/stdlib: baseline
   JPEG (full entropy + IDCT decode, webtext/jpeg.py — the dominant
   real-web image format), PNG (stdlib-zlib inflate + all five scanline
-  filters, webtext/png.py: gray/RGB/palette/alpha, 8-bit
-  non-interlaced), BMP (24/32-bpp uncompressed) and binary PPM (P6)
+  filters, webtext/png.py: gray/RGB/palette/alpha, 8-bit, plain or
+  Adam7 interlaced), BMP (24/32-bpp uncompressed) and binary PPM (P6)
   images with nearest-neighbor resize + luminance-histogram features,
   GIF (LZW, first frame, incl. interlace — webtext/gif.py), WebP
   lossless (full VP8L: prefix/LZ77/cache entropy engine + all four
@@ -18,8 +18,8 @@ Decode support tiers:
   from known pixel/sample arrays (JPEG: against an in-tests reference
   encoder, tests/jpeg_ref.py; PNG/GIF/WebP: exact lossless round-trips
   across filters/interlace/transform combinations).
-* **Stubbed** — remaining compressed codecs (progressive JPEG, Adam7
-  PNG, lossy-VP8 WebP, MP3/AAC sample decode, MP4/WebM frame decode)
+* **Stubbed** — remaining compressed codecs (progressive JPEG,
+  lossy-VP8 WebP, MP3/AAC sample decode, MP4/WebM frame decode)
   need PIL/ffmpeg, absent in this environment: those raise
   NotImplementedError (or take the deterministic byte-level ``fake=True``
   path), but the Spark-side plumbing — schemas, ``mapInPandas`` Arrow
@@ -111,11 +111,12 @@ def decode_image_batch(
     """Image decode + nearest-neighbor resize + feature extraction.
 
     REAL pure-numpy/stdlib decode for baseline JPEG (webtext/jpeg.py —
-    full Huffman + IDCT), PNG (webtext/png.py — zlib inflate + unfilter),
-    uncompressed BMP (24/32-bpp BI_RGB) and binary PPM
-    (P6); features = normalized 8-bin luminance histogram of
-    the resized image. Other formats (progressive JPEG, Adam7 PNG,
-    WebP/...) need PIL →
+    full Huffman + IDCT), PNG incl. Adam7 (webtext/png.py — zlib
+    inflate + unfilter), GIF (webtext/gif.py), WebP-lossless
+    (webtext/webp.py), uncompressed BMP (24/32-bpp BI_RGB) and binary
+    PPM (P6); features = normalized 8-bin luminance histogram of
+    the resized image. Other formats (progressive JPEG,
+    lossy-VP8 WebP/...) need PIL →
     NotImplementedError unless ``fake=True``, which produces a
     DETERMINISTIC byte-level stand-in (real schema and batch shape),
     keeping the distributed plumbing testable for any format.
@@ -174,11 +175,11 @@ def decode_image_batch(
                     img = decode_webp_lossless(blob)
                 if img is None:
                     raise NotImplementedError(
-                        "baseline JPEG, non-interlaced 8-bit PNG, GIF "
+                        "baseline JPEG, 8-bit PNG (incl. Adam7), GIF "
                         "(first frame), WebP-lossless (VP8L), "
                         "uncompressed BMP (24/32bpp) and binary PPM (P6) "
                         "decode dependency-free; other formats "
-                        "(progressive JPEG, Adam7 PNG, lossy-VP8 "
+                        "(progressive JPEG, lossy-VP8 "
                         "WebP/...) need PIL — or pass fake=True for the "
                         "deterministic byte-level stand-in"
                     )

@@ -6,8 +6,10 @@ stdlib ``zlib`` module, so a dependency-free decode needs only chunk
 parsing and the five scanline filters (RFC 2083 / W3C PNG spec).
 
 Supported: 8-bit samples, color types 0 (gray), 2 (RGB), 3 (palette +
-PLTE), 4 (gray+alpha), 6 (RGBA), non-interlaced. Returns None for
-Adam7 interlace, 1/2/4/16-bit depths, or malformed streams — callers
+PLTE), 4 (gray+alpha), 6 (RGBA), both non-interlaced and Adam7
+interlaced (each of the 7 passes unfilters independently, then
+scatters into the full grid by its origin/stride). Returns None for
+1/2/4/16-bit depths or malformed streams — callers
 fall back to the stub tier. Alpha is composited over white (web
 convention for feature extraction); palette expands through PLTE.
 
@@ -27,6 +29,11 @@ import numpy as np
 _SIG = b"\x89PNG\r\n\x1a\n"
 # color type -> samples per pixel
 _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+# Adam7 pass geometry: (x_origin, y_origin, x_stride, y_stride)
+ADAM7_PASSES = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
 
 
 def decode_png(blob: bytes) -> np.ndarray | None:
@@ -48,9 +55,9 @@ def decode_png(blob: bytes) -> np.ndarray | None:
             )
             if depth != 8 or color not in _CHANNELS or comp != 0 or filt != 0:
                 return None
-            if interlace != 0:  # Adam7: out of scope
+            if interlace not in (0, 1):
                 return None
-            ihdr = (w, h, color)
+            ihdr = (w, h, color, interlace)
         elif ctype == b"PLTE":
             plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
         elif ctype == b"IDAT":
@@ -59,21 +66,40 @@ def decode_png(blob: bytes) -> np.ndarray | None:
             break
     if ihdr is None or not idat:
         return None
-    w, h, color = ihdr
+    w, h, color, interlace = ihdr
     ch = _CHANNELS[color]
     try:
         raw = zlib.decompress(bytes(idat))
     except zlib.error:
         return None
-    stride = w * ch
-    if len(raw) < h * (stride + 1):
-        return None
-    rows = np.frombuffer(raw[: h * (stride + 1)], np.uint8).reshape(
-        h, stride + 1
-    )
-    filters = rows[:, 0]
-    img = _unfilter(rows[:, 1:].astype(np.int32), filters, ch)
-    img = img.reshape(h, w, ch)
+    if interlace:
+        img = np.zeros((h, w, ch), np.int32)
+        off = 0
+        for x0, y0, dx, dy in ADAM7_PASSES:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue  # empty pass carries no scanlines at all
+            stride = pw * ch
+            need = ph * (stride + 1)
+            if len(raw) < off + need:
+                return None
+            rows = np.frombuffer(raw[off: off + need], np.uint8).reshape(
+                ph, stride + 1
+            )
+            off += need
+            sub = _unfilter(rows[:, 1:].astype(np.int32), rows[:, 0], ch)
+            img[y0::dy, x0::dx] = sub.reshape(ph, pw, ch)
+    else:
+        stride = w * ch
+        if len(raw) < h * (stride + 1):
+            return None
+        rows = np.frombuffer(raw[: h * (stride + 1)], np.uint8).reshape(
+            h, stride + 1
+        )
+        filters = rows[:, 0]
+        img = _unfilter(rows[:, 1:].astype(np.int32), filters, ch)
+        img = img.reshape(h, w, ch)
     if color == 3:
         if plte is None or (img[..., 0] >= len(plte)).any():
             return None

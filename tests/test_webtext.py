@@ -520,34 +520,51 @@ def _make_png(pix: np.ndarray, color: int, filters=None, palette=None,
     h, w = pix.shape[:2]
     ch = 1 if pix.ndim == 2 else pix.shape[2]
     bpp = ch
-    flat = pix.reshape(h, w * ch).astype(np.int32)
     filters = filters or [0]
+
+    def filter_rows(flat):
+        enc_rows = bytearray()
+        prev = np.zeros(flat.shape[1], np.int32)
+        for y in range(flat.shape[0]):
+            f = filters[y % len(filters)]
+            r = flat[y]
+            if f == 0:
+                enc = r.copy()
+            elif f == 1:  # Sub
+                left = np.concatenate([np.zeros(bpp, np.int32), r[:-bpp]])
+                enc = (r - left) & 0xFF
+            elif f == 2:  # Up
+                enc = (r - prev) & 0xFF
+            elif f == 3:  # Average
+                left = np.concatenate([np.zeros(bpp, np.int32), r[:-bpp]])
+                enc = (r - ((left + prev) >> 1)) & 0xFF
+            else:  # Paeth
+                left = np.concatenate([np.zeros(bpp, np.int32), r[:-bpp]])
+                upleft = np.concatenate(
+                    [np.zeros(bpp, np.int32), prev[:-bpp]]
+                )
+                p = left + prev - upleft
+                pa, pb, pc = (np.abs(p - left), np.abs(p - prev),
+                              np.abs(p - upleft))
+                pred = np.where((pa <= pb) & (pa <= pc), left,
+                                np.where(pb <= pc, prev, upleft))
+                enc = (r - pred) & 0xFF
+            enc_rows.append(f)
+            enc_rows += enc.astype(np.uint8).tobytes()
+            prev = r
+        return enc_rows
+
+    grid = pix.reshape(h, w, ch).astype(np.int32)
     raw = bytearray()
-    prev = np.zeros(w * ch, np.int32)
-    for y in range(h):
-        f = filters[y % len(filters)]
-        r = flat[y]
-        if f == 0:
-            enc = r.copy()
-        elif f == 1:  # Sub
-            left = np.concatenate([np.zeros(bpp, np.int32), r[:-bpp]])
-            enc = (r - left) & 0xFF
-        elif f == 2:  # Up
-            enc = (r - prev) & 0xFF
-        elif f == 3:  # Average
-            left = np.concatenate([np.zeros(bpp, np.int32), r[:-bpp]])
-            enc = (r - ((left + prev) >> 1)) & 0xFF
-        else:  # Paeth
-            left = np.concatenate([np.zeros(bpp, np.int32), r[:-bpp]])
-            upleft = np.concatenate([np.zeros(bpp, np.int32), prev[:-bpp]])
-            p = left + prev - upleft
-            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
-            pred = np.where((pa <= pb) & (pa <= pc), left,
-                            np.where(pb <= pc, prev, upleft))
-            enc = (r - pred) & 0xFF
-        raw.append(f)
-        raw += enc.astype(np.uint8).tobytes()
-        prev = r
+    if interlace:
+        from pytimetk_spark.webtext.png import ADAM7_PASSES
+
+        for x0, y0, dx, dy in ADAM7_PASSES:
+            sub = grid[y0::dy, x0::dx]
+            if sub.shape[0] and sub.shape[1]:
+                raw += filter_rows(sub.reshape(sub.shape[0], -1))
+    else:
+        raw = filter_rows(grid.reshape(h, w * ch))
     out = bytearray(b"\x89PNG\r\n\x1a\n")
     out += chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color, 0, 0,
                                       interlace))
@@ -599,6 +616,32 @@ def test_png_decode_exact_roundtrip_all_filters():
     )
 
 
+def test_png_adam7_interlace_roundtrip():
+    """Adam7 rows live in 7 independently-filtered sub-images; decode
+    must reassemble the exact pixel grid for every color type, for
+    sizes that exercise empty passes (tiny images) and ragged pass
+    edges (dims not multiples of 8)."""
+    from pytimetk_spark.webtext.png import decode_png
+
+    rng = np.random.RandomState(11)
+    filters = [0, 1, 2, 3, 4]
+    for h, w in [(23, 17), (8, 8), (1, 1), (2, 3), (5, 40), (9, 1)]:
+        rgb = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+        np.testing.assert_array_equal(
+            decode_png(_make_png(rgb, color=2, filters=filters,
+                                 interlace=1)),
+            rgb, err_msg=f"{h}x{w}",
+        )
+    gray = rng.randint(0, 256, (19, 21)).astype(np.uint8)
+    out = decode_png(_make_png(gray, color=0, filters=filters, interlace=1))
+    np.testing.assert_array_equal(out[..., 0], gray)
+    rgba = rng.randint(0, 256, (13, 10, 4)).astype(np.uint8)
+    dec = decode_png(_make_png(rgba, color=6, filters=filters, interlace=1))
+    af = rgba[..., 3:4].astype(float) / 255.0
+    expect = np.clip(rgba[..., :3] * af + 255.0 * (1 - af), 0, 255)
+    np.testing.assert_array_equal(dec, expect.astype(np.uint8))
+
+
 def test_png_decoder_rejects_out_of_scope(spark):
     from jpeg_ref import encode_baseline_jpeg
 
@@ -608,7 +651,9 @@ def test_png_decoder_rejects_out_of_scope(spark):
     rng = np.random.RandomState(5)
     rgb = rng.randint(0, 256, (9, 9, 3)).astype(np.uint8)
     assert decode_png(b"\xff\xd8\xff") is None  # not PNG
-    assert decode_png(_make_png(rgb, color=2, interlace=1)) is None  # Adam7
+    bad = bytearray(_make_png(rgb, color=2))
+    bad[28] = 2  # unknown interlace method
+    assert decode_png(bytes(bad)) is None
     # end-to-end through decode_image_batch: PNG exact == BMP features
     pdf = pd.DataFrame({
         "doc_id": [1, 2, 3],
@@ -1021,10 +1066,12 @@ def test_codec_roundtrips_hypothesis():
         else:
             rgb = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
 
-        # PNG: bit-exact under a random filter mix
+        # PNG: bit-exact under a random filter mix, plain or Adam7
         filters = [data.draw(st.integers(0, 4)) for _ in range(5)]
         np.testing.assert_array_equal(
-            decode_png(_make_png(rgb, color=2, filters=filters)), rgb
+            decode_png(_make_png(rgb, color=2, filters=filters,
+                                 interlace=data.draw(st.integers(0, 1)))),
+            rgb,
         )
         # GIF: bit-exact through a palette quantization of the content
         idx = (rgb[..., 0] >> 4).astype(np.uint8)
