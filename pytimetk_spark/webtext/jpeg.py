@@ -1,16 +1,21 @@
-"""Pure-numpy baseline JPEG (JFIF subset) decoder.
+"""Pure-numpy JPEG (JFIF subset) decoder: baseline AND progressive.
 
 Moves the dominant real-web image format into the REAL decode tier of
 ``decode_image_batch`` (reference analogue: pytimetk has no image path —
 this belongs to the engine-mandate multimodal surface; see
 webtext/multimodal.py). Public-spec implementation: ITU-T T.81 baseline
-sequential DCT, Huffman entropy coding, 8-bit precision.
+sequential DCT (SOF0) and progressive DCT (SOF2) with spectral
+selection + successive approximation, Huffman entropy coding, 8-bit
+precision.
 
-Supported: SOI/APP*/COM/DQT/DHT/SOF0/DRI/SOS/EOI streams, 1-component
-(grayscale) and 3-component (YCbCr) images, sampling factors 1-2 per axis
-(covers 4:4:4, 4:2:2, 4:2:0), restart markers. NOT supported (returns
-None so callers can stub or raise): progressive (SOF2), arithmetic
-coding, 12-bit precision, 4-component CMYK.
+Supported: SOI/APP*/COM/DQT/DHT/SOF0/SOF2/DRI/SOS/EOI streams,
+1-component (grayscale) and 3-component (YCbCr) images, sampling
+factors 1-2 per axis (covers 4:4:4, 4:2:2, 4:2:0), restart markers;
+progressive scans may be interleaved DC (first + refinement) and
+per-component AC bands (first with EOB-run coding + refinement
+correction bits, T.81 G.1.2 / G.2). NOT supported (returns None so
+callers can stub or raise): arithmetic coding, 12-bit precision,
+hierarchical (SOF3+), 4-component CMYK.
 
 Performance shape: header/Huffman parsing is a per-blob Python loop
 (entropy decoding is inherently sequential), but the IDCT — the numeric
@@ -141,10 +146,11 @@ def _extend(v: int, t: int) -> int:
     return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
 
 
-def decode_baseline_jpeg(blob: bytes) -> np.ndarray | None:
-    """Decode a baseline JFIF blob -> HxWx3 uint8 RGB (grayscale
-    broadcast to 3 channels). Returns None for non-JPEG or unsupported
-    variants (progressive, 12-bit, CMYK) so callers can fall back."""
+def decode_jpeg(blob: bytes) -> np.ndarray | None:
+    """Decode a baseline (SOF0) or progressive (SOF2) JFIF blob ->
+    HxWx3 uint8 RGB (grayscale broadcast to 3 channels). Returns None
+    for non-JPEG or unsupported variants (arithmetic, 12-bit, CMYK) so
+    callers can fall back."""
     if len(blob) < 4 or blob[0] != 0xFF or blob[1] != 0xD8:
         return None
     pos = 2
@@ -153,6 +159,8 @@ def decode_baseline_jpeg(blob: bytes) -> np.ndarray | None:
     huff_ac: dict[int, _Huff] = {}
     frame = None  # (h, w, comps) where comps = [(cid, hs, vs, tq)]
     restart_interval = 0
+    progressive = False
+    stores = None  # progressive: persistent per-component coef arrays
     n = len(blob)
     while pos + 4 <= n:
         if blob[pos] != 0xFF:
@@ -161,8 +169,8 @@ def decode_baseline_jpeg(blob: bytes) -> np.ndarray | None:
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue
-        if marker == 0xD9:  # EOI before SOS
-            return None
+        if marker == 0xD9:  # EOI: done (progressive) or no SOS at all
+            break
         seglen = struct.unpack_from(">H", blob, pos)[0]
         seg_end = pos + seglen
         body = blob[pos + 2 : seg_end]
@@ -185,7 +193,7 @@ def decode_baseline_jpeg(blob: bytes) -> np.ndarray | None:
                 syms = bytes(body[i + 17 : i + 17 + nsym])
                 (huff_dc if tc == 0 else huff_ac)[th] = _Huff(counts, syms)
                 i += 17 + nsym
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             prec, h, w, nc = body[0], *struct.unpack_from(">HH", body, 1), body[5]
             if prec != 8 or nc not in (1, 3):
                 return None
@@ -196,25 +204,50 @@ def decode_baseline_jpeg(blob: bytes) -> np.ndarray | None:
             if any(not (1 <= hs <= 2 and 1 <= vs <= 2) for _, hs, vs, _ in comps):
                 return None
             frame = (h, w, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+            progressive = marker == 0xC2
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
-            return None  # progressive / extended / arithmetic: unsupported
+            return None  # extended / lossless / arithmetic: unsupported
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack_from(">H", body, 0)[0]
         elif marker == 0xDA:  # SOS -> entropy-coded data follows
             if frame is None:
                 return None
             ns = body[0]
+            scan_comps = []
             scan_tables = {}
             for c in range(ns):
                 cs, td_ta = body[1 + 2 * c], body[2 + 2 * c]
+                scan_comps.append(cs)
                 scan_tables[cs] = (td_ta >> 4, td_ta & 0x0F)
-            return _decode_scan(
-                blob, seg_end, frame, scan_tables, qt, huff_dc, huff_ac,
-                restart_interval,
+            if not progressive:
+                return _decode_scan(
+                    blob, seg_end, frame, scan_tables, qt, huff_dc,
+                    huff_ac, restart_interval,
+                )
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ah_al = body[3 + 2 * ns]
+            ah, al = ah_al >> 4, ah_al & 0x0F
+            if stores is None:
+                stores = _make_stores(frame)
+            pos = _decode_progressive_scan(
+                blob, seg_end, frame, scan_comps, scan_tables, stores,
+                huff_dc, huff_ac, restart_interval, ss, se, ah, al,
             )
+            if pos is None:
+                return None
+            continue
         pos = seg_end
+    if progressive and stores is not None:
+        h, w, comps = frame
+        hmax = max(c[1] for c in comps)
+        vmax = max(c[2] for c in comps)
+        return _reconstruct(stores, comps, qt, h, w, hmax, vmax)
     return None
+
+
+# back-compat alias: the original entry point was baseline-only
+decode_baseline_jpeg = decode_jpeg
 
 
 def _decode_scan(blob, pos, frame, scan_tables, qt, huff_dc, huff_ac,
@@ -265,6 +298,25 @@ def _decode_scan(blob, pos, frame, scan_tables, qt, huff_dc, huff_ac,
                             k += 1
             mcu_index += 1
 
+    return _reconstruct(stores, comps, qt, h, w, hmax, vmax)
+
+
+def _make_stores(frame):
+    """Persistent zigzag-order coefficient arrays, one per component,
+    sized to the padded interleaved-MCU grid (non-interleaved scans walk
+    the smaller ceil(comp_dim/8) sub-grid of the same arrays)."""
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    return [
+        np.zeros((mcus_y * vs, mcus_x * hs, 64), dtype=np.int32)
+        for _, hs, vs, _tq in comps
+    ]
+
+
+def _reconstruct(stores, comps, qt, h, w, hmax, vmax):
     # numeric bulk, whole-component vectorized: dequant -> de-zigzag ->
     # batched IDCT (one einsum) -> level shift -> plane assembly
     planes = []
@@ -292,3 +344,169 @@ def _decode_scan(blob, pos, frame, scan_tables, qt, huff_dc, huff_ac,
     g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
     b = y + 1.772 * (cb - 128.0)
     return np.clip(np.stack([r, g, b], axis=-1), 0, 255).astype(np.uint8)
+
+
+def _decode_progressive_scan(blob, pos, frame, scan_comps, scan_tables,
+                             stores, huff_dc, huff_ac, restart_interval,
+                             ss, se, ah, al):
+    """Decode one progressive scan into the persistent coefficient
+    stores (T.81 G.2): interleaved DC scans (first Ah=0 with <<Al point
+    transform, refinement one bit per block) and single-component AC
+    band scans (first with EOB-run coding, refinement with correction
+    bits). Returns the blob position of the marker terminating the
+    scan, or None on malformed input."""
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    rdr = _BitReader(blob, pos)
+    eobrun = 0
+    p1 = 1 << al
+
+    def refine_nonzero(coef, k):
+        """Append a correction bit to an already-nonzero coefficient."""
+        if rdr.bit() and not (coef[k] & p1):
+            coef[k] += p1 if coef[k] >= 0 else -p1
+
+    if ss == 0:  # DC scan (always covers se==0; interleaved if ns>1)
+        if se != 0:
+            return None
+        idxs = [ci for ci, c in enumerate(comps) if c[0] in scan_comps]
+        pred = [0] * len(comps)
+        nunits = 0
+        interleaved = len(idxs) > 1
+        if interleaved:
+            units = []
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    units.append((my, mx))
+        for unit in range(
+            mcus_y * mcus_x if interleaved
+            else _blocks_y(h, comps[idxs[0]][2], vmax)
+            * _blocks_x(w, comps[idxs[0]][1], hmax)
+        ):
+            if (restart_interval and nunits
+                    and nunits % restart_interval == 0):
+                rdr.restart()
+                pred = [0] * len(comps)
+            if interleaved:
+                my, mx = units[unit]
+                for ci in idxs:
+                    _cid, hs, vs, _tq = comps[ci]
+                    td = scan_tables[comps[ci][0]][0]
+                    for v in range(vs):
+                        for u in range(hs):
+                            coef = stores[ci][my * vs + v, mx * hs + u]
+                            if ah == 0:
+                                t = rdr.decode(huff_dc[td])
+                                pred[ci] += _extend(rdr.bits(t), t)
+                                coef[0] = pred[ci] << al
+                            elif rdr.bit():
+                                coef[0] |= p1
+            else:
+                ci = idxs[0]
+                bw = _blocks_x(w, comps[ci][1], hmax)
+                by, bx = divmod(unit, bw)
+                coef = stores[ci][by, bx]
+                td = scan_tables[comps[ci][0]][0]
+                if ah == 0:
+                    t = rdr.decode(huff_dc[td])
+                    pred[ci] += _extend(rdr.bits(t), t)
+                    coef[0] = pred[ci] << al
+                elif rdr.bit():
+                    coef[0] |= p1
+            nunits += 1
+    else:  # AC band scan: exactly one component, non-interleaved
+        if len(scan_comps) != 1:
+            return None
+        ci = next(i for i, c in enumerate(comps) if c[0] == scan_comps[0])
+        _cid, hs, vs, _tq = comps[ci]
+        ta = scan_tables[scan_comps[0]][1]
+        ac_tbl = huff_ac[ta]
+        bw = _blocks_x(w, hs, hmax)
+        bh = _blocks_y(h, vs, vmax)
+        for unit in range(bh * bw):
+            if (restart_interval and unit
+                    and unit % restart_interval == 0):
+                rdr.restart()
+                eobrun = 0
+            by, bx = divmod(unit, bw)
+            coef = stores[ci][by, bx]
+            if ah == 0:  # first AC scan for this band
+                if eobrun > 0:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = rdr.decode(ac_tbl)
+                    r, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if r == 15:  # ZRL
+                            k += 16
+                            continue
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += rdr.bits(r)
+                        break
+                    k += r
+                    if k > se:
+                        break
+                    coef[k] = _extend(rdr.bits(s), s) << al
+                    k += 1
+            else:  # AC refinement (T.81 G.1.2.3 / libjpeg structure)
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = rdr.decode(ac_tbl)
+                        r, s = rs >> 4, rs & 0x0F
+                        newval = 0
+                        if s == 0:
+                            if r < 15:  # EOBn: run starts after this blk
+                                eobrun = 1 << r
+                                if r:
+                                    eobrun += rdr.bits(r)
+                                break
+                            # r == 15: pass 16 zero-history positions
+                        else:  # s must be 1: one newly-nonzero coef
+                            newval = p1 if rdr.bit() else -p1
+                        # advance over r zero-history coefs, emitting
+                        # correction bits for nonzero ones passed over
+                        while k <= se:
+                            if coef[k] != 0:
+                                refine_nonzero(coef, k)
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if newval and k <= se:
+                            coef[k] = newval
+                        k += 1
+                if eobrun > 0:
+                    while k <= se:  # EOB span still refines nonzeros
+                        if coef[k] != 0:
+                            refine_nonzero(coef, k)
+                        k += 1
+                    eobrun -= 1
+
+    # byte-align; report the terminating marker position to the caller
+    d = blob
+    p = rdr.pos
+    while p + 1 < len(d) and not (
+        d[p] == 0xFF and d[p + 1] not in (0x00,) and not (
+            0xD0 <= d[p + 1] <= 0xD7)
+    ):
+        p += 1
+    return p
+
+
+def _blocks_x(w, hs, hmax):
+    """Non-interleaved block count: ceil(ceil(w*hs/hmax)/8), T.81 A.2.2."""
+    cw = (w * hs + hmax - 1) // hmax
+    return (cw + 7) // 8
+
+
+def _blocks_y(h, vs, vmax):
+    ch = (h * vs + vmax - 1) // vmax
+    return (ch + 7) // 8

@@ -3,9 +3,10 @@ columns with typed metadata.
 
 Decode support tiers:
 
-* **REAL, dependency-free** — parsed in pure numpy/stdlib: baseline
-  JPEG (full entropy + IDCT decode, webtext/jpeg.py — the dominant
-  real-web image format), PNG (stdlib-zlib inflate + all five scanline
+* **REAL, dependency-free** — parsed in pure numpy/stdlib: JPEG,
+  baseline AND progressive (full entropy + IDCT decode incl.
+  spectral-selection/successive-approximation scans, webtext/jpeg.py —
+  the dominant real-web image format), PNG (stdlib-zlib inflate + all five scanline
   filters, webtext/png.py: gray/RGB/palette/alpha, 8-bit, plain or
   Adam7 interlaced), BMP (24/32-bpp uncompressed) and binary PPM (P6)
   images with nearest-neighbor resize + luminance-histogram features,
@@ -18,8 +19,7 @@ Decode support tiers:
   from known pixel/sample arrays (JPEG: against an in-tests reference
   encoder, tests/jpeg_ref.py; PNG/GIF/WebP: exact lossless round-trips
   across filters/interlace/transform combinations).
-* **Stubbed** — remaining compressed codecs (progressive JPEG,
-  lossy-VP8 WebP, MP3/AAC sample decode, MP4/WebM frame decode)
+* **Stubbed** — remaining compressed codecs (lossy-VP8 WebP, MP3/AAC sample decode, MP4/WebM frame decode)
   need PIL/ffmpeg, absent in this environment: those raise
   NotImplementedError (or take the deterministic byte-level ``fake=True``
   path), but the Spark-side plumbing — schemas, ``mapInPandas`` Arrow
@@ -110,13 +110,13 @@ def decode_image_batch(
 ) -> DataFrame:
     """Image decode + nearest-neighbor resize + feature extraction.
 
-    REAL pure-numpy/stdlib decode for baseline JPEG (webtext/jpeg.py —
-    full Huffman + IDCT), PNG incl. Adam7 (webtext/png.py — zlib
+    REAL pure-numpy/stdlib decode for JPEG incl. progressive
+    (webtext/jpeg.py — full Huffman + IDCT), PNG incl. Adam7 (webtext/png.py — zlib
     inflate + unfilter), GIF (webtext/gif.py), WebP-lossless
     (webtext/webp.py), uncompressed BMP (24/32-bpp BI_RGB) and binary
     PPM (P6); features = normalized 8-bin luminance histogram of
-    the resized image. Other formats (progressive JPEG,
-    lossy-VP8 WebP/...) need PIL →
+    the resized image. Other formats (lossy-VP8 WebP, 12-bit/CMYK
+    JPEG/...) need PIL →
     NotImplementedError unless ``fake=True``, which produces a
     DETERMINISTIC byte-level stand-in (real schema and batch shape),
     keeping the distributed plumbing testable for any format.
@@ -175,12 +175,13 @@ def decode_image_batch(
                     img = decode_webp_lossless(blob)
                 if img is None:
                     raise NotImplementedError(
-                        "baseline JPEG, 8-bit PNG (incl. Adam7), GIF "
+                        "JPEG (baseline + progressive), 8-bit PNG "
+                        "(incl. Adam7), GIF "
                         "(first frame), WebP-lossless (VP8L), "
                         "uncompressed BMP (24/32bpp) and binary PPM (P6) "
                         "decode dependency-free; other formats "
-                        "(progressive JPEG, lossy-VP8 "
-                        "WebP/...) need PIL — or pass fake=True for the "
+                        "(lossy-VP8 WebP, 12-bit/CMYK JPEG/...) need "
+                        "PIL — or pass fake=True for the "
                         "deterministic byte-level stand-in"
                     )
                 resized = _nn_resize(img, target_size[1], target_size[0])

@@ -475,8 +475,54 @@ def test_jpeg_decoder_rejects_out_of_scope():
     assert decode_baseline_jpeg(b"") is None
     blob = bytearray(encode_baseline_jpeg(_gradient_img(17, 19), quant=1))
     sof = blob.find(b"\xff\xc0")
-    blob[sof + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
+    # SOF0 relabeled SOF2: the baseline full-band interleaved scan is
+    # malformed AS progressive (DC scan must have Se=0) -> None
+    blob[sof + 1] = 0xC2
     assert decode_baseline_jpeg(bytes(blob)) is None
+    blob[sof + 1] = 0xC9  # arithmetic coding: unsupported
+    assert decode_baseline_jpeg(bytes(blob)) is None
+
+
+def test_progressive_jpeg_matches_baseline_decode():
+    """Progressive (SOF2) scans must reconstruct the EXACT same DCT
+    coefficients as the baseline encoding of the same image — so the
+    decoded pixels must be bit-identical to the baseline decode, for
+    every scan-script shape: successive-approximation depths 0-2,
+    spectral band splits, grayscale, 4:2:0 subsampling, odd sizes."""
+    from jpeg_ref import encode_baseline_jpeg, encode_progressive_jpeg
+
+    from pytimetk_spark.webtext.jpeg import decode_jpeg
+
+    rng = np.random.RandomState(13)
+    rgb = rng.randint(0, 256, (24, 31, 3)).astype(np.uint8)
+    for kw in ({}, {"al": 2}, {"al": 0}, {"split_band": True},
+               {"al": 2, "split_band": True}):
+        np.testing.assert_array_equal(
+            decode_jpeg(encode_progressive_jpeg(rgb, quant=2, **kw)),
+            decode_jpeg(encode_baseline_jpeg(rgb, quant=2)),
+            err_msg=str(kw),
+        )
+    np.testing.assert_array_equal(
+        decode_jpeg(encode_progressive_jpeg(rgb, quant=1, grayscale=True)),
+        decode_jpeg(encode_baseline_jpeg(rgb, quant=1, grayscale=True)),
+    )
+    np.testing.assert_array_equal(
+        decode_jpeg(encode_progressive_jpeg(rgb, quant=1, subsample=True)),
+        decode_jpeg(encode_baseline_jpeg(rgb, quant=1, subsample=True)),
+    )
+    for h, w in [(1, 1), (7, 40), (9, 1), (16, 16)]:
+        img = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+        np.testing.assert_array_equal(
+            decode_jpeg(encode_progressive_jpeg(img, quant=1, al=1)),
+            decode_jpeg(encode_baseline_jpeg(img, quant=1)),
+            err_msg=f"{h}x{w}",
+        )
+    # near-lossless sanity against the source pixels too
+    yy, xx = np.mgrid[0:24, 0:31]
+    base = ((xx * 3 + yy * 2) % 256).astype(np.uint8)
+    smooth = np.stack([base, 255 - base, (base * 2) % 256], axis=-1)
+    dec = decode_jpeg(encode_progressive_jpeg(smooth, quant=1))
+    assert np.abs(dec.astype(float) - smooth.astype(float)).max() <= 2
 
 
 def test_jpeg_through_decode_image_batch(spark):
@@ -1099,6 +1145,17 @@ def test_codec_roundtrips_hypothesis():
         assert dec.shape == rgb.shape
         err = np.abs(dec.astype(float) - rgb.astype(float))
         assert err.max() <= 4 and err.mean() <= 1.5
+        # progressive carries the same coefficients -> identical decode
+        from jpeg_ref import encode_progressive_jpeg
+
+        np.testing.assert_array_equal(
+            decode_baseline_jpeg(encode_progressive_jpeg(
+                rgb, quant=1,
+                al=data.draw(st.sampled_from([0, 1, 2])),
+                split_band=data.draw(st.booleans()),
+            )),
+            dec,
+        )
 
     run()
 
