@@ -296,11 +296,12 @@ def decode_audio_batch(
     sample rate, channel count, duration, RMS, peak, zero-crossing rate
     (on the channel-mean mono mix, normalized to [-1, 1]).
 
-    MP3 streams get the frame-layer metadata tier (webtext/mp3.py):
-    sample rate, channels, exact duration and frame-derived sample count
-    from walking the MPEG headers — the sample-level stats (rms/peak/
-    zcr) are NULL because they genuinely need the MDCT decode (ffmpeg).
-    Other compressed audio (AAC/OGG) raises NotImplementedError."""
+    MP3 and AAC-ADTS streams get the frame-layer metadata tier
+    (webtext/mp3.py, webtext/aac.py): sample rate, channels, exact
+    duration and frame-derived sample count from walking the transport
+    headers — the sample-level stats (rms/peak/zcr) are NULL because
+    they genuinely need the MDCT decode (ffmpeg). Other compressed
+    audio (OGG/Opus/FLAC) raises NotImplementedError."""
     import struct
 
     def _wav_features(blob: bytes):
@@ -308,14 +309,18 @@ def decode_audio_batch(
             from pytimetk_spark.webtext.mp3 import parse_mp3_info
 
             info = parse_mp3_info(blob)
+            if info is None:
+                from pytimetk_spark.webtext.aac import parse_aac_info
+
+                info = parse_aac_info(blob)
             if info is not None:
                 return (info.sample_rate, info.n_channels,
                         int(round(info.duration_sec * info.sample_rate)),
                         info.duration_sec,
                         float("nan"), float("nan"), float("nan"))
             raise NotImplementedError(
-                "RIFF/WAVE PCM decodes fully; MP3 gets frame-layer "
-                "metadata; AAC/OGG need ffmpeg"
+                "RIFF/WAVE PCM decodes fully; MP3 and AAC-ADTS get "
+                "frame-layer metadata; OGG/Opus/FLAC need ffmpeg"
             )
         pos = 12
         fmt = None

@@ -1196,3 +1196,44 @@ def test_mp3_frame_walker(spark):
     assert abs(out.loc[1, "duration_sec"] - 100 * 1152 / 44100) < 1e-6
     assert np.isnan(out.loc[1, "rms"])  # sample stats need the codec
     assert out.loc[0, "rms"] > 0  # WAV path unaffected
+
+
+def test_aac_adts_frame_walker(spark):
+    """ADTS header walking recovers exact stream geometry: rate index,
+    channels, frame count, duration (1024 samples per raw data block),
+    avg bitrate incl. header bytes, CRC-present headers, multi-block
+    frames, false-sync rejection; Spark audio extractor returns the
+    metadata tier with NULL sample-level stats."""
+    from pytimetk_spark.webtext.aac import parse_aac_info, synthesize_adts_stream
+    from pytimetk_spark.webtext.multimodal import decode_audio_batch
+
+    # LC profile, sf_idx 4 = 44100, stereo
+    blob = synthesize_adts_stream(80, sf_idx=4, channels=2, payload_size=300)
+    info = parse_aac_info(blob)
+    assert (info.sample_rate, info.n_channels, info.profile,
+            info.mpeg_version) == (44100, 2, "LC", 4)
+    assert info.n_frames == 80
+    assert abs(info.duration_sec - 80 * 1024 / 44100) < 1e-9
+    expect_kbps = 80 * 307 * 8 / info.duration_sec / 1000.0
+    assert abs(info.bitrate_kbps_avg - expect_kbps) < 1e-6
+    # MPEG-2 variant with CRC headers and 2 raw data blocks per frame
+    blob2 = synthesize_adts_stream(30, sf_idx=8, channels=1, profile=0,
+                                   mpeg2=True, with_crc=True, n_blocks=2)
+    info2 = parse_aac_info(blob2)
+    assert (info2.sample_rate, info2.n_channels, info2.profile,
+            info2.mpeg_version) == (16000, 1, "Main", 2)
+    assert abs(info2.duration_sec - 30 * 2048 / 16000) < 1e-9
+    # a lone ADTS-looking sync in arbitrary binary must NOT parse
+    assert parse_aac_info(b"\xff\xf1junkjunk" + b"B" * 60) is None
+
+    pdf = pd.DataFrame({"doc_id": [1, 2],
+                        "audio": [_make_wav(np.sin(np.linspace(0, 80, 8000))),
+                                  blob]})
+    out = (
+        decode_audio_batch(spark.createDataFrame(pdf), "audio")
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert out.loc[1, "sample_rate"] == 44100
+    assert abs(out.loc[1, "duration_sec"] - 80 * 1024 / 44100) < 1e-6
+    assert np.isnan(out.loc[1, "rms"])
+    assert out.loc[0, "rms"] > 0
