@@ -296,12 +296,13 @@ def decode_audio_batch(
     sample rate, channel count, duration, RMS, peak, zero-crossing rate
     (on the channel-mean mono mix, normalized to [-1, 1]).
 
-    MP3 and AAC-ADTS streams get the frame-layer metadata tier
-    (webtext/mp3.py, webtext/aac.py): sample rate, channels, exact
-    duration and frame-derived sample count from walking the transport
-    headers — the sample-level stats (rms/peak/zcr) are NULL because
-    they genuinely need the MDCT decode (ffmpeg). Other compressed
-    audio (OGG/Opus/FLAC) raises NotImplementedError."""
+    MP3, AAC-ADTS, FLAC and Ogg (Opus/Vorbis) streams get the
+    container-layer metadata tier (webtext/mp3.py, webtext/aac.py,
+    webtext/flac_ogg.py): sample rate, channels, exact duration and
+    sample count from walking transport headers / STREAMINFO / granule
+    positions — the sample-level stats (rms/peak/zcr) are NULL because
+    they genuinely need the codec (ffmpeg). Other compressed
+    audio raises NotImplementedError."""
     import struct
 
     def _wav_features(blob: bytes):
@@ -313,14 +314,22 @@ def decode_audio_batch(
                 from pytimetk_spark.webtext.aac import parse_aac_info
 
                 info = parse_aac_info(blob)
+            if info is None:
+                from pytimetk_spark.webtext.flac_ogg import (
+                    parse_flac_info,
+                    parse_ogg_info,
+                )
+
+                info = parse_flac_info(blob) or parse_ogg_info(blob)
             if info is not None:
                 return (info.sample_rate, info.n_channels,
                         int(round(info.duration_sec * info.sample_rate)),
                         info.duration_sec,
                         float("nan"), float("nan"), float("nan"))
             raise NotImplementedError(
-                "RIFF/WAVE PCM decodes fully; MP3 and AAC-ADTS get "
-                "frame-layer metadata; OGG/Opus/FLAC need ffmpeg"
+                "RIFF/WAVE PCM decodes fully; MP3, AAC-ADTS, FLAC and "
+                "Ogg (Opus/Vorbis) get container-layer metadata; other "
+                "audio needs ffmpeg"
             )
         pos = 12
         fmt = None

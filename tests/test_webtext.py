@@ -1237,3 +1237,56 @@ def test_aac_adts_frame_walker(spark):
     assert abs(out.loc[1, "duration_sec"] - 80 * 1024 / 44100) < 1e-6
     assert np.isnan(out.loc[1, "rms"])
     assert out.loc[0, "rms"] > 0
+
+
+def test_flac_ogg_metadata_walkers(spark):
+    """FLAC STREAMINFO and Ogg granule-position walks recover exact
+    stream geometry (rate/channels/bits/duration; Opus pre-skip at the
+    fixed 48 kHz granule rate, Vorbis at the stream rate); non-audio
+    Ogg and junk bytes reject; Spark extractor returns the metadata
+    tier with NULL sample-level stats."""
+    from pytimetk_spark.webtext.flac_ogg import (
+        parse_flac_info,
+        parse_ogg_info,
+        synthesize_flac,
+        synthesize_ogg_opus,
+        synthesize_ogg_vorbis,
+    )
+    from pytimetk_spark.webtext.multimodal import decode_audio_batch
+
+    f = parse_flac_info(synthesize_flac(rate=96000, channels=6, bits=24,
+                                        total_samples=9_600_000))
+    assert (f.codec, f.sample_rate, f.n_channels, f.bits_per_sample,
+            f.total_samples) == ("flac", 96000, 6, 24, 9_600_000)
+    assert abs(f.duration_sec - 100.0) < 1e-12
+
+    o = parse_ogg_info(synthesize_ogg_opus(duration_sec=2.5, channels=2,
+                                           preskip=312))
+    assert (o.codec, o.sample_rate, o.n_channels) == ("opus", 48000, 2)
+    assert abs(o.duration_sec - 2.5) < 1e-9  # pre-skip subtracted
+
+    v = parse_ogg_info(synthesize_ogg_vorbis(duration_sec=1.25,
+                                             channels=1, rate=22050))
+    assert (v.codec, v.sample_rate, v.n_channels) == ("vorbis", 22050, 1)
+    assert abs(v.duration_sec - 1.25) < 1e-4  # granule rounding only
+
+    assert parse_flac_info(b"fLaCjunk") is None
+    assert parse_ogg_info(b"OggS" + bytes(30)) is None  # no codec header
+    assert parse_ogg_info(b"notogg") is None
+
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "audio": [synthesize_flac(rate=44100, channels=2,
+                                  total_samples=44100),
+                  synthesize_ogg_opus(duration_sec=2.5),
+                  _make_wav(np.sin(np.linspace(0, 80, 8000)))],
+    })
+    out = (
+        decode_audio_batch(spark.createDataFrame(pdf), "audio")
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert out.loc[0, "sample_rate"] == 44100
+    assert abs(out.loc[0, "duration_sec"] - 1.0) < 1e-9
+    assert np.isnan(out.loc[0, "rms"]) and np.isnan(out.loc[1, "rms"])
+    assert abs(out.loc[1, "duration_sec"] - 2.5) < 1e-9
+    assert out.loc[2, "rms"] > 0
