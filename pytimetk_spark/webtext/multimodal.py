@@ -14,7 +14,8 @@ Decode support tiers:
   lossless (full VP8L: prefix/LZ77/cache entropy engine + all four
   transforms — webtext/webp.py), and WAV (PCM 8/16/32-bit) audio with
   sample-rate/duration/RMS/ZCR/peak features; MP4 container keyframe
-  sampling and MP3 frame-layer metadata parse without a codec. No
+  sampling (MP4 + WebM/Matroska) and MP3/AAC/FLAC/Ogg audio
+  metadata parse without a codec. No
   PIL/ffmpeg needed; differential-tested against bytes synthesized
   from known pixel/sample arrays (JPEG: against an in-tests reference
   encoder, tests/jpeg_ref.py; PNG/GIF/WebP: exact lossless round-trips
@@ -395,10 +396,12 @@ def sample_video_frames(
     every_n_seconds: float = 1.0,
     decode: bool = False,
 ) -> DataFrame:
-    """Keyframe sampling from MP4 containers — REAL at the container
-    layer (webtext/mp4.py parses the ISO BMFF sample tables and returns
-    the nearest sync sample at-or-before each target timestamp, with its
-    ENCODED payload bytes and codec fourcc). That is the shape a crawl
+    """Keyframe sampling from MP4 and WebM/Matroska containers — REAL
+    at the container layer (webtext/mp4.py parses ISO BMFF sample
+    tables; webtext/webm.py walks EBML clusters and SimpleBlock/
+    BlockGroup keyframe flags) returning the nearest sync sample
+    at-or-before each target timestamp, with its
+    ENCODED payload bytes and codec id. That is the shape a crawl
     pipeline ships to a GPU decode stage: Spark selects and extracts the
     byte ranges; pixels never transit the cluster.
 
@@ -427,19 +430,21 @@ def sample_video_frames(
 
         def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             from pytimetk_spark.webtext.mp4 import extract_keyframes
+            from pytimetk_spark.webtext.webm import extract_keyframes_webm
 
             for pdf in batches:
                 rows = []
                 for i, blob in zip(pdf["doc_id"].to_numpy(),
                                    pdf["__bin__"].to_numpy()):
-                    got = extract_keyframes(
-                        bytes(blob or b""), every_n_seconds
-                    )
+                    raw = bytes(blob or b"")
+                    got = extract_keyframes(raw, every_n_seconds)
+                    if got is None:
+                        got = extract_keyframes_webm(raw, every_n_seconds)
                     if got is None:
                         raise NotImplementedError(
-                            "not an unfragmented ISO BMFF (MP4) stream — "
-                            "fragmented MP4/WebM/AVI containers are not "
-                            "supported"
+                            "not an unfragmented ISO BMFF (MP4) or "
+                            "EBML (WebM/Matroska) stream — fragmented "
+                            "MP4 / AVI containers are not supported"
                         )
                     rows.extend(
                         (int(i), idx, ts, codec, payload)

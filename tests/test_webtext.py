@@ -1077,6 +1077,136 @@ def test_sample_video_frames_spark(spark):
                             decode=True).collect()
 
 
+def _make_webm(frames, fps=4.0, sync_every=4, codec="V_VP9",
+               use_blockgroup=False, with_audio=True) -> bytes:
+    """Minimal Matroska/WebM muxer (test fixture): one cluster per
+    second, SimpleBlocks with the keyframe flag (or BlockGroups whose
+    keyframes are marked by ABSENT ReferenceBlock), ms timestamps."""
+
+    def esize(n):
+        for length in range(1, 9):
+            if n < (1 << (7 * length)) - 1:
+                out = bytearray(length)
+                v = n | (1 << (7 * length))
+                for i in range(length - 1, -1, -1):
+                    out[i] = v & 0xFF
+                    v >>= 8
+                return bytes(out)
+        raise ValueError
+
+    def el(eid, payload):
+        return eid + esize(len(payload)) + payload
+
+    def uint(v):
+        out = v.to_bytes(max((v.bit_length() + 7) // 8, 1), "big")
+        return out
+
+    import struct as _s
+
+    dur_ms = len(frames) / fps * 1000.0
+    info = el(b"\x15\x49\xa9\x66",
+              el(b"\x2a\xd7\xb1", uint(1_000_000))
+              + el(b"\x44\x89", _s.pack(">d", dur_ms)))
+    video_entry = el(b"\xae",
+                     el(b"\xd7", uint(1)) + el(b"\x83", uint(1))
+                     + el(b"\x86", codec.encode())
+                     + el(b"\xe0", el(b"\xb0", uint(320))
+                          + el(b"\xba", uint(240))))
+    audio_entry = el(b"\xae",
+                     el(b"\xd7", uint(2)) + el(b"\x83", uint(2))
+                     + el(b"\x86", b"A_OPUS")
+                     + el(b"\xe1", el(b"\xb5", _s.pack(">f", 48000.0))
+                          + el(b"\x9f", uint(2))))
+    tracks = el(b"\x16\x54\xae\x6b",
+                video_entry + (audio_entry if with_audio else b""))
+
+    clusters = b""
+    per_cluster = max(int(fps), 1)
+    for c0 in range(0, len(frames), per_cluster):
+        cts = int(c0 / fps * 1000)
+        body = el(b"\xe7", uint(cts))
+        for i in range(c0, min(c0 + per_cluster, len(frames))):
+            rel = int(i / fps * 1000) - cts
+            key = i % sync_every == 0
+            blk = b"\x81" + _s.pack(">h", rel)
+            if use_blockgroup:
+                bg = el(b"\xa1", blk + b"\x00" + frames[i])
+                if not key:
+                    bg += el(b"\xfb", uint(1))
+                body += el(b"\xa0", bg)
+            else:
+                body += el(b"\xa3",
+                           blk + (b"\x80" if key else b"\x00") + frames[i])
+            if with_audio:  # interleave an audio block (must be skipped)
+                body += el(b"\xa3", b"\x82" + _s.pack(">h", rel)
+                           + b"\x80" + b"\xAA" * 10)
+        clusters += el(b"\x1f\x43\xb6\x75", body)
+
+    ebml_hdr = el(b"\x1a\x45\xdf\xa3", el(b"\x42\x82", b"webm"))
+    return ebml_hdr + el(b"\x18\x53\x80\x67", info + tracks + clusters)
+
+
+def test_webm_container_parse_and_keyframe_extraction():
+    """The EBML walker recovers track metadata and exact keyframe
+    payloads/timestamps from SimpleBlock flags AND from BlockGroups
+    (keyframe = absent ReferenceBlock), skipping interleaved audio
+    blocks; cadence selection mirrors the MP4 twin."""
+    from pytimetk_spark.webtext.webm import extract_keyframes_webm, parse_webm
+
+    rng = np.random.RandomState(21)
+    frames = [bytes(rng.randint(0, 256, rng.randint(30, 90)).astype(np.uint8))
+              for _ in range(24)]
+    blob = _make_webm(frames, fps=4.0, sync_every=4)
+
+    info = parse_webm(blob)
+    trk = info.video_track()
+    assert (trk.codec, trk.width, trk.height) == ("V_VP9", 320, 240)
+    assert info.tracks[1].codec == "A_OPUS"
+    assert info.tracks[1].sample_rate == 48000.0
+    assert abs(info.duration_sec - 6.0) < 1e-9
+    assert len(info.keyframes) == 6  # every 4th of 24
+
+    got = extract_keyframes_webm(blob, every_n_seconds=1.0)
+    assert [g[1] for g in got] == [0.0, 1.0, 2.0, 3.0, 4.0, 5.0]
+    for _idx, ts, codec, payload in got:
+        assert codec == "V_VP9"
+        assert payload == frames[int(round(ts * 4.0))]
+
+    # BlockGroup keyframe marking (absent ReferenceBlock)
+    blob2 = _make_webm(frames[:8], fps=4.0, sync_every=2,
+                       use_blockgroup=True, with_audio=False)
+    got2 = extract_keyframes_webm(blob2, every_n_seconds=0.5)
+    assert [g[1] for g in got2] == [0.0, 0.5, 1.0, 1.5]
+
+    assert parse_webm(b"not ebml") is None
+    assert extract_keyframes_webm(b"\x1a\x45\xdf\xa3\x80") is None
+
+
+def test_webm_through_sample_video_frames(spark):
+    from pytimetk_spark.webtext.multimodal import sample_video_frames
+
+    rng = np.random.RandomState(22)
+    frames = [bytes(rng.randint(0, 256, 48).astype(np.uint8))
+              for _ in range(8)]
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2],
+        "video": [_make_mp4(frames, fps=2.0, sync_every=2),
+                  _make_webm(frames, fps=2.0, sync_every=2)],
+    })
+    out = (
+        sample_video_frames(spark.createDataFrame(pdf), "video",
+                            every_n_seconds=1.0)
+        .toPandas().sort_values(["doc_id", "frame_ts_sec"])
+        .reset_index(drop=True)
+    )
+    mp4_rows = out[out.doc_id == 1]
+    webm_rows = out[out.doc_id == 2]
+    assert list(mp4_rows["frame_ts_sec"]) == list(webm_rows["frame_ts_sec"])
+    assert (webm_rows["codec"] == "V_VP9").all()
+    for _, r in webm_rows.iterrows():
+        assert bytes(r["frame_payload"]) == frames[int(r["frame_ts_sec"] * 2)]
+
+
 def test_codec_roundtrips_hypothesis():
     """Property test over random image shapes/content for all four
     decoders: PNG and GIF are lossless (bit-exact); baseline JPEG at
