@@ -27,3 +27,4 @@ from pytimetk_spark.webtext.multimodal import (
     decode_image_batch,
     sample_video_frames,
 )
+from pytimetk_spark.webtext.videoprobe import video_stream_info

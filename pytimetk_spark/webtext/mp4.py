@@ -40,6 +40,7 @@ class Mp4Track:
     sample_offsets: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int64))
     sample_ts: np.ndarray = field(default_factory=lambda: np.zeros(0, np.float64))
     sync_samples: np.ndarray | None = None  # 0-based indices; None = all
+    codec_config: tuple[str, bytes] | None = None  # (avcC/hvcC/..., bytes)
 
     @property
     def n_samples(self) -> int:
@@ -154,6 +155,18 @@ def _parse_stbl(blob: bytes, trk: Mp4Track, s: int, e: int) -> None:
             cnt = struct.unpack_from(">I", blob, bs + 4)[0]
             if cnt >= 1 and bs + 16 <= be:
                 trk.codec = blob[bs + 12 : bs + 16].decode("ascii", "replace")
+                # full VisualSampleEntry (86 bytes) carries child boxes
+                # (avcC/hvcC/vpcC codec config) after the fixed fields
+                entry_s = bs + 8
+                entry_size = struct.unpack_from(">I", blob, entry_s)[0]
+                if entry_size >= 86 + 8 and entry_s + entry_size <= be:
+                    for ct, cs, ce in _boxes(
+                        blob, entry_s + 86, entry_s + entry_size
+                    ):
+                        if ct in (b"avcC", b"hvcC", b"vpcC", b"av1C"):
+                            trk.codec_config = (
+                                ct.decode("ascii"), blob[cs:ce]
+                            )
         elif btype == b"stts":
             n = struct.unpack_from(">I", blob, bs + 4)[0]
             stts = np.frombuffer(blob, ">u4", n * 2, bs + 8).reshape(n, 2)

@@ -942,7 +942,7 @@ def test_webp_through_decode_image_batch(spark):
 
 
 def _make_mp4(frames, fps=4.0, sync_every=4, timescale=1000,
-              codec=b"avc1", n_chunks=2):
+              codec=b"avc1", n_chunks=2, avcc=None):
     """Minimal unfragmented MP4 (test fixture): one video track whose
     samples are the given payload byte strings, spread over ``n_chunks``
     mdat chunks, keyframe every ``sync_every`` samples."""
@@ -984,7 +984,20 @@ def _make_mp4(frames, fps=4.0, sync_every=4, timescale=1000,
                                            duration, 0x55C4, 0))
     hdlr = fullbox(b"hdlr", 0, struct.pack(">I", 0) + b"vide"
                    + b"\x00" * 12 + b"vh\x00")
-    stsd_entry = struct.pack(">I", 16) + codec + b"\x00" * 8
+    if avcc is None:
+        stsd_entry = struct.pack(">I", 16) + codec + b"\x00" * 8
+    else:
+        # full 86-byte VisualSampleEntry + avcC codec-config child box
+        fixed = (b"\x00" * 6 + struct.pack(">H", 1)  # dref index
+                 + b"\x00" * 16
+                 + struct.pack(">HH", 320, 240)      # declared dims
+                 + struct.pack(">II", 0x480000, 0x480000)
+                 + b"\x00" * 4 + struct.pack(">H", 1)
+                 + b"\x00" * 32 + struct.pack(">Hh", 24, -1))
+        assert len(fixed) == 78
+        child = box(b"avcC", avcc)
+        stsd_entry = (struct.pack(">I", 8 + 78 + len(child)) + codec
+                      + fixed + child)
     stsd = fullbox(b"stsd", 0, struct.pack(">I", 1) + stsd_entry)
     stts = fullbox(b"stts", 0, struct.pack(">III", 1, n, delta))
     if len(set(sizes)) == 1:
@@ -1205,6 +1218,154 @@ def test_webm_through_sample_video_frames(spark):
     assert (webm_rows["codec"] == "V_VP9").all()
     for _, r in webm_rows.iterrows():
         assert bytes(r["frame_payload"]) == frames[int(r["frame_ts_sec"] * 2)]
+
+
+class _SpsWriter:
+    """MSB-first bit writer with exp-Golomb, for SPS fixtures."""
+
+    def __init__(self):
+        self.bits = []
+
+    def u(self, v, n):
+        for i in range(n - 1, -1, -1):
+            self.bits.append((v >> i) & 1)
+
+    def ue(self, v):
+        k = v + 1
+        n = k.bit_length()
+        self.u(0, n - 1)
+        self.u(k, n)
+
+    def tobytes(self):
+        out = bytearray()
+        bits = self.bits + [1] + [0] * 7  # rbsp stop bit + pad
+        for i in range(0, len(bits) - 7, 8):
+            b = 0
+            for j in range(8):
+                b = (b << 1) | bits[i + j]
+            out.append(b)
+        return bytes(out)
+
+
+def _make_sps(width, height, profile_idc=66, level_idc=31,
+              crop_right_px=0, crop_bottom_px=0):
+    """Baseline-profile SPS whose cropped dims equal (width, height)."""
+    w = _SpsWriter()
+    w.u(profile_idc, 8)
+    w.u(0, 8)  # constraint flags
+    w.u(level_idc, 8)
+    w.ue(0)  # sps id
+    w.ue(0)  # log2_max_frame_num_minus4
+    w.ue(0)  # poc type 0
+    w.ue(0)  # log2_max_poc_lsb_minus4
+    w.ue(1)  # max_num_ref_frames
+    w.u(0, 1)  # gaps allowed
+    total_w = width + crop_right_px
+    total_h = height + crop_bottom_px
+    assert total_w % 16 == 0 and total_h % 16 == 0
+    w.ue(total_w // 16 - 1)
+    w.ue(total_h // 16 - 1)
+    w.u(1, 1)  # frame_mbs_only
+    w.u(1, 1)  # direct_8x8
+    if crop_right_px or crop_bottom_px:
+        w.u(1, 1)
+        w.ue(0)
+        w.ue(crop_right_px // 2)  # chroma 4:2:0 -> CropUnitX = 2
+        w.ue(0)
+        w.ue(crop_bottom_px // 2)
+    else:
+        w.u(0, 1)
+    return b"\x67" + w.tobytes()  # NAL header (type 7) + payload
+
+
+def _make_avcc(sps: bytes) -> bytes:
+    return (bytes([1, sps[1], sps[2], sps[3], 0xFF, 0xE1])
+            + len(sps).to_bytes(2, "big") + sps)
+
+
+def _make_vp8_keyframe_payload(width, height) -> bytes:
+    tag = 0  # keyframe, profile 0, not shown; partition size 0
+    return (tag.to_bytes(3, "little") + b"\x9d\x01\x2a"
+            + width.to_bytes(2, "little") + height.to_bytes(2, "little")
+            + bytes(20))
+
+
+def _make_vp9_keyframe_payload(width, height, profile=0) -> bytes:
+    w = _SpsWriter()
+    w.u(2, 2)  # frame marker
+    w.u(profile & 1, 1)
+    w.u((profile >> 1) & 1, 1)
+    if profile == 3:
+        w.u(0, 1)
+    w.u(0, 1)  # show_existing_frame
+    w.u(0, 1)  # frame_type = KEY
+    w.u(1, 1)  # show_frame
+    w.u(0, 1)  # error_resilient
+    w.u(0x498342, 24)  # sync code
+    if profile >= 2:
+        w.u(0, 1)  # 10-bit
+    w.u(0, 3)  # color_space = CS_UNKNOWN
+    w.u(0, 1)  # color_range
+    if profile in (1, 3):
+        w.u(0, 2)
+        w.u(0, 1)
+    w.u(width - 1, 16)
+    w.u(height - 1, 16)
+    w.u(0, 1)  # render_size_present
+    return w.tobytes() + bytes(10)
+
+
+def test_h264_sps_and_video_probe(spark):
+    """Exp-Golomb SPS parse recovers exact coded dims (incl. the 4:2:0
+    cropping arithmetic), profile and level from synthesized parameter
+    sets; VP8/VP9 keyframe headers yield bitstream dims from WebM
+    payloads; the Spark probe operator is total over junk blobs."""
+    from pytimetk_spark.webtext.videoprobe import (
+        parse_avcc,
+        parse_h264_sps,
+        parse_vp8_keyframe,
+        parse_vp9_keyframe,
+        video_stream_info,
+    )
+
+    got = parse_h264_sps(_make_sps(320, 240))
+    assert (got["width"], got["height"], got["profile_idc"]) == (320, 240, 66)
+    # non-multiple-of-16 dims via cropping: 1920x1080 = 1920x1088 - 8
+    got = parse_h264_sps(_make_sps(1920, 1080, crop_bottom_px=8))
+    assert (got["width"], got["height"]) == (1920, 1080)
+    got = parse_avcc(_make_avcc(_make_sps(640, 360, crop_bottom_px=8)))
+    assert (got["width"], got["height"]) == (640, 360)
+    assert parse_h264_sps(b"") is None
+
+    assert parse_vp8_keyframe(_make_vp8_keyframe_payload(426, 240)) == {
+        "width": 426, "height": 240, "profile": 0, "bit_depth": 8}
+    v9 = parse_vp9_keyframe(_make_vp9_keyframe_payload(1280, 720))
+    assert (v9["width"], v9["height"], v9["profile"]) == (1280, 720, 0)
+    v9hi = parse_vp9_keyframe(_make_vp9_keyframe_payload(64, 64, profile=2))
+    assert v9hi["bit_depth"] == 10
+    assert parse_vp9_keyframe(b"\xff\xff\xff") is None
+
+    # Spark operator over MP4(avcC) + WebM(VP9 payload) + junk
+    rng = np.random.RandomState(31)
+    frames = [bytes(rng.randint(0, 256, 40).astype(np.uint8))
+              for _ in range(8)]
+    avcc = _make_avcc(_make_sps(640, 360, crop_bottom_px=8))
+    mp4_blob = _make_mp4(frames, fps=2.0, sync_every=2, avcc=avcc)
+    vp9_frames = [_make_vp9_keyframe_payload(1280, 720)] + frames[1:]
+    webm_blob = _make_webm(vp9_frames, fps=2.0, sync_every=1)
+    pdf = pd.DataFrame({"doc_id": [1, 2, 3],
+                        "video": [mp4_blob, webm_blob, b"junkbytes"]})
+    out = (
+        video_stream_info(spark.createDataFrame(pdf), "video")
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert out.loc[0, "container"] == "mp4"
+    assert (out.loc[0, "coded_width"], out.loc[0, "coded_height"]) == (640, 360)
+    assert out.loc[0, "profile"] == "66"
+    assert out.loc[1, "container"] == "webm"
+    assert (out.loc[1, "coded_width"], out.loc[1, "coded_height"]) == (1280, 720)
+    assert out.loc[1, "codec"] == "V_VP9"
+    assert pd.isna(out.loc[2, "container"])  # junk -> NULL row, no fail
 
 
 def test_codec_roundtrips_hypothesis():
