@@ -428,6 +428,25 @@ def q_quality_score(spark, sf_dir):
     return _r6(out, "q_digit_ratio", "q_upper_ratio", "quality_score")
 
 
+def q_repetition_signals(spark, sf_dir):
+    """Gopher repetition filters (textstats.repetition_signals): the
+    documents table has no newlines, so the n-gram signals carry the
+    content; dup_line_frac stays in to pin the line path's zero case."""
+    from pytimetk_spark.webtext.textstats import repetition_signals
+
+    docs = _prep(spark).read.parquet(f"{sf_dir}/documents.parquet")
+    out = repetition_signals(docs, top_ns=(2, 3), dup_ns=(5, 10)).select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        "dup_line_frac",
+        "top_2gram_char_frac", "top_3gram_char_frac",
+        "dup_5gram_char_frac", "dup_10gram_char_frac",
+    )
+    return _r6(out, "dup_line_frac", "top_2gram_char_frac",
+               "top_3gram_char_frac", "dup_5gram_char_frac",
+               "dup_10gram_char_frac")
+
+
 def q_byte_features(spark, sf_dir):
     """hist16 is exploded to (bin, hist_frac) rows — the driver's canon
     sorts on every column and chokes on array cells (round-1 TypeError),
@@ -1480,6 +1499,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weekday_sequence": q_weekday_sequence,
         "weekend_sequence": q_weekend_sequence,
         "augment_fourier": q_fourier,
+        # -- new in round 5 (tail: pytest + local mirror this round;
+        #    rotates into the driver window next round per rule 1) --
+        "repetition_signals": q_repetition_signals,
     }
 
 
@@ -3234,5 +3256,62 @@ def oracle_sql() -> dict[str, str]:
                      + (upper <= 0.3)::INT
                      + (stop_hits >= 1)::INT)::DOUBLE / 6, 6) AS quality_score
             FROM g
+        """,
+        "repetition_signals": """
+            -- Gopher repetition filters (textstats.repetition_signals):
+            -- word n-grams by list slicing; top-gram argmax ordered by
+            -- (count, char-occupancy) like the Spark max_by; dup fracs
+            -- count ALL occurrences of repeated grams, capped at 1.
+            WITH d AS (
+              SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+                     string_split(trim(regexp_replace(lower(text),
+                       '\\s+', ' ', 'g')), ' ') AS toks,
+                     list_filter(string_split(text, chr(10)),
+                                 x -> length(x) > 0) AS lines
+              FROM documents),
+            lc AS (  -- line duplication (degenerate 0 on this corpus)
+              SELECT doc_id,
+                     1.0 - count(DISTINCT l) * 1.0 / count(*) AS dup_line_frac
+              FROM d, LATERAL (SELECT unnest(lines) AS l) u
+              GROUP BY doc_id),
+            pos AS (
+              SELECT d.doc_id, d.n_chars, ns.n, toks,
+                     unnest(range(1, len(toks) - ns.n + 2)) AS i
+              FROM d CROSS JOIN (VALUES (2), (3), (5), (10)) ns(n)
+              WHERE len(toks) >= ns.n),
+            grams AS (
+              SELECT doc_id, n_chars, n,
+                     array_to_string(toks[i : i + n - 1], ' ') AS gram
+              FROM pos),
+            cnts AS (
+              SELECT doc_id, n_chars, n, gram, count(*) AS c,
+                     length(gram) AS ch
+              FROM grams GROUP BY 1, 2, 3, 4),
+            per_n AS (
+              SELECT doc_id, n_chars, n,
+                     max(struct_pack(c := c, occ := c * ch)).occ AS top_occ,
+                     coalesce(sum(CASE WHEN c > 1 THEN c * ch END), 0)
+                       AS dup_chars
+              FROM cnts GROUP BY 1, 2, 3)
+            SELECT d.doc_id, d.n_chars,
+                   round(coalesce(lc.dup_line_frac, 0), 6) AS dup_line_frac,
+                   round(least(coalesce(t2.top_occ, 0)
+                     / greatest(d.n_chars, 1), 1.0), 6)
+                     AS top_2gram_char_frac,
+                   round(least(coalesce(t3.top_occ, 0)
+                     / greatest(d.n_chars, 1), 1.0), 6)
+                     AS top_3gram_char_frac,
+                   round(least(coalesce(t5.dup_chars, 0)
+                     / greatest(d.n_chars, 1), 1.0), 6)
+                     AS dup_5gram_char_frac,
+                   round(least(coalesce(t10.dup_chars, 0)
+                     / greatest(d.n_chars, 1), 1.0), 6)
+                     AS dup_10gram_char_frac
+            FROM d
+            LEFT JOIN lc USING (doc_id)
+            LEFT JOIN per_n t2 ON t2.doc_id = d.doc_id AND t2.n = 2
+            LEFT JOIN per_n t3 ON t3.doc_id = d.doc_id AND t3.n = 3
+            LEFT JOIN per_n t5 ON t5.doc_id = d.doc_id AND t5.n = 5
+            LEFT JOIN per_n t10 ON t10.doc_id = d.doc_id AND t10.n = 10
         """,
     }

@@ -20,6 +20,7 @@ from pytimetk_spark.webtext.textstats import (
     document_fingerprint,
     language_id,
     quality_score,
+    repetition_signals,
     token_stats,
 )
 from pytimetk_spark.webtext.multimodal import (

@@ -191,3 +191,146 @@ def document_fingerprint(
         minima,
         combined.alias("fingerprint64"),
     )
+
+
+def repetition_signals(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_ns: tuple[int, ...] = (2, 3, 4),
+    dup_ns: tuple[int, ...] = (5, 6, 7, 8, 9, 10),
+) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1, the
+    standard web-corpus quality rules alongside the static bands in
+    ``quality_score``): per document,
+
+    * ``dup_line_frac`` / ``dup_line_char_frac`` — fraction of lines
+      (and of line characters) occurring more than once; same for
+      paragraphs (``dup_para_*``, split on blank lines).
+    * ``top_{n}gram_char_frac`` (n in ``top_ns``) — character occupancy
+      of the single most frequent word n-gram: count * len / n_chars,
+      capped at 1 (overlapping occurrences over-count).
+    * ``dup_{n}gram_char_frac`` (n in ``dup_ns``) — characters covered
+      by ALL occurrences of n-grams appearing more than once, over
+      n_chars, capped at 1 (the standard over-counting approximation).
+
+    Scale shape: ONE generate (all line/para/n-gram item streams are
+    built in a single projection and exploded once) -> ONE shuffle on
+    (doc, kind, item) for counts -> per-doc conditional aggregation
+    (second shuffle keys on doc id only, tiny). No Python in the row
+    path. The n-gram streams multiply rows by ~len(top_ns)+len(dup_ns);
+    trim the ``*_ns`` tuples when only some signals are needed.
+    """
+    t = F.col(text_col)
+    # STAGE the token/line/para arrays as columns: expressions referenced
+    # inside higher-order-function lambdas re-evaluate PER ELEMENT, so an
+    # inline split-of-regexp here would rerun the whole-document regexp
+    # once per n-gram position (O(len^2) — the similarity.py lesson)
+    staged = df.select(
+        F.col(id_col).alias("__id__"),
+        F.length(t).alias("__n_chars__"),
+        F.split(F.trim(F.lower(F.regexp_replace(t, r"\s+", " "))), " ")
+        .alias("__toks__"),
+        F.filter(F.split(t, r"\n"), lambda x: F.length(x) > 0)
+        .alias("__lines__"),
+        F.filter(F.split(t, r"\n{2,}"), lambda x: F.length(x) > 0)
+        .alias("__paras__"),
+    )
+    toks = F.col("__toks__")
+    lines = F.col("__lines__")
+    paras = F.col("__paras__")
+
+    def tag(kind, arr):
+        # ship the 64-bit hash, not the string: the count shuffle's
+        # row width drops from O(text) to 16 bytes (collisions within a
+        # (doc, kind) group are the only hazard — negligible at 2^-64)
+        return F.transform(
+            arr, lambda x: F.struct(
+                F.lit(kind).alias("kind"), F.xxhash64(x).alias("item"),
+                F.length(x).alias("chars"))
+        )
+
+    def ngrams(n):
+        # slide a window of n tokens; empty when the doc is shorter
+        return F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - n + 1),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    streams = [tag("line", lines), tag("para", paras)]
+    for n in sorted(set(top_ns) | set(dup_ns)):
+        streams.append(tag(f"g{n}", ngrams(n)))
+
+    items = (
+        staged.select(
+            "__id__", "__n_chars__",
+            F.explode_outer(F.concat(*streams)).alias("it"),
+        )
+        .select("__id__", "__n_chars__", "it.kind", "it.item", "it.chars")
+    )
+    counts = items.groupBy("__id__", "kind", "item").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.first("chars").alias("chars"),
+        F.first("__n_chars__").alias("n_chars"),
+    )
+    per_kind = counts.groupBy("__id__", "kind").agg(
+        F.first("n_chars").alias("n_chars"),
+        (F.lit(1.0) - F.count(F.lit(1)) / F.sum("cnt")).alias("dup_frac"),
+        F.coalesce(
+            F.sum(F.when(F.col("cnt") > 1, F.col("chars") * F.col("cnt"))),
+            F.lit(0),
+        ).alias("dup_char_count"),
+        F.sum(F.col("chars") * F.col("cnt")).alias("total_char_count"),
+        F.max_by(
+            F.col("cnt") * F.col("chars"),
+            F.struct(F.col("cnt").alias("c"),
+                     (F.col("cnt") * F.col("chars")).alias("occ")),
+        ).alias("top_char_occ"),
+    )
+    final_aggs = []
+    for kind in ("line", "para"):
+        k = F.col("kind") == kind
+        final_aggs.append(F.coalesce(
+            F.first(F.when(k, F.col("dup_frac")), ignorenulls=True),
+            F.lit(0.0),
+        ).alias(f"dup_{kind}_frac"))
+        final_aggs.append(F.coalesce(
+            F.first(
+                F.when(k, F.col("dup_char_count")
+                       / F.greatest(F.col("total_char_count"), F.lit(1))),
+                ignorenulls=True,
+            ),
+            F.lit(0.0),
+        ).alias(f"dup_{kind}_char_frac"))
+    for n in top_ns:
+        final_aggs.append(F.coalesce(
+            F.first(F.when(F.col("kind") == f"g{n}", F.col("top_char_occ")),
+                    ignorenulls=True),
+            F.lit(0),
+        ).alias(f"__top{n}__"))
+    for n in dup_ns:
+        final_aggs.append(F.coalesce(
+            F.first(F.when(F.col("kind") == f"g{n}", F.col("dup_char_count")),
+                    ignorenulls=True),
+            F.lit(0),
+        ).alias(f"__dup{n}__"))
+    rolled = per_kind.groupBy("__id__").agg(
+        F.first("n_chars").alias("__n_chars__"), *final_aggs
+    )
+    nc = F.greatest(F.col("__n_chars__"), F.lit(1)).cast("double")
+    sel = [
+        F.col("__id__").alias(id_col),
+        F.col("__n_chars__").alias("n_chars"),
+        "dup_line_frac", "dup_line_char_frac",
+        "dup_para_frac", "dup_para_char_frac",
+    ]
+    for n in top_ns:
+        sel.append(F.least(F.col(f"__top{n}__") / nc, F.lit(1.0)).alias(
+            f"top_{n}gram_char_frac"))
+    for n in dup_ns:
+        sel.append(F.least(F.col(f"__dup{n}__") / nc, F.lit(1.0)).alias(
+            f"dup_{n}gram_char_frac"))
+    return rolled.select(*sel)

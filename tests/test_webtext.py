@@ -1581,3 +1581,84 @@ def test_flac_ogg_metadata_walkers(spark):
     assert np.isnan(out.loc[0, "rms"]) and np.isnan(out.loc[1, "rms"])
     assert abs(out.loc[1, "duration_sec"] - 2.5) < 1e-9
     assert out.loc[2, "rms"] > 0
+
+
+def _repetition_reference(text, top_ns=(2, 3, 4), dup_ns=(5, 6, 7, 8, 9, 10)):
+    """Plain-python Gopher repetition signals for the differential."""
+    from collections import Counter
+
+    n_chars = len(text)
+    out = {"n_chars": n_chars}
+
+    def dup_fracs(items):
+        if not items:
+            return 0.0, 0.0
+        c = Counter(items)
+        total_chars = sum(len(x) * k for x, k in c.items())
+        dup_chars = sum(len(x) * k for x, k in c.items() if k > 1)
+        return (1 - len(c) / len(items),
+                dup_chars / max(total_chars, 1))
+
+    lines = [x for x in text.split("\n") if x]
+    paras = [x for x in __import__("re").split(r"\n{2,}", text) if x]
+    out["dup_line_frac"], out["dup_line_char_frac"] = dup_fracs(lines)
+    out["dup_para_frac"], out["dup_para_char_frac"] = dup_fracs(paras)
+    toks = __import__("re").sub(r"\s+", " ", text).strip().lower().split(" ")
+    for n in top_ns:
+        grams = [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+        if not grams:
+            out[f"top_{n}gram_char_frac"] = 0.0
+            continue
+        c = Counter(grams)
+        top = max(c.items(), key=lambda kv: (kv[1], kv[1] * len(kv[0])))
+        out[f"top_{n}gram_char_frac"] = min(
+            top[1] * len(top[0]) / max(n_chars, 1), 1.0)
+    for n in dup_ns:
+        grams = [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+        c = Counter(grams)
+        dup = sum(k * len(g) for g, k in c.items() if k > 1)
+        out[f"dup_{n}gram_char_frac"] = min(dup / max(n_chars, 1), 1.0)
+    return out
+
+
+def test_repetition_signals_differential(spark):
+    """All 14 Gopher repetition columns match a plain-python reference
+    on crafted docs covering duplicated lines/paragraphs, run-heavy
+    token streams, short docs (< n tokens), and the empty doc (which
+    must still yield a zero row — probing must be total)."""
+    from pytimetk_spark.webtext.textstats import repetition_signals
+
+    rng = np.random.RandomState(41)
+    docs = [
+        (1, "aaa bbb ccc\naaa bbb ccc\nddd eee\n\npara one\n\npara one"),
+        (2, "x y " * 30),
+        (3, " ".join(rng.choice(["a", "b", "c", "dd", "eee"], 200))),
+        (4, "short doc"),
+        (5, "one"),
+        (6, ""),
+        (7, "Mixed CASE   with\nmulti  spaces\nMixed CASE   with"),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(docs, columns=["doc_id", "text"]))
+    got = (repetition_signals(df, "text").toPandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert list(got["doc_id"]) == [1, 2, 3, 4, 5, 6, 7]
+    for _, row in got.iterrows():
+        ref = _repetition_reference(dict(docs)[row["doc_id"]])
+        for k, v in ref.items():
+            assert abs(row[k] - v) < 1e-9, (row["doc_id"], k, row[k], v)
+
+
+def test_repetition_signals_plan_staged(spark):
+    """The token/line arrays must be STAGED columns: if the split-of-
+    regexp were inlined into the n-gram lambdas it would re-evaluate
+    per n-gram position (O(len^2) document scans). Pin: exactly one
+    regexp_replace in the executed plan and none inside a lambda."""
+    import re
+
+    from pytimetk_spark.webtext.textstats import repetition_signals
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (repetition_signals(docs, top_ns=(2, 3), dup_ns=(5, 10))
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("regexp_replace") == 1
+    assert not re.findall(r"lambdafunction[^\n]*regexp_replace", plan)
