@@ -447,6 +447,46 @@ def q_repetition_signals(spark, sf_dir):
                "dup_10gram_char_frac")
 
 
+def q_cleaning_stats(spark, sf_dir):
+    """mask_pii counts + c4_line_filter stats chained over documents.
+    The synthetic corpus has no PII (counts pin the zero case) and no
+    newlines, so min_words sits at the corpus median (56) to split the
+    single-line keep decision roughly 50/50 for hash signal."""
+    from pytimetk_spark.webtext.cleaning import c4_line_filter, mask_pii
+
+    docs = _prep(spark).read.parquet(f"{sf_dir}/documents.parquet")
+    out = c4_line_filter(
+        mask_pii(docs, kinds=("email", "ipv4", "ssn")),
+        min_words=56, require_terminal_punct=False,
+    ).select(
+        "doc_id",
+        F.col("n_email").cast("long").alias("n_email"),
+        F.col("n_ipv4").cast("long").alias("n_ipv4"),
+        F.col("n_ssn").cast("long").alias("n_ssn"),
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.col("n_lines_kept").cast("long").alias("n_lines_kept"),
+        "line_keep_frac",
+    )
+    return _r6(out, "line_keep_frac")
+
+
+def q_decontaminate(spark, sf_dir):
+    """GPT-3-style 13-gram decontamination: benchmark = docs 0-4 of the
+    same corpus, so those documents must flag themselves and random
+    word-soup collisions stay possible but rare."""
+    from pytimetk_spark.webtext.cleaning import decontaminate
+
+    docs = _prep(spark).read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") < 5).select("text")
+    out = decontaminate(docs, bench, n=13)
+    return out.select(
+        "doc_id",
+        F.col("n_contaminated_ngrams").cast("long").alias(
+            "n_contaminated_ngrams"),
+        F.col("is_contaminated").cast("int").alias("is_contaminated"),
+    )
+
+
 def q_byte_features(spark, sf_dir):
     """hist16 is exploded to (bin, hist_frac) rows — the driver's canon
     sorts on every column and chokes on array cells (round-1 TypeError),
@@ -1502,6 +1542,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in round 5 (tail: pytest + local mirror this round;
         #    rotates into the driver window next round per rule 1) --
         "repetition_signals": q_repetition_signals,
+        "cleaning_stats": q_cleaning_stats,
+        "decontaminate": q_decontaminate,
     }
 
 
@@ -3313,5 +3355,62 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN per_n t3 ON t3.doc_id = d.doc_id AND t3.n = 3
             LEFT JOIN per_n t5 ON t5.doc_id = d.doc_id AND t5.n = 5
             LEFT JOIN per_n t10 ON t10.doc_id = d.doc_id AND t10.n = 10
+        """,
+        "cleaning_stats": """
+            -- mask_pii counts (lookaround-free kinds only: DuckDB's RE2
+            -- has no lookbehind, so the phone pattern stays Spark-side)
+            -- + c4_line_filter(min_words=56, no terminal-punct rule)
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                     AS BIGINT) AS n_email,
+                   CAST(len(regexp_extract_all(text,
+                     '\\b(?:(?:25[0-5]|2[0-4][0-9]|1?[0-9]{1,2})\\.){3}(?:25[0-5]|2[0-4][0-9]|1?[0-9]{1,2})\\b'))
+                     AS BIGINT) AS n_ipv4,
+                   CAST(len(regexp_extract_all(text,
+                     '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b')) AS BIGINT)
+                     AS n_ssn,
+                   CAST(len(string_split(text, chr(10))) AS BIGINT)
+                     AS n_lines,
+                   CAST(len(list_filter(string_split(text, chr(10)),
+                     x -> length(trim(x)) > 0
+                          AND len(regexp_split_to_array(trim(x), '\\s+'))
+                              >= 56
+                          AND NOT regexp_matches(trim(x),
+                            '(?i)(javascript|lorem ipsum|cookies? (policy|settings)|terms of (use|service)|privacy policy|\\{)')))
+                     AS BIGINT) AS n_lines_kept,
+                   round(len(list_filter(string_split(text, chr(10)),
+                     x -> length(trim(x)) > 0
+                          AND len(regexp_split_to_array(trim(x), '\\s+'))
+                              >= 56
+                          AND NOT regexp_matches(trim(x),
+                            '(?i)(javascript|lorem ipsum|cookies? (policy|settings)|terms of (use|service)|privacy policy|\\{)')))
+                     * 1.0 / greatest(len(string_split(text, chr(10))), 1),
+                     6) AS line_keep_frac
+            FROM documents
+        """,
+        "decontaminate": """
+            -- GPT-3 13-gram decontamination vs docs 0-4 as benchmark
+            WITH tok AS (
+              SELECT doc_id,
+                     string_split(trim(regexp_replace(lower(text),
+                       '\\s+', ' ', 'g')), ' ') AS toks
+              FROM documents),
+            pos AS (
+              SELECT doc_id, toks,
+                     unnest(range(1, len(toks) - 11)) AS i
+              FROM tok WHERE len(toks) >= 13),
+            cg AS (
+              SELECT doc_id, array_to_string(toks[i : i + 12], ' ') AS g
+              FROM pos),
+            bg AS (SELECT DISTINCT g FROM cg WHERE doc_id < 5),
+            hits AS (
+              SELECT doc_id, count(*) AS c
+              FROM cg WHERE g IN (SELECT g FROM bg) GROUP BY 1)
+            SELECT d.doc_id,
+                   CAST(coalesce(h.c, 0) AS BIGINT)
+                     AS n_contaminated_ngrams,
+                   CAST(coalesce(h.c, 0) > 0 AS INT) AS is_contaminated
+            FROM documents d LEFT JOIN hits h USING (doc_id)
         """,
     }

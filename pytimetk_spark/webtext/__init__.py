@@ -28,4 +28,9 @@ from pytimetk_spark.webtext.multimodal import (
     decode_image_batch,
     sample_video_frames,
 )
+from pytimetk_spark.webtext.cleaning import (
+    c4_line_filter,
+    decontaminate,
+    mask_pii,
+)
 from pytimetk_spark.webtext.videoprobe import video_stream_info

@@ -1662,3 +1662,65 @@ def test_repetition_signals_plan_staged(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert plan.count("regexp_replace") == 1
     assert not re.findall(r"lambdafunction[^\n]*regexp_replace", plan)
+
+
+def test_cleaning_operators(spark):
+    """PII masking (typed tokens + counts), C4 line filtering (terminal
+    punctuation / min words / boilerplate), and GPT-3-style 13-gram
+    decontamination against a broadcast benchmark set."""
+    from pytimetk_spark.webtext.cleaning import (
+        c4_line_filter,
+        decontaminate,
+        mask_pii,
+    )
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [
+            "Contact me at bob@example.com or 555-123-4567.\n"
+            "My IP is 192.168.1.1 and SSN 123-45-6789.",
+            "This is a good sentence with enough words.\nshort\n"
+            "Buy now{}\nEnable javascript to continue\n"
+            "Another proper sentence ends here.",
+            "",
+        ],
+    })
+    df = spark.createDataFrame(docs)
+
+    m = mask_pii(df).toPandas().sort_values("doc_id").reset_index(drop=True)
+    assert (m.loc[0, ["n_email", "n_ipv4", "n_ssn", "n_phone"]] == 1).all()
+    assert m.loc[0, "text_masked"] == (
+        "Contact me at <|email|> or <|phone|>.\n"
+        "My IP is <|ipv4|> and SSN <|ssn|>.")
+    assert (m.loc[1, ["n_email", "n_ipv4", "n_ssn", "n_phone"]] == 0).all()
+    assert m.loc[1, "text_masked"] == docs.loc[1, "text"]
+
+    c = c4_line_filter(df).toPandas().sort_values("doc_id").reset_index(
+        drop=True)
+    assert (c.loc[1, "n_lines"], c.loc[1, "n_lines_kept"]) == (5, 2)
+    assert c.loc[1, "text_clean"] == (
+        "This is a good sentence with enough words.\n"
+        "Another proper sentence ends here.")
+    assert c.loc[2, "line_keep_frac"] == 0.0
+
+    bench = spark.createDataFrame(pd.DataFrame({"text": [
+        "this is a good sentence with enough words and some extra "
+        "padding tokens here today"]}))
+    corpus = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": ["prefix this is a good sentence with enough words and "
+                 "some extra padding tokens here today suffix",
+                 "completely different content sharing nothing with the "
+                 "benchmark set at all whatsoever ok then"],
+    }))
+    d = decontaminate(corpus, bench, n=13).toPandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    # 15-word benchmark -> 3 distinct 13-grams, all inside doc 1
+    assert (d.loc[0, "n_contaminated_ngrams"],
+            bool(d.loc[0, "is_contaminated"])) == (3, True)
+    assert not d.loc[1, "is_contaminated"]
+    # the benchmark side must be a broadcast join (corpus never shuffles
+    # on the gram key)
+    plan = decontaminate(corpus, bench, n=13)._jdf.queryExecution(
+        ).executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
