@@ -487,6 +487,30 @@ def q_decontaminate(spark, sf_dir):
     )
 
 
+def q_near_dup_clusters(spark, sf_dir):
+    """connected_components over a deterministic pair list (documents
+    sharing their first two tokens) -> (id, cluster_id=component min).
+    Exercises the full multi-round label propagation end-to-end; the
+    oracle replays it as a DuckDB recursive min-reachability CTE."""
+    from pytimetk_spark.webtext.dedup import connected_components
+
+    docs = _prep(spark).read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.split(
+        F.trim(F.lower(F.regexp_replace(F.col("text"), r"\s+", " "))), " "
+    )
+    keyed = docs.select(
+        "doc_id", F.concat_ws(" ", F.slice(toks, 1, 2)).alias("k")
+    )
+    pairs = (
+        keyed.alias("a")
+        .join(keyed.alias("b"), "k")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("id_a"),
+                F.col("b.doc_id").alias("id_b"))
+    )
+    return connected_components(pairs).orderBy("id")
+
+
 def q_byte_features(spark, sf_dir):
     """hist16 is exploded to (bin, hist_frac) rows — the driver's canon
     sorts on every column and chokes on array cells (round-1 TypeError),
@@ -1544,6 +1568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_signals": q_repetition_signals,
         "cleaning_stats": q_cleaning_stats,
         "decontaminate": q_decontaminate,
+        "near_dup_clusters": q_near_dup_clusters,
     }
 
 
@@ -3412,5 +3437,29 @@ def oracle_sql() -> dict[str, str]:
                      AS n_contaminated_ngrams,
                    CAST(coalesce(h.c, 0) > 0 AS INT) AS is_contaminated
             FROM documents d LEFT JOIN hits h USING (doc_id)
+        """,
+        "near_dup_clusters": """
+            -- connected components (min reachable node) via recursive
+            -- CTE over the same deterministic first-2-token pair list
+            WITH RECURSIVE t AS (
+              SELECT doc_id,
+                     array_to_string(string_split(trim(regexp_replace(
+                       lower(text), '\\s+', ' ', 'g')), ' ')[1:2], ' ')
+                       AS k
+              FROM documents),
+            p AS (
+              SELECT a.doc_id AS s, b.doc_id AS d
+              FROM t a JOIN t b ON a.k = b.k AND a.doc_id < b.doc_id),
+            e AS (
+              SELECT s, d FROM p
+              UNION SELECT d, s FROM p
+              UNION SELECT s, s FROM p
+              UNION SELECT d, d FROM p),
+            nodes AS (SELECT DISTINCT s AS id FROM e),
+            reach(id, r) AS (
+              SELECT id, id FROM nodes
+              UNION
+              SELECT e.s, reach.r FROM e JOIN reach ON reach.id = e.d)
+            SELECT id, min(r) AS cluster_id FROM reach GROUP BY id
         """,
     }

@@ -1,4 +1,5 @@
 from pytimetk_spark.webtext.dedup import (
+    connected_components,
     dedup_exact,
     embedding_near_dup_pairs,
     exact_duplicate_groups,

@@ -506,3 +506,71 @@ def embedding_near_dup_pairs(
 def _first_dim(df: DataFrame, vec_col: str) -> int:
     row = df.select(F.size(vec_col).alias("d")).first()
     return int(row["d"])
+
+
+def connected_components(
+    pairs: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over a candidate-pair edge list -> cluster
+    assignment ``(id, cluster_id)`` where cluster_id is the component's
+    minimum member id. Turns the near-dup PAIR outputs (minhash/simhash/
+    embedding ``*_pairs``) into the cluster labels a dedup keep-one
+    policy actually needs.
+
+    Algorithm: hash-to-min label propagation — every node starts
+    labelled with its own id; each round every node takes the min label
+    in its closed neighborhood; converged when no label changes. Rounds
+    needed = graph diameter (near-dup components are tiny and dense, so
+    2-4 rounds in practice; ``max_iterations`` bounds pathological
+    chains). Spark shape: one groupBy-min shuffle per round over the
+    symmetrized edge list, labels checkpointed via localCheckpoint each
+    round to keep the plan from growing unboundedly; convergence is
+    checked with a count of changed labels (cheap — label frame is one
+    row per distinct node).
+
+    Reference scope: pytimetk has no graph ops — this belongs to the
+    engine-mandate dedup surface (SURVEY §2, LLM-pipeline tier).
+    """
+    e = pairs.select(
+        F.col(src_col).cast("long").alias("s"),
+        F.col(dst_col).cast("long").alias("d"),
+    ).filter(F.col("s").isNotNull() & F.col("d").isNotNull())
+    # symmetrize once; self-loops keep isolated-in-pair-list nodes alive
+    edges = (
+        e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("s").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        neigh_min = (
+            edges.join(labels, edges["d"] == labels["id"])
+            .groupBy("s")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neigh_min, labels["id"] == neigh_min["s"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"),
+                    F.coalesce(F.col("nmin"), F.col("label")),
+                ).alias("label"),
+                (F.col("nmin") < F.col("label")).alias("__chg__"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint()
+        changed = new_labels.filter(F.col("__chg__")).limit(1).count()
+        labels = new_labels.drop("__chg__")
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("id"), F.col("label").alias("cluster_id"))

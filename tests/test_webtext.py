@@ -1724,3 +1724,39 @@ def test_cleaning_operators(spark):
     plan = decontaminate(corpus, bench, n=13)._jdf.queryExecution(
         ).executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_connected_components_clusters(spark):
+    """Hash-to-min label propagation matches a union-find reference on
+    a random graph plus a 16-node chain (multi-round convergence), and
+    composes with the near-dup pair outputs: every pair's two sides get
+    the same cluster id and the id equals the component minimum."""
+    from pytimetk_spark.webtext.dedup import connected_components
+
+    rng = np.random.RandomState(7)
+    edges = [(int(rng.randint(200)), int(rng.randint(200)))
+             for _ in range(150)]
+    edges += [(1000 + i, 1001 + i) for i in range(15)]  # diameter stress
+    df = spark.createDataFrame(pd.DataFrame(edges, columns=["id_a", "id_b"]))
+    got = connected_components(df).toPandas()
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp = {}
+    for x in parent:
+        comp.setdefault(find(x), []).append(x)
+    expect = {x: min(members) for members in comp.values() for x in members}
+    assert len(got) == len(expect)
+    for _, row in got.iterrows():
+        assert expect[row["id"]] == row["cluster_id"], row["id"]
