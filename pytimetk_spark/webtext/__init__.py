@@ -34,4 +34,5 @@ from pytimetk_spark.webtext.cleaning import (
     decontaminate,
     mask_pii,
 )
+from pytimetk_spark.webtext.pq import pq_encode, pq_search, pq_train
 from pytimetk_spark.webtext.videoprobe import video_stream_info

@@ -1760,3 +1760,47 @@ def test_connected_components_clusters(spark):
     assert len(got) == len(expect)
     for _, row in got.iterrows():
         assert expect[row["id"]] == row["cluster_id"], row["id"]
+
+
+def test_product_quantization_adc(spark):
+    """PQ exactness + approximation properties: (1) when corpus vectors
+    ARE centroid combinations the ADC distance to a self-query is ~0 and
+    top-1 is the query itself; (2) on clustered data every ADC top-10
+    neighbor comes from the query's true cluster (point-level order
+    inside a cluster is quantized away by design); (3) codes are m
+    integers in [0, 2^nbits)."""
+    from pytimetk_spark.webtext.pq import pq_encode, pq_search, pq_train
+
+    rng = np.random.RandomState(0)
+    m, nbits, ds = 4, 4, 4
+    books = [rng.randn(16, ds) for _ in range(m)]
+    codes_true = rng.randint(0, 16, (400, m))
+    X = np.concatenate([books[j][codes_true[:, j]] for j in range(m)],
+                       axis=1)
+    corpus = spark.createDataFrame(pd.DataFrame({
+        "vec_id": range(len(X)), "embedding": list(X.tolist())}))
+    queries = spark.createDataFrame(pd.DataFrame({
+        "query_id": [0, 1], "embedding": list(X[:2].tolist())}))
+    trained = pq_train(corpus, m=m, nbits=nbits, fit_sample=400, seed=1)
+    enc = pq_encode(corpus, trained).toPandas()
+    codes = np.asarray(list(enc.sort_values("vec_id")["pq_code"]))
+    assert codes.shape == (400, m)
+    assert codes.min() >= 0 and codes.max() < 16
+    encdf = spark.createDataFrame(enc)
+    res = pq_search(encdf, queries, trained, k=5).toPandas()
+    top = res[res["rank"] == 1]
+    assert (top["adc_dist2"] < 1e-9).all()
+    assert set(top["vec_id"]) == {0, 1}
+
+    centers = rng.randn(10, 16) * 5
+    Xc = np.vstack([c + 0.1 * rng.randn(40, 16) for c in centers])
+    corpus2 = spark.createDataFrame(pd.DataFrame({
+        "vec_id": range(len(Xc)), "embedding": list(Xc.tolist())}))
+    qsrc = [0, 150, 300]
+    q2 = spark.createDataFrame(pd.DataFrame({
+        "query_id": [0, 1, 2], "embedding": list(Xc[qsrc].tolist())}))
+    tr2 = pq_train(corpus2, m=4, nbits=4, fit_sample=400, seed=3)
+    got = pq_search(pq_encode(corpus2, tr2), q2, tr2, k=10).toPandas()
+    for qi, src in enumerate(qsrc):
+        ids = got[got.query_id == qi]["vec_id"].to_numpy()
+        assert (ids // 40 == src // 40).all(), qi
