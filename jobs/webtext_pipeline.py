@@ -1,0 +1,149 @@
+"""spark-submit entry point for the web-corpus curation pipeline.
+
+Chains the LLM-training-data operators end-to-end over a documents
+table (the shape a Common-Crawl-derived corpus lands in): C4 line
+cleaning -> PII masking -> quality + Gopher-repetition filtering ->
+exact dedup -> MinHash near-dup dedup -> optional benchmark
+decontamination -> partitioned parquet + a JSON manifest of per-stage
+survival counts (the numbers a data card reports).
+
+Usage:
+  python tools/make_pyfiles_zip.py
+  spark-submit --master local[32] \
+      --py-files dist/pytimetk_spark.zip \
+      jobs/webtext_pipeline.py --source <documents.parquet> \
+      --out <dir> [--benchmark <parquet>] [--min-quality 0.5] \
+      [--max-dup-5gram 0.3] [--no-dedup-near]
+
+Every stage is a lazy transformation on one DataFrame lineage — the
+pipeline materializes ONCE at the write (plus the two dedup joins'
+internal shuffles); per-stage counts ride a single .cache() pass over
+the final frame with stage flags, not one action per stage.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def run_pipeline(
+    spark,
+    docs,
+    benchmark=None,
+    min_quality: float = 0.5,
+    max_dup_5gram: float = 0.30,
+    min_words: int = 3,
+    near_dedup: bool = True,
+    jaccard: float = 0.8,
+):
+    """documents(doc_id, text, ...) -> (curated_df, stats_dict).
+
+    Filter stages are computed as FLAGS on one frame so a single
+    cached pass yields every per-stage survival count; only the dedup
+    stages (which need joins) and the final write materialize data.
+    """
+    from pytimetk_spark.webtext.cleaning import (
+        c4_line_filter,
+        decontaminate,
+        mask_pii,
+    )
+    from pytimetk_spark.webtext.dedup import dedup_exact, minhash_dedup
+    from pytimetk_spark.webtext.textstats import (
+        quality_score,
+        repetition_signals,
+    )
+
+    staged = c4_line_filter(mask_pii(docs), text_col="text_masked",
+                            min_words=min_words,
+                            require_terminal_punct=False)
+    staged = staged.withColumn("text_raw", F.col("text")).withColumn(
+        "text", F.col("text_masked_clean")
+    )
+    q = quality_score(staged).select("doc_id", "quality_score")
+    rep = repetition_signals(staged, top_ns=(2,), dup_ns=(5,)).select(
+        "doc_id", "dup_5gram_char_frac"
+    )
+    flagged = (
+        staged.join(q, "doc_id").join(rep, "doc_id")
+        .withColumn("__keep_clean__", F.length("text") > 0)
+        .withColumn("__keep_quality__", F.col("quality_score") >= min_quality)
+        .withColumn(
+            "__keep_rep__", F.col("dup_5gram_char_frac") <= max_dup_5gram
+        )
+    ).cache()
+
+    stats = {
+        "n_input": flagged.count(),
+        "n_after_clean": flagged.filter("__keep_clean__").count(),
+    }
+    kept = flagged.filter(
+        F.col("__keep_clean__") & F.col("__keep_quality__")
+        & F.col("__keep_rep__")
+    )
+    stats["n_after_filters"] = kept.count()
+
+    deduped = dedup_exact(kept, text_col="text")
+    stats["n_after_exact_dedup"] = deduped.count()
+    if near_dedup:
+        deduped = minhash_dedup(deduped, text_col="text",
+                                threshold=jaccard)
+        stats["n_after_near_dedup"] = deduped.count()
+
+    if benchmark is not None:
+        contam = decontaminate(deduped, benchmark)
+        deduped = (
+            deduped.join(contam.filter(~F.col("is_contaminated"))
+                         .select("doc_id"), "doc_id", "left_semi")
+        )
+        stats["n_after_decontamination"] = deduped.count()
+
+    flagged.unpersist()
+    drop = [c for c in ("__keep_clean__", "__keep_quality__",
+                        "__keep_rep__", "text_masked",
+                        "text_masked_clean")
+            if c in deduped.columns]
+    return deduped.drop(*drop), stats
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--source", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--benchmark", default=None,
+                    help="parquet of benchmark texts to decontaminate against")
+    ap.add_argument("--min-quality", type=float, default=0.5)
+    ap.add_argument("--max-dup-5gram", type=float, default=0.30)
+    ap.add_argument("--min-words", type=int, default=3)
+    ap.add_argument("--jaccard", type=float, default=0.8)
+    ap.add_argument("--no-dedup-near", action="store_true")
+    ap.add_argument("--partitions", type=int, default=None,
+                    help="output file count (coalesce); default: leave as-is")
+    args = ap.parse_args()
+
+    spark = SparkSession.builder.appName("pytimetk-webtext").getOrCreate()
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    docs = spark.read.parquet(args.source)
+    bench = spark.read.parquet(args.benchmark) if args.benchmark else None
+    curated, stats = run_pipeline(
+        spark, docs, benchmark=bench,
+        min_quality=args.min_quality,
+        max_dup_5gram=args.max_dup_5gram,
+        min_words=args.min_words,
+        near_dedup=not args.no_dedup_near,
+        jaccard=args.jaccard,
+    )
+    out = curated
+    if args.partitions:
+        out = out.coalesce(args.partitions)
+    out.write.mode("overwrite").parquet(f"{args.out}/curated")
+    with open(f"{args.out}/manifest.json", "w") as fh:
+        json.dump(stats, fh, indent=2)
+    print(json.dumps(stats))
+
+
+if __name__ == "__main__":
+    main()

@@ -1804,3 +1804,31 @@ def test_product_quantization_adc(spark):
     for qi, src in enumerate(qsrc):
         ids = got[got.query_id == qi]["vec_id"].to_numpy()
         assert (ids // 40 == src // 40).all(), qi
+
+
+def test_webtext_pipeline_end_to_end(spark):
+    """The spark-submit curation pipeline chains clean -> mask ->
+    quality/repetition filter -> exact + near dedup -> decontaminate
+    and reports monotone per-stage survival counts; curated output
+    keeps the raw text alongside the masked/cleaned text."""
+    import sys
+
+    sys.path.insert(0, "jobs")
+    from webtext_pipeline import run_pipeline
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bench = docs.filter("doc_id < 3").select("text")
+    curated, stats = run_pipeline(spark, docs, benchmark=bench,
+                                  min_quality=0.3, max_dup_5gram=0.5)
+    n = curated.count()
+    assert stats["n_input"] == docs.count()
+    order = ["n_input", "n_after_clean", "n_after_filters",
+             "n_after_exact_dedup", "n_after_near_dedup",
+             "n_after_decontamination"]
+    vals = [stats[k] for k in order]
+    assert vals == sorted(vals, reverse=True)  # stages only remove docs
+    assert n == stats["n_after_decontamination"]
+    # the 3 benchmark docs must be gone (they contaminate themselves)
+    survivors = {r.doc_id for r in curated.select("doc_id").collect()}
+    assert not ({0, 1, 2} & survivors)
+    assert {"text", "text_raw", "quality_score"} <= set(curated.columns)
