@@ -281,7 +281,7 @@ def probe_video_blob(blob: bytes) -> dict | None:
             "bit_depth": coded["bit_depth"] if coded else None,
             "duration_sec": dur,
             "n_keyframes": nkf,
-            "fps_avg": 0.0,  # frame count needs non-key blocks; keep 0
+            "fps_avg": winfo.n_video_blocks / dur if dur else 0.0,
         }
     return None
 

@@ -41,6 +41,7 @@ class WebmInfo:
     tracks: list[WebmTrack] = field(default_factory=list)
     # video keyframes: (ts_sec, payload bytes)
     keyframes: list[tuple[float, bytes]] = field(default_factory=list)
+    n_video_blocks: int = 0  # ALL video frames (keyframes + deltas)
 
     def video_track(self) -> WebmTrack | None:
         for t in self.tracks:
@@ -200,6 +201,7 @@ def _collect_block(blob, s, e, video_track_no, cluster_ts, info,
         return  # video keyframes are never laced in practice — skip
     if video_track_no is not None and track_no != video_track_no:
         return
+    info.n_video_blocks += 1
     if not keyframe:
         return
     ts = (cluster_ts + rel_ts) * info.timestamp_scale_ns / 1e9

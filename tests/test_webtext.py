@@ -1365,6 +1365,9 @@ def test_h264_sps_and_video_probe(spark):
     assert out.loc[1, "container"] == "webm"
     assert (out.loc[1, "coded_width"], out.loc[1, "coded_height"]) == (1280, 720)
     assert out.loc[1, "codec"] == "V_VP9"
+    # 8 frames over a 4 s declared duration -> 2 fps (ALL video blocks
+    # counted, not just keyframes)
+    assert abs(out.loc[1, "fps_avg"] - 2.0) < 1e-9
     assert pd.isna(out.loc[2, "container"])  # junk -> NULL row, no fail
 
 
