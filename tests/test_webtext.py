@@ -1835,3 +1835,43 @@ def test_webtext_pipeline_end_to_end(spark):
     survivors = {r.doc_id for r in curated.select("doc_id").collect()}
     assert not ({0, 1, 2} & survivors)
     assert {"text", "text_raw", "quality_score"} <= set(curated.columns)
+
+
+def test_extract_html_text(spark):
+    """Regex-tier HTML extraction: head/script/style/comment subtrees
+    dropped, block closers become newlines, entities decoded,
+    whitespace collapsed; on the synthetic webpages source the
+    extracted body must equal the generator's ground-truth text (up to
+    the extractor's outer-whitespace trim)."""
+    from pyspark.sql import functions as SF
+
+    from pytimetk_spark.sources.webpages import generate_webpages
+    from pytimetk_spark.webtext.html import extract_html_text
+
+    cases = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "html": [
+            '<html><head><title> My Page </title><style>b{c:1}</style>'
+            '<script>var x="<p>not text</p>";</script></head><body>'
+            '<h1>Header</h1><p>First  paragraph &amp; stuff.</p>'
+            '<!-- hidden <p>comment</p> -->'
+            '<div>Second <b>bold</b> line&nbsp;here.</div>'
+            '<ul><li>item one</li><li>item two</li></ul></body></html>',
+            'no markup at all',
+            '',
+        ],
+    })
+    out = (extract_html_text(spark.createDataFrame(cases), "html")
+           .toPandas().sort_values("doc_id").reset_index(drop=True))
+    assert out.loc[0, "title"] == "My Page"
+    assert out.loc[0, "text_extracted"] == (
+        "Header\nFirst paragraph & stuff.\nSecond bold line here.\n"
+        "item one\nitem two")
+    assert out.loc[1, "text_extracted"] == "no markup at all"
+    assert out.loc[2, "text_extracted"] == ""
+
+    wp = generate_webpages(spark, n_urls=40, crawls_per_url=4)
+    ex = extract_html_text(wp, "html", title_col=None)  # binary input
+    bad = ex.filter(
+        SF.col("text_extracted") != SF.trim(SF.col("text"))).count()
+    assert bad == 0
