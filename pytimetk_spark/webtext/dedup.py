@@ -574,3 +574,77 @@ def connected_components(
             break
     edges.unpersist()
     return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
+
+
+def duplicate_passages(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 100,
+    stride: int = 20,
+    anchor_gram: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document repeated-passage detection — the content-defined-
+    window approximation of exact substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better": the
+    suffix-array ExactSubstr tier; the distributed stand-in is CDC-style
+    anchoring as in rsync/winnowing, Schleimer et al. 2003).
+
+    Window starts are CONTENT-DEFINED: position i anchors a window when
+    ``hash(text[i:i+anchor_gram]) % stride == 0`` — identical spans in
+    different documents therefore anchor at identical in-span offsets
+    regardless of their alignment in the document (the flaw of
+    fixed-stride sampling), and a shared span of length L >= window
+    anchors somewhere with probability ~1-(1-1/stride)^(L-window)
+    (>=99.4% at L = window + 100 for stride 20). Position 1 is always
+    anchored so whole-document duplicates are never missed.
+
+    Returns one row per (document, offending window): ``(id, pos,
+    passage_hash, n_docs)`` — the byte ranges a removal pass cuts.
+
+    Scale shape: ONE projection builds anchor positions + window hashes
+    (per-candidate O(anchor_gram) + per-anchor O(window) char work, the
+    inherent cost), one explode, one count shuffle on the 8-byte hash,
+    one semi-join back. No Python in the row path.
+    """
+    t = F.col(text_col)
+    staged = df.select(
+        F.col(id_col).alias("__id__"), t.alias("__t__"),
+        F.length(t).alias("__n__"),
+    )
+    txt = F.col("__t__")
+    candidates = F.when(
+        F.col("__n__") >= window,
+        F.sequence(F.lit(1), F.col("__n__") - window + 1),
+    ).otherwise(F.array().cast("array<int>"))
+    anchors = F.filter(
+        candidates,
+        lambda i: (i == 1)
+        | (F.pmod(F.xxhash64(F.substring(txt, i, anchor_gram)),
+                  F.lit(stride)) == 0),
+    )
+    wins = F.transform(
+        anchors,
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.xxhash64(F.substring(txt, i, window)).alias("h"),
+        ),
+    )
+    exploded = staged.select(
+        "__id__", F.explode(wins).alias("w")
+    ).select("__id__", "w.pos", "w.h")
+    repeated = (
+        exploded.groupBy("h")
+        .agg(F.count_distinct("__id__").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+    return (
+        exploded.join(repeated, "h")
+        .select(
+            F.col("__id__").alias(id_col),
+            F.col("pos"),
+            F.col("h").alias("passage_hash"),
+            "n_docs",
+        )
+    )

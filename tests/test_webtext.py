@@ -1875,3 +1875,46 @@ def test_extract_html_text(spark):
     bad = ex.filter(
         SF.col("text_extracted") != SF.trim(SF.col("text"))).count()
     assert bad == 0
+
+
+def test_duplicate_passages_content_defined(spark):
+    """Cross-doc repeated-passage detection with CONTENT-DEFINED window
+    anchors: a 260-char span shared at different alignments must yield
+    identical window-hash sets in both documents (fixed-stride sampling
+    would miss misaligned spans), the in-span offsets of matches must
+    agree, and a no-overlap doc contributes nothing. Whole-document
+    duplicates are caught via the always-anchored position 1."""
+    from pytimetk_spark.webtext.dedup import duplicate_passages
+
+    rng = np.random.RandomState(5)
+    letters = np.array(list("abcdefghijklmnopqrstuvwxyz "))
+
+    def mk(n):
+        return "".join(rng.choice(letters, n))
+
+    shared = mk(260)
+    offs = {1: 37, 2: 211}
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [mk(offs[1]) + shared + mk(80),
+                 mk(offs[2]) + shared + mk(15),
+                 mk(400)],
+    })
+    out = duplicate_passages(spark.createDataFrame(docs),
+                             window=100, stride=20).toPandas()
+    assert set(out["doc_id"]) == {1, 2}
+    assert (out["n_docs"] == 2).all()
+    g1 = out[out.doc_id == 1].set_index("passage_hash")["pos"]
+    g2 = out[out.doc_id == 2].set_index("passage_hash")["pos"]
+    assert set(g1.index) == set(g2.index) and len(g1) >= 3
+    for h in g1.index:  # same offset inside the shared span
+        assert g1[h] - offs[1] == g2[h] - offs[2]
+
+    # exact whole-doc duplicate shorter than window+stride still caught
+    short = mk(120)
+    docs2 = pd.DataFrame({"doc_id": [7, 8],
+                          "text": [short, short]})
+    out2 = duplicate_passages(spark.createDataFrame(docs2),
+                              window=100, stride=20).toPandas()
+    assert set(out2["doc_id"]) == {7, 8}
+    assert (out2["pos"] == 1).any()
