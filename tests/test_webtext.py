@@ -1918,3 +1918,48 @@ def test_duplicate_passages_content_defined(spark):
                               window=100, stride=20).toPandas()
     assert set(out2["doc_id"]) == {7, 8}
     assert (out2["pos"] == 1).any()
+
+
+def test_bpe_train_encode(spark):
+    """Corpus-fit BPE: deterministic merge learning, classic subword
+    behavior on the Sennrich low/lower/newest corpus (shared stems and
+    suffixes become units), lossless round-trip through the end-of-word
+    marker, and count bounds n_words <= n_bpe <= n_chars."""
+    from pytimetk_spark.webtext.bpe import (
+        _EOW,
+        _encode_word,
+        bpe_encode,
+        bpe_train,
+    )
+
+    corpus = pd.DataFrame({
+        "doc_id": range(4),
+        "text": ["low low low low low lower lower",
+                 "newest newest newest newest newest newest",
+                 "widest widest widest",
+                 "low newest widest lowest"],
+    })
+    df = spark.createDataFrame(corpus)
+    merges = bpe_train(df, n_merges=60, fit_sample=100, seed=1)
+    assert merges == bpe_train(df, n_merges=60, fit_sample=100, seed=1)
+    ranks = {p: i for i, p in enumerate(merges)}
+    # frequent whole words collapse to single tokens
+    assert _encode_word("low", ranks) == ["low" + _EOW]
+    assert _encode_word("newest", ranks) == ["newest" + _EOW]
+    # unseen word built from learned subwords, not raw chars
+    lowest = _encode_word("lowest", ranks)
+    assert 1 <= len(lowest) <= 4 and "".join(lowest) == "lowest" + _EOW
+
+    enc = bpe_encode(df, merges, return_tokens=True).join(
+        df, "doc_id").toPandas()
+    for _, r in enc.iterrows():
+        detok = "".join(r["bpe_tokens"]).replace(_EOW, " ").strip()
+        assert detok == " ".join(r["text"].lower().split())
+        n_words = len(r["text"].split())
+        assert n_words <= r["bpe_n_tokens"] <= len(r["text"])
+
+    # real-corpus sanity: merges fit on testdata docs, counts bounded
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    m2 = bpe_train(docs, n_merges=120, fit_sample=300, seed=2)
+    out = bpe_encode(docs, m2).join(docs, "doc_id").limit(50).toPandas()
+    assert (out["bpe_n_tokens"] >= out["text"].str.split().str.len()).all()
