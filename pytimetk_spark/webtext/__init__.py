@@ -29,6 +29,7 @@ from pytimetk_spark.webtext.multimodal import (
     byte_stats_features,
     decode_image_batch,
     sample_video_frames,
+    sniff_media_type,
 )
 from pytimetk_spark.webtext.cleaning import (
     c4_line_filter,

@@ -458,3 +458,35 @@ def sample_video_frames(
 
     src = df.select(F.col(id_col).alias("doc_id"), F.col(binary_col).alias("__bin__"))
     return src.mapInPandas(sample, schema=schema)
+
+
+def sniff_media_type(
+    df: DataFrame, binary_col: str, out_col: str = "media_type"
+) -> DataFrame:
+    """Magic-byte MIME sniffing, pure Catalyst (hex-prefix compares in
+    one projection — fuses into any scan): the routing step before the
+    per-format decode/probe operators. Covers every format the engine
+    handles (JPEG/PNG/GIF/WebP/BMP/PPM images, WAV/MP3/AAC/FLAC/Ogg
+    audio, MP4/WebM video) -> NULL for unknown bytes."""
+    b = F.col(binary_col)
+    hx = F.hex(F.substring(b, 1, 12))
+    pre = lambda h: hx.startswith(h)
+    riff = pre("52494646")
+    t = (
+        F.when(pre("FFD8FF"), "image/jpeg")
+        .when(pre("89504E470D0A1A0A"), "image/png")
+        .when(pre("47494638"), "image/gif")
+        .when(riff & (F.substring(hx, 17, 8) == "57454250"), "image/webp")
+        .when(riff & (F.substring(hx, 17, 8) == "57415645"), "audio/wav")
+        .when(pre("424D"), "image/bmp")
+        .when(pre("5036"), "image/x-portable-pixmap")
+        .when(pre("664C6143"), "audio/flac")
+        .when(pre("4F676753"), "audio/ogg")
+        .when(pre("494433"), "audio/mpeg")  # ID3-prefixed MP3
+        .when(pre("FFFB") | pre("FFFA") | pre("FFF3") | pre("FFF2")
+              | pre("FFE3"), "audio/mpeg")
+        .when(pre("FFF1") | pre("FFF9"), "audio/aac")
+        .when(F.substring(hx, 9, 8) == "66747970", "video/mp4")
+        .when(pre("1A45DFA3"), "video/webm")
+    )
+    return df.withColumn(out_col, t)

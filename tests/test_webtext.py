@@ -1963,3 +1963,48 @@ def test_bpe_train_encode(spark):
     m2 = bpe_train(docs, n_merges=120, fit_sample=300, seed=2)
     out = bpe_encode(docs, m2).join(docs, "doc_id").limit(50).toPandas()
     assert (out["bpe_n_tokens"] >= out["text"].str.split().str.len()).all()
+
+
+def test_sniff_media_type_all_formats(spark):
+    """Magic-byte sniffing routes every format the engine handles —
+    one synthesized blob per format, all 12 recognized + junk NULL."""
+    from jpeg_ref import encode_baseline_jpeg
+    from webp_ref import encode_vp8l
+
+    from pytimetk_spark.webtext.aac import synthesize_adts_stream
+    from pytimetk_spark.webtext.flac_ogg import (
+        synthesize_flac,
+        synthesize_ogg_opus,
+    )
+    from pytimetk_spark.webtext.mp3 import synthesize_mp3_stream
+    from pytimetk_spark.webtext.multimodal import sniff_media_type
+
+    rng = np.random.RandomState(1)
+    rgb = rng.randint(0, 256, (8, 8, 3)).astype(np.uint8)
+    idx = rng.randint(0, 4, (8, 8)).astype(np.uint8)
+    pal = rng.randint(0, 256, (4, 3)).astype(np.uint8)
+    frames = [bytes(16)] * 4
+    blobs = {
+        "image/jpeg": encode_baseline_jpeg(rgb, quant=1),
+        "image/png": _make_png(rgb, color=2),
+        "image/gif": _make_gif(idx, pal),
+        "image/webp": encode_vp8l(rgb),
+        "image/bmp": _make_bmp(rgb),
+        "audio/wav": _make_wav(np.sin(np.linspace(0, 5, 500))),
+        "audio/flac": synthesize_flac(),
+        "audio/ogg": synthesize_ogg_opus(),
+        "audio/mpeg": synthesize_mp3_stream(3),
+        "audio/aac": synthesize_adts_stream(3),
+        "video/mp4": _make_mp4(frames),
+        "video/webm": _make_webm(frames),
+        None: b"garbage bytes here",
+    }
+    pdf = pd.DataFrame({"doc_id": range(len(blobs)),
+                        "blob": list(blobs.values()),
+                        "expect": list(blobs.keys())})
+    out = sniff_media_type(spark.createDataFrame(pdf), "blob").toPandas()
+    for _, r in out.iterrows():
+        if r["expect"] is None:
+            assert r["media_type"] is None
+        else:
+            assert r["media_type"] == r["expect"], r["expect"]
