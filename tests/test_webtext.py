@@ -2008,3 +2008,52 @@ def test_sniff_media_type_all_formats(spark):
             assert r["media_type"] is None
         else:
             assert r["media_type"] == r["expect"], r["expect"]
+
+
+def test_image_stream_info_header_probe(spark):
+    """Header-only geometry probe recovers exact dims for every image
+    format WITHOUT decoding — including lossy-VP8 WebP whose pixel
+    decode is a stub and progressive JPEG (format distinguished from
+    baseline); junk yields a NULL row."""
+    from jpeg_ref import encode_baseline_jpeg, encode_progressive_jpeg
+    from webp_ref import encode_vp8l
+
+    from pytimetk_spark.webtext.imageinfo import (
+        image_stream_info,
+        parse_image_dims,
+    )
+
+    rng = np.random.RandomState(2)
+    rgb = rng.randint(0, 256, (24, 31, 3)).astype(np.uint8)
+    idx = rng.randint(0, 4, (24, 31)).astype(np.uint8)
+    pal = rng.randint(0, 256, (4, 3)).astype(np.uint8)
+    # lossy-VP8 WebP: container + uncompressed keyframe header only
+    vp8_frame = (b"\x00\x00\x00" + b"\x9d\x01\x2a"
+                 + (31).to_bytes(2, "little") + (24).to_bytes(2, "little")
+                 + bytes(20))
+    vp8_chunk = b"VP8 " + len(vp8_frame).to_bytes(4, "little") + vp8_frame
+    lossy = (b"RIFF" + (4 + len(vp8_chunk)).to_bytes(4, "little")
+             + b"WEBP" + vp8_chunk)
+    cases = {
+        "jpeg-baseline": encode_baseline_jpeg(rgb, quant=1),
+        "jpeg-progressive": encode_progressive_jpeg(rgb, quant=1),
+        "png": _make_png(rgb, color=2),
+        "gif": _make_gif(idx, pal),
+        "bmp": _make_bmp(rgb),
+        "webp-lossless": encode_vp8l(rgb),
+        "webp-lossy": lossy,
+    }
+    for fmt, blob in cases.items():
+        got = parse_image_dims(blob)
+        assert got is not None, fmt
+        assert (got["format"], got["width"], got["height"]) == (fmt, 31, 24)
+    assert parse_image_dims(b"not an image") is None
+
+    pdf = pd.DataFrame({"doc_id": range(3),
+                        "img": [cases["jpeg-progressive"], lossy, b"junk"]})
+    out = (image_stream_info(spark.createDataFrame(pdf), "img")
+           .toPandas().sort_values("doc_id").reset_index(drop=True))
+    assert out.loc[0, "format"] == "jpeg-progressive"
+    assert (out.loc[1, "width"], out.loc[1, "height"]) == (31, 24)
+    assert abs(out.loc[0, "megapixels"] - 31 * 24 / 1e6) < 1e-12
+    assert pd.isna(out.loc[2, "format"])
