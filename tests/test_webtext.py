@@ -2057,3 +2057,101 @@ def test_image_stream_info_header_probe(spark):
     assert (out.loc[1, "width"], out.loc[1, "height"]) == (31, 24)
     assert abs(out.loc[0, "megapixels"] - 31 * 24 / 1e6) < 1e-12
     assert pd.isna(out.loc[2, "format"])
+
+
+def test_text_ops_run_on_streams(spark, tmp_path):
+    """The stateless corpus operators (PII masking, C4 line filter,
+    quality score, sniffing) are pure Catalyst projections, so they
+    must run unchanged under Structured Streaming — batch and stream
+    results over the same files must match exactly."""
+    from pyspark.sql import functions as SF
+
+    from pytimetk_spark.webtext.cleaning import c4_line_filter, mask_pii
+    from pytimetk_spark.webtext.textstats import quality_score
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    src = str(tmp_path / "docs_src")
+    docs.write.mode("overwrite").parquet(src)
+
+    def transform(frame):
+        out = c4_line_filter(mask_pii(frame, kinds=("email",)),
+                             text_col="text_masked", min_words=40,
+                             require_terminal_punct=False)
+        return quality_score(out).select(
+            "doc_id", "n_email", "n_lines_kept", "line_keep_frac",
+            "quality_score")
+
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    q = (
+        transform(stream).writeStream.format("memory")
+        .queryName("webtext_stream").outputMode("append")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = (spark.table("webtext_stream").toPandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    want = (transform(docs).toPandas()
+            .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want)
+
+
+def _make_av1_seq_obu(width, height, profile=0, reduced=False):
+    """Temporal-delimiter OBU + sized sequence-header OBU (AV1 §5.5)."""
+    w = _SpsWriter()
+    w.u(profile, 3)
+    w.u(0, 1)  # still_picture
+    w.u(1 if reduced else 0, 1)
+    if reduced:
+        w.u(8, 5)  # seq_level_idx_0
+    else:
+        w.u(0, 1)   # timing_info_present
+        w.u(0, 1)   # initial_display_delay_present
+        w.u(0, 5)   # operating_points_cnt_minus_1
+        w.u(0, 12)  # operating_point_idc
+        w.u(8, 5)   # seq_level_idx > 7 -> tier bit follows
+        w.u(0, 1)   # seq_tier
+    wb = max((width - 1).bit_length(), 1)
+    hb = max((height - 1).bit_length(), 1)
+    w.u(wb - 1, 4)
+    w.u(hb - 1, 4)
+    w.u(width - 1, wb)
+    w.u(height - 1, hb)
+    body = w.tobytes()
+
+    def leb(n):
+        out = bytearray()
+        while True:
+            b = n & 0x7F
+            n >>= 7
+            out.append(b | (0x80 if n else 0))
+            if not n:
+                return bytes(out)
+
+    td = bytes([0x12, 0x00])  # temporal delimiter, sized 0
+    return td + bytes([0x0A]) + leb(len(body)) + body
+
+
+def test_av1_sequence_header_probe(spark):
+    """AV1 OBU walking recovers max frame geometry/profile from the
+    sequence header (skipping the leading temporal delimiter), for
+    full and reduced-still-picture header shapes; WebM V_AV1 tracks
+    route through video_stream_info."""
+    from pytimetk_spark.webtext.videoprobe import (
+        parse_av1_seq_header,
+        video_stream_info,
+    )
+
+    for wd, ht, prof, red in [(1920, 1080, 0, False), (640, 360, 2, True),
+                              (64, 64, 1, False)]:
+        got = parse_av1_seq_header(_make_av1_seq_obu(wd, ht, prof, red))
+        assert (got["width"], got["height"], got["profile"]) == (wd, ht, prof)
+    assert parse_av1_seq_header(b"\x80junk") is None
+
+    frames = [_make_av1_seq_obu(1280, 720)] + [bytes(16)] * 3
+    blob = _make_webm(frames, fps=2.0, sync_every=1, codec="V_AV1",
+                      with_audio=False)
+    out = (video_stream_info(
+        spark.createDataFrame(pd.DataFrame({"doc_id": [1], "video": [blob]})),
+        "video").toPandas())
+    assert out.loc[0, "codec"] == "V_AV1"
+    assert (out.loc[0, "coded_width"], out.loc[0, "coded_height"]) == (1280, 720)
