@@ -2155,3 +2155,83 @@ def test_av1_sequence_header_probe(spark):
         "video").toPandas())
     assert out.loc[0, "codec"] == "V_AV1"
     assert (out.loc[0, "coded_width"], out.loc[0, "coded_height"]) == (1280, 720)
+
+
+def test_repetition_signals_hypothesis(spark):
+    """Property sweep: random small documents (random words, newlines,
+    blank lines, repeated segments) must match the plain-python
+    reference on every column. One Spark job for all examples (rows in
+    one frame), so the sweep stays cheap."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from pytimetk_spark.webtext.textstats import repetition_signals
+
+    texts = []
+
+    @settings(max_examples=40, deadline=None, derandomize=True,
+              suppress_health_check=list(HealthCheck))
+    @given(st.data())
+    def gen(data):
+        rng = np.random.RandomState(data.draw(st.integers(0, 10_000)))
+        words = ["aa", "b", "ccc", "dd", "ee"]
+        parts = []
+        for _ in range(data.draw(st.integers(1, 6))):
+            line = " ".join(rng.choice(words, rng.randint(1, 12)))
+            if data.draw(st.booleans()):
+                parts.extend([line, line])  # force duplicate lines
+            else:
+                parts.append(line)
+            if data.draw(st.booleans()):
+                parts.append("")  # blank line -> paragraph split
+        texts.append("\n".join(parts))
+
+    gen()
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    got = (repetition_signals(spark.createDataFrame(pdf), "text")
+           .toPandas().sort_values("doc_id").reset_index(drop=True))
+    for _, row in got.iterrows():
+        ref = _repetition_reference(texts[int(row["doc_id"])])
+        for k, v in ref.items():
+            assert abs(row[k] - v) < 1e-9, (row["doc_id"], k, row[k], v)
+
+
+def test_duplicate_passages_hypothesis(spark):
+    """Property sweep: a shared span injected at RANDOM alignments into
+    two documents is always detected when long enough for an anchor
+    (span >> window), and the matched windows' in-span offsets agree."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from pytimetk_spark.webtext.dedup import duplicate_passages
+
+    cases = []
+
+    @settings(max_examples=15, deadline=None, derandomize=True,
+              suppress_health_check=list(HealthCheck))
+    @given(st.data())
+    def gen(data):
+        rng = np.random.RandomState(data.draw(st.integers(0, 10_000)))
+        letters = np.array(list("abcdefghijklmnopqrstuvwxyz "))
+        mk = lambda n: "".join(rng.choice(letters, n))
+        shared = mk(300)  # window 100 + ~200 anchor chances
+        o1 = data.draw(st.integers(0, 150))
+        o2 = data.draw(st.integers(0, 150))
+        cases.append((mk(o1) + shared + mk(30), mk(o2) + shared + mk(30),
+                      o1, o2))
+
+    gen()
+    rows = []
+    for i, (t1, t2, _o1, _o2) in enumerate(cases):
+        rows.append((2 * i, t1))
+        rows.append((2 * i + 1, t2))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    out = duplicate_passages(spark.createDataFrame(pdf),
+                             window=100, stride=20).toPandas()
+    for i, (_t1, _t2, o1, o2) in enumerate(cases):
+        a = out[out.doc_id == 2 * i].set_index("passage_hash")["pos"]
+        b = out[out.doc_id == 2 * i + 1].set_index("passage_hash")["pos"]
+        common = set(a.index) & set(b.index)
+        assert common, f"case {i}: shared span not detected"
+        for h in common:
+            assert a[h] - o1 == b[h] - o2, f"case {i}: offsets disagree"
