@@ -16,6 +16,8 @@ header (same boundary as the MP3 walker).
 
 from __future__ import annotations
 
+import struct
+
 from dataclasses import dataclass
 
 # sampling_frequency_index -> Hz (indices 13-14 reserved, 15 explicit)
@@ -35,11 +37,8 @@ class AacInfo:
     mpeg_version: int  # 2 or 4
 
 
-def _id3v2_size(blob: bytes) -> int:
-    if blob[:3] != b"ID3" or len(blob) < 10:
-        return 0
-    b = blob[6:10]
-    return 10 + ((b[0] << 21) | (b[1] << 14) | (b[2] << 7) | b[3])
+# ID3v2 skip is shared with the MP3 walker (same container prefix)
+from pytimetk_spark.webtext.mp3 import _id3v2_size  # noqa: E402
 
 
 def _frame(blob: bytes, pos: int):
@@ -55,9 +54,10 @@ def _frame(blob: bytes, pos: int):
     sf_idx = (b[pos + 2] >> 2) & 0x0F
     if sf_idx >= len(_SAMPLE_RATES):
         return None
-    channels = ((b[pos + 2] & 1) << 2) | (b[pos + 3] >> 6)
-    if channels == 0:
+    ch_cfg = ((b[pos + 2] & 1) << 2) | (b[pos + 3] >> 6)
+    if ch_cfg == 0:
         return None  # PCE-defined layouts: out of walker scope
+    channels = 8 if ch_cfg == 7 else ch_cfg  # cfg 7 = 7.1 (8 ch)
     flen = ((b[pos + 3] & 0x03) << 11) | (b[pos + 4] << 3) | (b[pos + 5] >> 5)
     protection_absent = b[pos + 1] & 1
     min_len = 7 if protection_absent else 9
@@ -68,7 +68,7 @@ def _frame(blob: bytes, pos: int):
             2 if mpeg2 else 4, n_blocks)
 
 
-def parse_aac_info(blob: bytes) -> AacInfo | None:
+def _parse_aac_impl(blob: bytes) -> AacInfo | None:
     """Walk ADTS frames -> AacInfo, or None if no coherent frame chain
     exists (needs >= 2 consecutive valid frames to reject false syncs
     in arbitrary binary)."""
@@ -141,3 +141,13 @@ def synthesize_adts_stream(
             out += bytes(2)  # CRC field (walker skips, not validated)
         out += bytes((i + j) & 0xFF for j in range(payload_size))
     return bytes(out)
+
+
+def parse_aac_info(blob: bytes) -> AacInfo | None:
+    """Total wrapper: malformed/truncated input -> None, never an
+    exception escaping into a Spark task."""
+    try:
+        return _parse_aac_impl(blob)
+    except (IndexError, KeyError, ValueError, ZeroDivisionError,
+            struct.error):
+        return None

@@ -550,6 +550,7 @@ def connected_components(
         .withColumn("label", F.col("id"))
         .localCheckpoint()
     )
+    converged = False
     for _ in range(max_iterations):
         neigh_min = (
             edges.join(labels, edges["d"] == labels["id"])
@@ -571,8 +572,18 @@ def connected_components(
         changed = new_labels.filter(F.col("__chg__")).limit(1).count()
         labels = new_labels.drop("__chg__")
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        warnings.warn(
+            f"connected_components: not converged after {max_iterations} "
+            "iterations — components wider than the budget keep SPLIT "
+            "labels; raise max_iterations (rounds needed = component "
+            "diameter)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
 
 

@@ -32,7 +32,7 @@ class AudioStreamInfo:
     bits_per_sample: int  # 0 where the container doesn't expose it
 
 
-def parse_flac_info(blob: bytes) -> AudioStreamInfo | None:
+def _parse_flac_impl(blob: bytes) -> AudioStreamInfo | None:
     """'fLaC' magic + STREAMINFO (block type 0, always first)."""
     if blob[:4] != b"fLaC" or len(blob) < 4 + 4 + 34:
         return None
@@ -73,7 +73,7 @@ def _ogg_pages(blob: bytes):
         pos = body + size
 
 
-def parse_ogg_info(blob: bytes) -> AudioStreamInfo | None:
+def _parse_ogg_impl(blob: bytes) -> AudioStreamInfo | None:
     """Walk Ogg pages: codec ID header on the first page, duration from
     the last non-(-1) granule position."""
     if blob[:4] != b"OggS":
@@ -179,3 +179,23 @@ def synthesize_ogg_vorbis(duration_sec=1.25, channels=1,
         out += _ogg_page(g, bytes(40), 1 + i,
                          header_type=4 if i == n_pages - 1 else 0)
     return bytes(out)
+
+
+def parse_flac_info(blob: bytes) -> AudioStreamInfo | None:
+    """Total wrapper: malformed/truncated input -> None, never an
+    exception escaping into a Spark task."""
+    try:
+        return _parse_flac_impl(blob)
+    except (IndexError, KeyError, ValueError, ZeroDivisionError,
+            struct.error):
+        return None
+
+
+def parse_ogg_info(blob: bytes) -> AudioStreamInfo | None:
+    """Total wrapper: malformed/truncated input -> None, never an
+    exception escaping into a Spark task."""
+    try:
+        return _parse_ogg_impl(blob)
+    except (IndexError, KeyError, ValueError, ZeroDivisionError,
+            struct.error):
+        return None

@@ -24,7 +24,7 @@ import struct
 import numpy as np
 
 
-def decode_gif(blob: bytes) -> np.ndarray | None:
+def _decode_gif_impl(blob: bytes) -> np.ndarray | None:
     """Decode a GIF blob -> HxWx3 uint8 RGB (first frame), else None."""
     if blob[:6] not in (b"GIF87a", b"GIF89a") or len(blob) < 13:
         return None
@@ -150,3 +150,14 @@ def _lzw_decode(data: bytes, min_code: int, max_pixels: int) -> list | None:
             if len(out) >= max_pixels:
                 return out
     return out
+
+
+def decode_gif(blob: bytes) -> np.ndarray | None:
+    """Total wrapper: one corrupt blob in a crawl shard must fall to
+    the None/stub path, never kill a Spark task — truncated or
+    malformed streams surface as parser exceptions in the impl."""
+    try:
+        return _decode_gif_impl(blob)
+    except (IndexError, KeyError, ValueError, ZeroDivisionError,
+            struct.error):
+        return None

@@ -19,7 +19,7 @@ import struct
 from collections.abc import Iterator
 
 
-def parse_image_dims(blob: bytes) -> dict | None:
+def _parse_image_dims_impl(blob: bytes) -> dict | None:
     """-> {format, width, height, n_channels} or None if unrecognized."""
     n = len(blob)
     if n >= 10 and blob[0] == 0xFF and blob[1] == 0xD8:
@@ -139,3 +139,13 @@ def image_stream_info(df, binary_col: str, id_col: str = "doc_id"):
     src = df.select(F.col(id_col).alias("__id__"),
                     F.col(binary_col).alias("__bin__"))
     return src.mapInPandas(probe, schema=schema)
+
+
+def parse_image_dims(blob: bytes) -> dict | None:
+    """Total wrapper: malformed/truncated input -> None, never an
+    exception escaping into a Spark task."""
+    try:
+        return _parse_image_dims_impl(blob)
+    except (IndexError, KeyError, ValueError, ZeroDivisionError,
+            struct.error):
+        return None

@@ -146,7 +146,7 @@ def _extend(v: int, t: int) -> int:
     return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
 
 
-def decode_jpeg(blob: bytes) -> np.ndarray | None:
+def _decode_jpeg_impl(blob: bytes) -> np.ndarray | None:
     """Decode a baseline (SOF0) or progressive (SOF2) JFIF blob ->
     HxWx3 uint8 RGB (grayscale broadcast to 3 channels). Returns None
     for non-JPEG or unsupported variants (arithmetic, 12-bit, CMYK) so
@@ -246,8 +246,7 @@ def decode_jpeg(blob: bytes) -> np.ndarray | None:
     return None
 
 
-# back-compat alias: the original entry point was baseline-only
-decode_baseline_jpeg = decode_jpeg
+
 
 
 def _decode_scan(blob, pos, frame, scan_tables, qt, huff_dc, huff_ac,
@@ -510,3 +509,18 @@ def _blocks_x(w, hs, hmax):
 def _blocks_y(h, vs, vmax):
     ch = (h * vs + vmax - 1) // vmax
     return (ch + 7) // 8
+
+
+def decode_jpeg(blob: bytes) -> np.ndarray | None:
+    """Total wrapper: one corrupt blob in a crawl shard must fall to
+    the None/stub path, never kill a Spark task — truncated or
+    malformed streams surface as parser exceptions in the impl."""
+    try:
+        return _decode_jpeg_impl(blob)
+    except (IndexError, KeyError, ValueError, ZeroDivisionError,
+            struct.error):
+        return None
+
+
+# back-compat alias: the original entry point was baseline-only
+decode_baseline_jpeg = decode_jpeg

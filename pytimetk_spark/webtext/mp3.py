@@ -54,7 +54,7 @@ def _id3v2_size(blob: bytes) -> int:
     return 10 + ((b[0] << 21) | (b[1] << 14) | (b[2] << 7) | b[3])
 
 
-def parse_mp3_info(blob: bytes) -> Mp3Info | None:
+def _parse_mp3_impl(blob: bytes) -> Mp3Info | None:
     """Walk MPEG audio frames -> Mp3Info, or None if no coherent frame
     sequence is found (needs >= 2 consecutive valid frames to avoid
     false syncs in arbitrary binary)."""
@@ -166,3 +166,13 @@ def synthesize_mp3_stream(n_frames: int, version_bits: int = 3,
              (len(body) >> 7) & 0x7F, len(body) & 0x7F]
         ) + body
     return out + frame * n_frames
+
+
+def parse_mp3_info(blob: bytes) -> Mp3Info | None:
+    """Total wrapper: malformed/truncated input -> None, never an
+    exception escaping into a Spark task."""
+    try:
+        return _parse_mp3_impl(blob)
+    except (IndexError, KeyError, ValueError, ZeroDivisionError,
+            struct.error):
+        return None

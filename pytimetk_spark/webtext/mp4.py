@@ -82,7 +82,7 @@ def _boxes(blob: bytes, start: int, end: int):
         pos += size
 
 
-def parse_mp4(blob: bytes) -> Mp4Info | None:
+def _parse_mp4_impl(blob: bytes) -> Mp4Info | None:
     """Parse an unfragmented MP4 -> Mp4Info, or None if not ISO BMFF /
     fragmented / malformed."""
     if len(blob) < 12:
@@ -265,3 +265,13 @@ def extract_keyframes(
             (si, float(trk.sample_ts[si]), trk.codec, blob[off : off + size])
         )
     return out or None
+
+
+def parse_mp4(blob: bytes) -> Mp4Info | None:
+    """Total wrapper: malformed/truncated input -> None, never an
+    exception escaping into a Spark task."""
+    try:
+        return _parse_mp4_impl(blob)
+    except (IndexError, KeyError, ValueError, ZeroDivisionError,
+            struct.error):
+        return None

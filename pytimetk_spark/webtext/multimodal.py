@@ -279,7 +279,7 @@ AUDIO_FEATURE_SCHEMA = T.StructType(
         T.StructField("n_bytes", T.IntegerType()),
         T.StructField("sample_rate", T.IntegerType()),
         T.StructField("n_channels", T.IntegerType()),
-        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),  # 36-bit FLAC totals
         T.StructField("duration_sec", T.DoubleType()),
         T.StructField("rms", T.DoubleType()),
         T.StructField("peak", T.DoubleType()),
@@ -378,12 +378,21 @@ def decode_audio_batch(
                 rate, n_ch, n, dur, rms, peak, zc = _wav_features(blob)
                 rows.append((int(i), len(blob), rate, n_ch, n, dur,
                              rms, peak, zc))
-            yield pd.DataFrame(
+            out = pd.DataFrame(
                 rows,
                 columns=["doc_id", "n_bytes", "sample_rate", "n_channels",
                          "n_samples", "duration_sec", "rms", "peak",
                          "zero_crossing_rate"],
             )
+            # metadata-tier rows carry true NULLs (not NaN) for the
+            # sample-level stats, as the docstring promises: nullable
+            # Float64 arrays survive Arrow as null, plain NaN would not
+            for c in ("rms", "peak", "zero_crossing_rate"):
+                out[c] = pd.array(
+                    [None if v != v else v for v in out[c]],
+                    dtype="Float64",
+                )
+            yield out
 
     src = df.select(F.col(id_col).alias("__id__"), F.col(binary_col).alias("__bin__"))
     return src.mapInPandas(extract, schema=AUDIO_FEATURE_SCHEMA)
@@ -483,8 +492,9 @@ def sniff_media_type(
         .when(pre("664C6143"), "audio/flac")
         .when(pre("4F676753"), "audio/ogg")
         .when(pre("494433"), "audio/mpeg")  # ID3-prefixed MP3
-        .when(pre("FFFB") | pre("FFFA") | pre("FFF3") | pre("FFF2")
-              | pre("FFE3"), "audio/mpeg")
+        # every legal MPEG-audio sync second byte (3 versions x 3
+        # layers x CRC flag; layer==00 is AAC ADTS, handled next)
+        .when(pre("FFE2") | pre("FFE3") | pre("FFE4") | pre("FFE5") | pre("FFE6") | pre("FFE7") | pre("FFF2") | pre("FFF3") | pre("FFF4") | pre("FFF5") | pre("FFF6") | pre("FFF7") | pre("FFFA") | pre("FFFB") | pre("FFFC") | pre("FFFD") | pre("FFFE") | pre("FFFF"), "audio/mpeg")
         .when(pre("FFF1") | pre("FFF9"), "audio/aac")
         .when(F.substring(hx, 9, 8) == "66747970", "video/mp4")
         .when(pre("1A45DFA3"), "video/webm")

@@ -36,7 +36,7 @@ ADAM7_PASSES = [
 ]
 
 
-def decode_png(blob: bytes) -> np.ndarray | None:
+def _decode_png_impl(blob: bytes) -> np.ndarray | None:
     """Decode a PNG blob -> HxWx3 uint8 RGB, or None if out of scope."""
     if not blob.startswith(_SIG):
         return None
@@ -161,3 +161,14 @@ def _unfilter(rows: np.ndarray, filters: np.ndarray, bpp: int) -> np.ndarray:
             raise ValueError(f"bad PNG filter {f}")
         prev = r
     return rows
+
+
+def decode_png(blob: bytes) -> np.ndarray | None:
+    """Total wrapper: one corrupt blob in a crawl shard must fall to
+    the None/stub path, never kill a Spark task — truncated or
+    malformed streams surface as parser exceptions in the impl."""
+    try:
+        return _decode_png_impl(blob)
+    except (IndexError, KeyError, ValueError, ZeroDivisionError,
+            struct.error):
+        return None

@@ -105,7 +105,7 @@ def _elements(blob: bytes, pos: int, end: int):
         pos = pe
 
 
-def parse_webm(blob: bytes) -> WebmInfo | None:
+def _parse_webm_impl(blob: bytes) -> WebmInfo | None:
     """Parse an EBML/Matroska/WebM blob -> WebmInfo, or None if it is
     not EBML or carries no Segment."""
     if blob[:4] != b"\x1a\x45\xdf\xa3":
@@ -234,3 +234,13 @@ def extract_keyframes_webm(
         ts, payload = info.keyframes[oi]
         out.append((oi, float(ts), codec, payload))
     return out or None
+
+
+def parse_webm(blob: bytes) -> WebmInfo | None:
+    """Total wrapper: malformed/truncated input -> None, never an
+    exception escaping into a Spark task."""
+    try:
+        return _parse_webm_impl(blob)
+    except (IndexError, KeyError, ValueError, ZeroDivisionError,
+            struct.error):
+        return None

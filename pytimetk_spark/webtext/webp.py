@@ -23,6 +23,8 @@ thumbnails. Runs per blob inside mapInPandas.
 
 from __future__ import annotations
 
+import struct
+
 import numpy as np
 
 
@@ -180,13 +182,17 @@ def _lz77_extra(code: int, br: _Bits) -> int:
 
 
 def _decode_entropy_image(
-    br: _Bits, w: int, h: int, allow_meta: bool, allow_cache: bool = True
+    br: _Bits, w: int, h: int, allow_meta: bool
 ) -> np.ndarray:
     """The core VP8L 'spatially-coded image' decoder -> (h, w, 4) uint8
     ARGB. Used for the main image AND (recursively, with allow_meta
     False) for transform/meta sub-images."""
+    # EVERY entropy-coded image starts with the color-cache-info bit —
+    # including meta-prefix and transform sub-images (RFC 9649 §5 /
+    # libwebp DecodeImageStream); skipping it for sub-images desyncs
+    # the stream on real encoder output.
     cache_bits = 0
-    if allow_cache and br.read(1):
+    if br.read(1):
         cache_bits = br.read(4)
     cache = (
         np.zeros((1 << cache_bits, 4), np.uint8) if cache_bits else None
@@ -198,7 +204,7 @@ def _decode_entropy_image(
         meta_bits = br.read(3) + 2
         mw = (w + (1 << meta_bits) - 1) >> meta_bits
         mh = (h + (1 << meta_bits) - 1) >> meta_bits
-        meta = _decode_entropy_image(br, mw, mh, False, allow_cache=False)
+        meta = _decode_entropy_image(br, mw, mh, False)
         n_groups = int(
             (meta[:, :, 1].astype(np.int64) << 8 | meta[:, :, 2]).max()
         ) + 1
@@ -258,7 +264,7 @@ def _cache_insert(cache, cache_bits, a, r, g, b):
     cache[key] = (a, r, g, b)
 
 
-def decode_webp_lossless(blob: bytes) -> np.ndarray | None:
+def _decode_webp_impl(blob: bytes) -> np.ndarray | None:
     """Decode RIFF/WEBP/VP8L -> HxWx3 uint8 RGB (alpha composited over
     white), or None for lossy VP8 / extended-animation / non-WebP."""
     if blob[:4] != b"RIFF" or blob[8:12] != b"WEBP" or len(blob) < 21:
@@ -443,3 +449,14 @@ def _inverse_predictor(img, bits, sub):
                     )
             out[y, x] = (out[y, x] + pred) & 0xFF
     return out.astype(np.uint8)
+
+
+def decode_webp_lossless(blob: bytes) -> np.ndarray | None:
+    """Total wrapper: one corrupt blob in a crawl shard must fall to
+    the None/stub path, never kill a Spark task — truncated or
+    malformed streams surface as parser exceptions in the impl."""
+    try:
+        return _decode_webp_impl(blob)
+    except (IndexError, KeyError, ValueError, ZeroDivisionError,
+            struct.error):
+        return None

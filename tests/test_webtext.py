@@ -2235,3 +2235,96 @@ def test_duplicate_passages_hypothesis(spark):
         assert common, f"case {i}: shared span not detected"
         for h in common:
             assert a[h] - o1 == b[h] - o2, f"case {i}: offsets disagree"
+
+
+def test_parsers_total_over_fuzzed_bytes():
+    """Every public decoder/parser must be TOTAL: random bytes and
+    truncated prefixes of every valid fixture return None (or a valid
+    result) — never an exception that would kill a Spark task on one
+    corrupt blob in a crawl shard."""
+    from jpeg_ref import encode_baseline_jpeg
+    from webp_ref import encode_vp8l
+
+    from pytimetk_spark.webtext.aac import (
+        parse_aac_info,
+        synthesize_adts_stream,
+    )
+    from pytimetk_spark.webtext.flac_ogg import (
+        parse_flac_info,
+        parse_ogg_info,
+        synthesize_flac,
+        synthesize_ogg_opus,
+    )
+    from pytimetk_spark.webtext.gif import decode_gif
+    from pytimetk_spark.webtext.imageinfo import parse_image_dims
+    from pytimetk_spark.webtext.jpeg import decode_jpeg
+    from pytimetk_spark.webtext.mp3 import (
+        parse_mp3_info,
+        synthesize_mp3_stream,
+    )
+    from pytimetk_spark.webtext.mp4 import parse_mp4
+    from pytimetk_spark.webtext.png import decode_png
+    from pytimetk_spark.webtext.webm import parse_webm
+    from pytimetk_spark.webtext.webp import decode_webp_lossless
+
+    rng = np.random.RandomState(99)
+    rgb = rng.randint(0, 256, (9, 9, 3)).astype(np.uint8)
+    idx = rng.randint(0, 4, (9, 9)).astype(np.uint8)
+    pal = rng.randint(0, 256, (4, 3)).astype(np.uint8)
+    fixtures = [
+        encode_baseline_jpeg(rgb, quant=1), _make_png(rgb, color=2),
+        _make_gif(idx, pal), encode_vp8l(rgb), _make_bmp(rgb),
+        synthesize_mp3_stream(4), synthesize_adts_stream(4),
+        synthesize_flac(), synthesize_ogg_opus(),
+        _make_mp4([bytes(16)] * 4), _make_webm([bytes(16)] * 4),
+    ]
+    parsers = [decode_jpeg, decode_png, decode_gif, decode_webp_lossless,
+               parse_mp3_info, parse_aac_info, parse_flac_info,
+               parse_ogg_info, parse_mp4, parse_webm, parse_image_dims]
+    blobs = []
+    for f in fixtures:
+        for cut in (3, 7, len(f) // 3, len(f) // 2, len(f) - 1):
+            blobs.append(f[:cut])
+        # bit-flipped mid-stream corruption
+        ba = bytearray(f)
+        for _ in range(4):
+            ba[rng.randint(len(ba))] ^= 0xFF
+        blobs.append(bytes(ba))
+    for _ in range(30):
+        blobs.append(bytes(rng.randint(0, 256, rng.randint(0, 120),
+                                       dtype=np.uint8).tobytes()))
+    for blob in blobs:
+        for p in parsers:
+            p(blob)  # must not raise; value unchecked
+
+
+def test_aac_71_channel_config():
+    """ADTS channel_configuration 7 means a 7.1 layout = 8 channels."""
+    from pytimetk_spark.webtext.aac import (
+        parse_aac_info,
+        synthesize_adts_stream,
+    )
+
+    info = parse_aac_info(synthesize_adts_stream(10, channels=7))
+    assert info.n_channels == 8
+
+
+def test_sniff_covers_all_mp3_syncs(spark):
+    """Every legal MPEG-audio sync (3 versions x 3 layers x CRC flag)
+    must sniff as audio/mpeg — the walker accepts them all, so the
+    router must too; AAC's layer-00 syncs stay distinct."""
+    from pytimetk_spark.webtext.multimodal import sniff_media_type
+
+    seconds = sorted({0xE0 | (v << 3) | (l << 1) | p
+                      for v in (0, 2, 3) for l in (1, 2, 3)
+                      for p in (0, 1)})
+    pdf = pd.DataFrame({
+        "doc_id": range(len(seconds) + 2),
+        "blob": [bytes([0xFF, b2]) + bytes(30) for b2 in seconds]
+        + [bytes([0xFF, 0xF1]) + bytes(30),
+           bytes([0xFF, 0xF9]) + bytes(30)],
+    })
+    out = (sniff_media_type(spark.createDataFrame(pdf), "blob")
+           .toPandas().sort_values("doc_id").reset_index(drop=True))
+    assert (out.loc[: len(seconds) - 1, "media_type"] == "audio/mpeg").all()
+    assert (out.loc[len(seconds):, "media_type"] == "audio/aac").all()

@@ -203,10 +203,9 @@ def _encode_entropy_image(
 ):
     """Encode an (h, w, 4) uint8 ARGB array as a spatially-coded image.
 
-    read_cache/read_meta mirror which header bits the DECODER will read
-    at this nesting level (main image: both; transform sub-image: cache
-    only; meta sub-image: neither). group_of(y, x) -> group index when
-    meta partitioning is on.
+    Every nesting level reads the color-cache bit (spec behavior);
+    read_meta is True only for the main image. group_of(y, x) -> group
+    index when meta partitioning is on.
     """
     h, wd = img.shape[:2]
     if read_cache:
@@ -229,7 +228,8 @@ def _encode_entropy_image(
             mimg = np.zeros((mh, mw, 4), np.uint8)
             mimg[..., 1] = (gidx >> 8).astype(np.uint8)
             mimg[..., 2] = (gidx & 0xFF).astype(np.uint8)
-            _encode_entropy_image(w, mimg, read_cache=False, read_meta=False)
+            _encode_entropy_image(w, mimg, read_cache=True,
+                                  read_meta=False)
             n_groups = int(gidx.max()) + 1
         else:
             w.put(0, 1)
