@@ -23,6 +23,7 @@ from pytimetk_spark.webtext.textstats import (
     language_id,
     quality_score,
     repetition_signals,
+    script_profile,
     token_stats,
 )
 from pytimetk_spark.webtext.multimodal import (

@@ -2328,3 +2328,30 @@ def test_sniff_covers_all_mp3_syncs(spark):
            .toPandas().sort_values("doc_id").reset_index(drop=True))
     assert (out.loc[: len(seconds) - 1, "media_type"] == "audio/mpeg").all()
     assert (out.loc[len(seconds):, "media_type"] == "audio/aac").all()
+
+
+def test_script_profile(spark):
+    """Unicode-script fractions + dominant script for Latin, Cyrillic,
+    Han, kana, Hangul, Arabic mixes; letterless docs get NULL dominant;
+    a mixed doc reports proportional fractions."""
+    from pytimetk_spark.webtext.textstats import script_profile
+
+    docs = pd.DataFrame({"doc_id": [1, 2, 3, 4, 5, 6, 7],
+                         "text": ["hello latin world",
+                                  "привет мир",
+                                  "这是中文文本",
+                                  "こんにちはカタカナ",
+                                  "안녕하세요",
+                                  "1234 !!!",
+                                  "half latin половина русских"]})
+    out = (script_profile(spark.createDataFrame(docs)).toPandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert list(out["dominant_script"][:5]) == [
+        "latin", "cyrillic", "cjk", "hiragana_katakana", "hangul"]
+    assert pd.isna(out.loc[5, "dominant_script"])
+    mixed = out.iloc[6]
+    assert 0 < mixed["script_latin_frac"] < 1
+    assert abs(mixed["script_latin_frac"] + mixed["script_cyrillic_frac"]
+               - 1.0) < 1e-9
+    # fractions are over LETTERS only: digits/punct don't dilute
+    assert out.loc[0, "script_latin_frac"] == 1.0
