@@ -35,7 +35,9 @@ from pytimetk_spark.webtext.multimodal import (
 from pytimetk_spark.webtext.cleaning import (
     c4_line_filter,
     decontaminate,
+    hash_split,
     mask_pii,
+    pack_sequences,
 )
 from pytimetk_spark.webtext.bpe import bpe_encode, bpe_train
 from pytimetk_spark.webtext.html import extract_html_text

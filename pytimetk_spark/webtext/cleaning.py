@@ -165,3 +165,98 @@ def decontaminate(
             ),
         )
     )
+
+
+def hash_split(
+    df: DataFrame,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic train/val/test assignment by id hash: adds
+    ``split`` with each label's share of the 64-bit hash ring.
+    Stable across runs/cluster sizes (a property random sampling lacks
+    — re-runs never leak val docs into train), order-independent, and
+    exactly reproducible for audits."""
+    total = sum(fractions.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    # map the signed 64-bit xxhash to [0, 1): scale to [-0.5, 0.5)
+    # then shift (double precision ~2^-53 is ample for split bounds)
+    u = (F.xxhash64(F.col(id_col), F.lit(seed)).cast("double")
+         / F.lit(float(2 ** 64)) + F.lit(0.5))
+    expr = None
+    acc = 0.0
+    labels = sorted(fractions)  # deterministic boundary order
+    for name in labels[:-1]:
+        acc += fractions[name]
+        cond = u < acc
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = (F.lit(labels[-1]) if expr is None
+            else expr.otherwise(labels[-1]))
+    return df.withColumn("split", expr)
+
+
+def pack_sequences(
+    df: DataFrame,
+    max_tokens: int,
+    token_col: str = "bpe_n_tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Greedy first-fit packing of documents into fixed-budget training
+    sequences: returns (id, seq_id, seq_fill) where all docs sharing a
+    ``seq_id`` fit within ``max_tokens`` together and ``seq_fill`` is
+    that sequence's total. Documents longer than the budget get a
+    sequence of their own (the downstream chunker splits them).
+
+    Scale shape: packing is PER PARTITION (an Arrow pass with plain
+    greedy state) — global optimal packing would serialize the corpus;
+    per-partition packing loses only O(1) fill per partition boundary
+    and keeps the operator embarrassingly parallel. seq_ids are made
+    globally unique by salting with the partition id."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("__pid__", T.LongType()),
+        T.StructField("seq_id", T.LongType()),
+        T.StructField("seq_fill", T.LongType()),
+    ])
+
+    def pack(batches):
+        import pandas as pd
+
+        # one greedy bin state across the whole partition's batches
+        # (global uniqueness comes from the spark_partition_id salt
+        # applied after — mapInPandas is narrow, so the salt matches
+        # the producing partition)
+        seq_no = 0
+        fill = 0
+        assignments = []  # (id, local_seq)
+        fills = {}
+        for pdf in batches:
+            for i, n in zip(pdf["__pid__"], pdf["__tok__"]):
+                n = int(n)
+                if fill and fill + n > max_tokens:
+                    seq_no += 1
+                    fill = 0
+                assignments.append((int(i), seq_no))
+                fill += n
+                fills[seq_no] = fill
+        out = pd.DataFrame(assignments, columns=["__pid__", "local"])
+        if len(out) == 0:
+            return
+        out["seq_id"] = out["local"]
+        out["seq_fill"] = out["local"].map(fills)
+        yield out[["__pid__", "seq_id", "seq_fill"]]
+
+    src = df.select(
+        F.col(id_col).cast("long").alias("__pid__"),
+        F.col(token_col).cast("long").alias("__tok__"),
+    )
+    packed = src.mapInPandas(pack, schema=schema)
+    # salt local seq ids with the partition id for global uniqueness
+    packed = packed.withColumn(
+        "seq_id",
+        F.col("seq_id") + F.spark_partition_id().cast("long") * F.lit(1 << 40),
+    )
+    return packed.withColumnRenamed("__pid__", id_col)

@@ -2355,3 +2355,40 @@ def test_script_profile(spark):
                - 1.0) < 1e-9
     # fractions are over LETTERS only: digits/punct don't dilute
     assert out.loc[0, "script_latin_frac"] == 1.0
+
+
+def test_hash_split_and_pack_sequences(spark):
+    """hash_split: proportions within tolerance, deterministic and
+    partition-layout independent (no val/train leakage across re-runs);
+    pack_sequences: every doc assigned once, per-sequence fills match
+    the member sums, budget respected except singleton oversize docs."""
+    from pytimetk_spark.webtext.cleaning import hash_split, pack_sequences
+
+    docs = spark.range(8000).withColumnRenamed("id", "doc_id")
+    fr = {"train": 0.9, "val": 0.05, "test": 0.05}
+    sp = hash_split(docs, fr)
+    counts = {r["split"]: r["count"] for r in
+              sp.groupBy("split").count().collect()}
+    assert abs(counts["train"] / 8000 - 0.9) < 0.02
+    assert abs(counts["val"] / 8000 - 0.05) < 0.015
+    val_a = {r.doc_id for r in sp.filter("split='val'").collect()}
+    val_b = {r.doc_id for r in
+             hash_split(docs.repartition(13), fr)
+             .filter("split='val'").collect()}
+    assert val_a == val_b
+    with pytest.raises(ValueError):
+        hash_split(docs, {"train": 0.5})
+
+    rng = np.random.RandomState(3)
+    toks = pd.DataFrame({"doc_id": range(500),
+                         "bpe_n_tokens": rng.randint(10, 900, 500)})
+    packed = pack_sequences(spark.createDataFrame(toks).repartition(4),
+                            max_tokens=2048).toPandas()
+    assert len(packed) == 500
+    j = packed.merge(toks, on="doc_id")
+    fills = j.groupby("seq_id")["bpe_n_tokens"].sum()
+    assert (fills == j.groupby("seq_id")["seq_fill"].first()).all()
+    sizes = j.groupby("seq_id").size()
+    over = fills[fills > 2048]
+    assert (sizes[over.index] == 1).all()  # only oversize singletons
+    assert fills.mean() > 1200  # greedy packing actually packs
