@@ -14,6 +14,7 @@ from pytimetk_spark.webtext.dedup import (
 )
 from pytimetk_spark.webtext.similarity import (
     cosine_topk_bruteforce,
+    hash_embed,
     ivf_ann,
     lsh_bucket_ann,
     normalize_embeddings,

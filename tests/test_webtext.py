@@ -2392,3 +2392,38 @@ def test_hash_split_and_pack_sequences(spark):
     over = fills[fills > 2048]
     assert (sizes[over.index] == 1).all()  # only oversize singletons
     assert fills.mean() > 1200  # greedy packing actually packs
+
+
+def test_hash_embed_feature_hashing(spark):
+    """Model-free feature-hashing embeddings: unit-norm, deterministic
+    (blake2b keyed by seed — NOT process-salted builtin hash), near-dup
+    texts land closer than unrelated texts, different seeds decorrelate,
+    and the vectors plug straight into the exact ANN searcher."""
+    from pytimetk_spark.webtext.similarity import (
+        cosine_topk_bruteforce,
+        hash_embed,
+    )
+
+    docs = pd.DataFrame({"doc_id": [1, 2, 3],
+                         "text": ["spark query engine rollup tier data",
+                                  "spark query engine rollup tier value",
+                                  "completely different words entirely "
+                                  "here now"]})
+    df = spark.createDataFrame(docs)
+    v = np.array(hash_embed(df, dim=64).toPandas()
+                 .sort_values("doc_id")["embedding"].tolist())
+    np.testing.assert_allclose(np.linalg.norm(v, axis=1), 1.0)
+    assert v[0] @ v[1] > 0.6 > v[0] @ v[2]
+    v2 = np.array(hash_embed(df, dim=64).toPandas()
+                  .sort_values("doc_id")["embedding"].tolist())
+    np.testing.assert_allclose(v, v2)  # cross-job determinism
+    v_seed = np.array(hash_embed(df, dim=64, seed=7).toPandas()
+                      .sort_values("doc_id")["embedding"].tolist())
+    assert not np.allclose(v, v_seed)
+
+    emb = hash_embed(df, dim=64)
+    q = emb.filter("doc_id = 1").selectExpr("doc_id as query_id",
+                                            "embedding")
+    top = cosine_topk_bruteforce(
+        emb.withColumnRenamed("doc_id", "vec_id"), q, k=2).toPandas()
+    assert list(top["vec_id"]) == [1, 2]
