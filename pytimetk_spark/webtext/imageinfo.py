@@ -44,6 +44,12 @@ def _parse_image_dims_impl(blob: bytes) -> dict | None:
         return None
     if blob[:4] == b"RIFF" and blob[8:12] == b"WEBP" and n >= 30:
         return _webp_dims(blob)
+    if n >= 12 and blob[4:8] == b"ftyp" and blob[8:12] in (
+        b"avif", b"avis", b"heic", b"heix", b"mif1"
+    ):
+        return _heif_dims(blob)
+    if blob[:4] in (b"II*\x00", b"MM\x00*"):
+        return _tiff_dims(blob)
     return None
 
 
@@ -102,6 +108,61 @@ def _webp_dims(blob: bytes) -> dict | None:
                     "n_channels": 4}
         pos = body + size + (size & 1)
     return None
+
+
+def _heif_dims(blob: bytes) -> dict | None:
+    """AVIF/HEIC: ISO BMFF meta/iprp/ipco walk to the 'ispe' (image
+    spatial extents) property — dims without touching the AV1/HEVC
+    payload. Reuses the MP4 box walker."""
+    from pytimetk_spark.webtext.mp4 import _boxes
+
+    fmt = "avif" if blob[8:12] in (b"avif", b"avis") else "heic"
+
+    def find_ispe(s, e):
+        for bt, bs, be in _boxes(blob, s, e):
+            if bt == b"ispe" and be - bs >= 12:
+                w, h = struct.unpack_from(">II", blob, bs + 4)
+                return w, h
+            if bt in (b"meta", b"iprp", b"ipco"):
+                # meta is a FULL box: 4-byte version/flags before children
+                got = find_ispe(bs + (4 if bt == b"meta" else 0), be)
+                if got:
+                    return got
+        return None
+
+    got = find_ispe(0, len(blob))
+    if not got:
+        return None
+    return {"format": fmt, "width": got[0], "height": got[1],
+            "n_channels": 3}
+
+
+def _tiff_dims(blob: bytes) -> dict | None:
+    """TIFF: first IFD walk for tags 256/257 (ImageWidth/Length)."""
+    bo = "<" if blob[:2] == b"II" else ">"
+    ifd_off = struct.unpack_from(bo + "I", blob, 4)[0]
+    if ifd_off + 2 > len(blob):
+        return None
+    n_tags = struct.unpack_from(bo + "H", blob, ifd_off)[0]
+    w = h = None
+    for i in range(n_tags):
+        e = ifd_off + 2 + 12 * i
+        if e + 12 > len(blob):
+            return None
+        tag, typ = struct.unpack_from(bo + "HH", blob, e)
+        if typ == 3:  # SHORT
+            val = struct.unpack_from(bo + "H", blob, e + 8)[0]
+        elif typ == 4:  # LONG
+            val = struct.unpack_from(bo + "I", blob, e + 8)[0]
+        else:
+            continue
+        if tag == 256:
+            w = val
+        elif tag == 257:
+            h = val
+    if w is None or h is None:
+        return None
+    return {"format": "tiff", "width": w, "height": h, "n_channels": 3}
 
 
 def image_stream_info(df, binary_col: str, id_col: str = "doc_id"):

@@ -496,7 +496,14 @@ def sniff_media_type(
         # layers x CRC flag; layer==00 is AAC ADTS, handled next)
         .when(pre("FFE2") | pre("FFE3") | pre("FFE4") | pre("FFE5") | pre("FFE6") | pre("FFE7") | pre("FFF2") | pre("FFF3") | pre("FFF4") | pre("FFF5") | pre("FFF6") | pre("FFF7") | pre("FFFA") | pre("FFFB") | pre("FFFC") | pre("FFFD") | pre("FFFE") | pre("FFFF"), "audio/mpeg")
         .when(pre("FFF1") | pre("FFF9"), "audio/aac")
+        .when((F.substring(hx, 9, 8) == "66747970")
+              & F.substring(hx, 17, 8).isin(
+                  "61766966", "61766973"), "image/avif")
+        .when((F.substring(hx, 9, 8) == "66747970")
+              & F.substring(hx, 17, 8).isin(
+                  "68656963", "68656978", "6D696631"), "image/heic")
         .when(F.substring(hx, 9, 8) == "66747970", "video/mp4")
         .when(pre("1A45DFA3"), "video/webm")
+        .when(pre("49492A00") | pre("4D4D002A"), "image/tiff")
     )
     return df.withColumn(out_col, t)

@@ -2427,3 +2427,53 @@ def test_hash_embed_feature_hashing(spark):
     top = cosine_topk_bruteforce(
         emb.withColumnRenamed("doc_id", "vec_id"), q, k=2).toPandas()
     assert list(top["vec_id"]) == [1, 2]
+
+
+def _make_avif(w, h, brand=b"avif"):
+    import struct
+
+    def box(t, p):
+        return struct.pack(">I", len(p) + 8) + t + p
+
+    ispe = box(b"ispe", struct.pack(">III", 0, w, h))
+    meta = box(b"meta", struct.pack(">I", 0)
+               + box(b"iprp", box(b"ipco", ispe)))
+    return box(b"ftyp", brand + struct.pack(">I", 0) + brand) + meta
+
+
+def _make_tiff(w, h, le=True):
+    import struct
+
+    bo = "<" if le else ">"
+    hdr = (b"II*\x00" if le else b"MM\x00*") + struct.pack(bo + "I", 8)
+    entries = struct.pack(bo + "H", 2)
+    entries += (struct.pack(bo + "HHI", 256, 3, 1)
+                + struct.pack(bo + "H", w) + b"\x00\x00")
+    entries += struct.pack(bo + "HHI", 257, 4, 1) + struct.pack(bo + "I", h)
+    return hdr + entries + struct.pack(bo + "I", 0)
+
+
+def test_avif_heic_tiff_probes_and_sniff(spark):
+    """Modern-web image formats probe header-only: AVIF/HEIC via the
+    ISO BMFF ispe property, TIFF via the first IFD (both byte orders);
+    the sniffer distinguishes avif/heic brands from plain MP4."""
+    from pytimetk_spark.webtext.imageinfo import parse_image_dims
+    from pytimetk_spark.webtext.multimodal import sniff_media_type
+
+    assert parse_image_dims(_make_avif(1200, 800)) == {
+        "format": "avif", "width": 1200, "height": 800, "n_channels": 3}
+    assert parse_image_dims(_make_avif(640, 480, b"heic"))["format"] == "heic"
+    assert parse_image_dims(_make_tiff(321, 123, le=True)) == {
+        "format": "tiff", "width": 321, "height": 123, "n_channels": 3}
+    assert parse_image_dims(_make_tiff(800, 600, le=False))["height"] == 600
+
+    frames = [bytes(16)] * 4
+    pdf = pd.DataFrame({
+        "doc_id": range(4),
+        "blob": [_make_avif(10, 10), _make_avif(10, 10, b"heic"),
+                 _make_tiff(5, 5), _make_mp4(frames)],
+    })
+    out = (sniff_media_type(spark.createDataFrame(pdf), "blob")
+           .toPandas().sort_values("doc_id"))
+    assert list(out["media_type"]) == [
+        "image/avif", "image/heic", "image/tiff", "video/mp4"]
