@@ -327,7 +327,14 @@ Measurement honesty
 """
     bench_dir = REPO / "BENCH"
     bench_dir.mkdir(exist_ok=True)
-    (bench_dir / "BASELINE.md").write_text(md)
+    # preserve hand-curated history: everything from the marker on is
+    # carried over (a plain write_text once destroyed the cross-round
+    # evidence section and it had to be restored from git)
+    target = bench_dir / "BASELINE.md"
+    marker = "<!-- history below"
+    if target.exists() and marker in (prev := target.read_text()):
+        md = md.rstrip() + "\n\n" + prev[prev.index(marker):]
+    target.write_text(md)
     print(
         json.dumps(
             {
