@@ -202,3 +202,58 @@ def sketch_quantiles(
             yield pdf[in_cols + qcols]
 
     return tier_df.mapInPandas(extract, schema)
+
+
+# -- distinct-count tiers (native Datasketches HLL) ---------------------
+
+
+def rollup_distinct_tier(
+    df: DataFrame,
+    url_col: str,
+    ts_col: str,
+    item_col: str,
+    freq: str = "h",
+    lg_k: int = 12,
+) -> DataFrame:
+    """Distinct-count tier: (url, bucket) -> HyperLogLog sketch of the
+    item column (e.g. distinct visitor/page ids per domain-hour), using
+    Spark's NATIVE Datasketches HLL aggregate — pure Catalyst, JVM-side,
+    and the binary sketch column is re-aggregable by design. lg_k=12
+    -> ~2.5% standard error in 4 KB per bucket."""
+    return (
+        df.select(
+            F.col(url_col).alias("url"),
+            floor_date(F.col(ts_col), freq).alias("bucket_ts"),
+            F.col(item_col).alias("__item__"),
+        )
+        .groupBy("url", "bucket_ts")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.hll_sketch_agg("__item__", F.lit(lg_k)).alias("hll"),
+        )
+    )
+
+
+def rollup_distinct_tier_to_tier(
+    tier_df: DataFrame, to_freq: str
+) -> DataFrame:
+    """Merge fine-tier HLL sketches into a coarser tier — the distinct
+    count RE-AGGREGATES exactly (union semantics), which a plain
+    count-distinct column never can."""
+    return (
+        tier_df.withColumn(
+            "bucket_ts", floor_date(F.col("bucket_ts"), to_freq)
+        )
+        .groupBy("url", "bucket_ts")
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.hll_union_agg("hll").alias("hll"),
+        )
+    )
+
+
+def distinct_estimates(tier_df: DataFrame) -> DataFrame:
+    """Read n_distinct off the sketch (keeps the sketch for merging)."""
+    return tier_df.withColumn(
+        "n_distinct", F.hll_sketch_estimate("hll")
+    )
