@@ -133,11 +133,15 @@ def rollup_sketch_tier(
     def build(pdf):
         import pandas as pd
 
-        m, w = digest_of(pdf["__v__"].to_numpy(), delta)
+        # NULL metric rows arrive as NaN — drop them like every Spark
+        # aggregate does, or one NULL poisons the whole bucket's digest
+        v = pdf["__v__"].to_numpy()
+        v = v[~np.isnan(v)]
+        m, w = digest_of(v, delta)
         return pd.DataFrame({
             "url": [pdf["url"].iloc[0]],
             "bucket_ts": [pdf["bucket_ts"].iloc[0]],
-            "cnt": [len(pdf)],
+            "cnt": [len(v)],
             "qs_means": [m.tolist()],
             "qs_weights": [w.tolist()],
         })
@@ -184,7 +188,7 @@ def sketch_quantiles(
 ) -> DataFrame:
     """Add p{q} columns extracted from each row's digest (vectorized
     Arrow pass; the digest stays in the row for further merging)."""
-    qcols = [f"p{int(q * 1000) / 10:g}".replace(".", "_")
+    qcols = [f"p{round(q * 1000) / 10:g}".replace(".", "_")
              for q in quantiles]
     fields = list(tier_df.schema.fields) + [
         T.StructField(c, T.DoubleType()) for c in qcols

@@ -113,7 +113,7 @@ def bpe_encode(
     ranks = {pair: i for i, pair in enumerate(merges)}
 
     fields = [
-        T.StructField("__bid__", T.LongType()),
+        T.StructField("__bid__", df.schema[id_col].dataType),
         T.StructField("bpe_n_tokens", T.IntegerType()),
     ]
     if return_tokens:
@@ -138,14 +138,14 @@ def bpe_encode(
                 counts.append(len(toks))
                 if return_tokens:
                     toks_col.append(toks)
-            data = {"__bid__": pdf["__bid__"].astype("int64"),
+            data = {"__bid__": pdf["__bid__"],
                     "bpe_n_tokens": counts}
             if return_tokens:
                 data["bpe_tokens"] = toks_col
             yield pd.DataFrame(data)
 
     src = df.select(
-        F.col(id_col).cast("long").alias("__bid__"),
+        F.col(id_col).alias("__bid__"),  # uncast: generic id dtypes
         F.col(text_col).alias("__t__"),
     )
     return src.mapInPandas(encode, schema=schema).withColumnRenamed(

@@ -217,7 +217,7 @@ def pack_sequences(
     from pyspark.sql import types as T
 
     schema = T.StructType([
-        T.StructField("__pid__", T.LongType()),
+        T.StructField("__pid__", df.schema[id_col].dataType),
         T.StructField("seq_id", T.LongType()),
         T.StructField("seq_fill", T.LongType()),
     ])
@@ -235,23 +235,26 @@ def pack_sequences(
         fills = {}
         for pdf in batches:
             for i, n in zip(pdf["__pid__"], pdf["__tok__"]):
-                n = int(n)
+                n = int(n)  # NULLs already coalesced to 0 upstream
                 if fill and fill + n > max_tokens:
                     seq_no += 1
                     fill = 0
-                assignments.append((int(i), seq_no))
+                assignments.append((i, seq_no))
                 fill += n
                 fills[seq_no] = fill
         out = pd.DataFrame(assignments, columns=["__pid__", "local"])
         if len(out) == 0:
             return
+        out["__pid__"] = pd.Series([a for a, _ in assignments])
         out["seq_id"] = out["local"]
         out["seq_fill"] = out["local"].map(fills)
         yield out[["__pid__", "seq_id", "seq_fill"]]
 
+    # ids pass through UNCAST (string/uuid ids must not be corrupted
+    # to NULL->garbage by a long cast); NULL token counts pack as 0
     src = df.select(
-        F.col(id_col).cast("long").alias("__pid__"),
-        F.col(token_col).cast("long").alias("__tok__"),
+        F.col(id_col).alias("__pid__"),
+        F.coalesce(F.col(token_col).cast("long"), F.lit(0)).alias("__tok__"),
     )
     packed = src.mapInPandas(pack, schema=schema)
     # salt local seq ids with the partition id for global uniqueness

@@ -159,5 +159,5 @@ def decode_gif(blob: bytes) -> np.ndarray | None:
     try:
         return _decode_gif_impl(blob)
     except (IndexError, KeyError, ValueError, ZeroDivisionError,
-            struct.error):
+            RecursionError, struct.error):
         return None

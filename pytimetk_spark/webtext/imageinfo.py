@@ -118,14 +118,17 @@ def _heif_dims(blob: bytes) -> dict | None:
 
     fmt = "avif" if blob[8:12] in (b"avif", b"avis") else "heic"
 
-    def find_ispe(s, e):
+    def find_ispe(s, e, depth=0):
+        if depth > 8:  # crafted deep nesting must not blow the stack
+            return None
         for bt, bs, be in _boxes(blob, s, e):
             if bt == b"ispe" and be - bs >= 12:
                 w, h = struct.unpack_from(">II", blob, bs + 4)
                 return w, h
             if bt in (b"meta", b"iprp", b"ipco"):
                 # meta is a FULL box: 4-byte version/flags before children
-                got = find_ispe(bs + (4 if bt == b"meta" else 0), be)
+                got = find_ispe(bs + (4 if bt == b"meta" else 0), be,
+                                depth + 1)
                 if got:
                     return got
         return None
@@ -208,5 +211,5 @@ def parse_image_dims(blob: bytes) -> dict | None:
     try:
         return _parse_image_dims_impl(blob)
     except (IndexError, KeyError, ValueError, ZeroDivisionError,
-            struct.error):
+            RecursionError, struct.error):
         return None

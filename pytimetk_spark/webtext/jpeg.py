@@ -518,7 +518,7 @@ def decode_jpeg(blob: bytes) -> np.ndarray | None:
     try:
         return _decode_jpeg_impl(blob)
     except (IndexError, KeyError, ValueError, ZeroDivisionError,
-            struct.error):
+            RecursionError, struct.error):
         return None
 
 

@@ -273,5 +273,5 @@ def parse_mp4(blob: bytes) -> Mp4Info | None:
     try:
         return _parse_mp4_impl(blob)
     except (IndexError, KeyError, ValueError, ZeroDivisionError,
-            struct.error):
+            RecursionError, struct.error):
         return None

@@ -495,7 +495,8 @@ def sniff_media_type(
         # every legal MPEG-audio sync second byte (3 versions x 3
         # layers x CRC flag; layer==00 is AAC ADTS, handled next)
         .when(pre("FFE2") | pre("FFE3") | pre("FFE4") | pre("FFE5") | pre("FFE6") | pre("FFE7") | pre("FFF2") | pre("FFF3") | pre("FFF4") | pre("FFF5") | pre("FFF6") | pre("FFF7") | pre("FFFA") | pre("FFFB") | pre("FFFC") | pre("FFFD") | pre("FFFE") | pre("FFFF"), "audio/mpeg")
-        .when(pre("FFF1") | pre("FFF9"), "audio/aac")
+        .when(pre("FFF1") | pre("FFF9") | pre("FFF0") | pre("FFF8"),
+              "audio/aac")  # incl. CRC-protected headers
         .when((F.substring(hx, 9, 8) == "66747970")
               & F.substring(hx, 17, 8).isin(
                   "61766966", "61766973"), "image/avif")

@@ -170,5 +170,5 @@ def decode_png(blob: bytes) -> np.ndarray | None:
     try:
         return _decode_png_impl(blob)
     except (IndexError, KeyError, ValueError, ZeroDivisionError,
-            struct.error):
+            RecursionError, struct.error):
         return None

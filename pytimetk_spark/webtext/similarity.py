@@ -284,7 +284,7 @@ def hash_embed(
     from pyspark.sql import types as T
 
     schema = T.StructType([
-        T.StructField("__hid__", T.LongType()),
+        T.StructField("__hid__", df.schema[id_col].dataType),
         T.StructField("embedding", T.ArrayType(T.DoubleType())),
     ])
 
@@ -310,7 +310,9 @@ def hash_embed(
             return v
 
         for pdf in batches:
-            ids = pdf["__hid__"].to_numpy()
+            if len(hcache) > 2_000_000:  # bound the per-task memo
+                hcache.clear()
+            ids = pdf["__hid__"]
             vecs = np.zeros((len(ids), dim))
             tok_hashes = []
             rows = []
@@ -331,10 +333,11 @@ def hash_embed(
                 np.add.at(vecs, (rr, bucket), sign)
             norms = np.linalg.norm(vecs, axis=1, keepdims=True)
             vecs = vecs / np.maximum(norms, 1e-12)
-            yield pd.DataFrame({"__hid__": ids.astype("int64"),
+            yield pd.DataFrame({"__hid__": ids,
                                 "embedding": list(vecs.tolist())})
 
-    src = df.select(F.col(id_col).cast("long").alias("__hid__"),
+    # id passes through UNCAST — string/uuid ids survive verbatim
+    src = df.select(F.col(id_col).alias("__hid__"),
                     F.col(text_col).alias("__t__"))
     return src.mapInPandas(embed, schema=schema).withColumnRenamed(
         "__hid__", id_col

@@ -381,7 +381,12 @@ def script_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
         out.withColumn("n_letters", F.length("__letters__"))
         .withColumn(
             "dominant_script",
-            F.when(F.length("__letters__") > 0, dominant["s"]),
+            # all-zero fractions (letters entirely in unlisted scripts)
+            # must yield NULL, not the alphabetical tie-winner
+            F.when(
+                (F.length("__letters__") > 0) & (dominant["f"] > 0),
+                dominant["s"],
+            ),
         )
         .drop("__letters__")
     )

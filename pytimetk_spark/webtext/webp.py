@@ -458,5 +458,5 @@ def decode_webp_lossless(blob: bytes) -> np.ndarray | None:
     try:
         return _decode_webp_impl(blob)
     except (IndexError, KeyError, ValueError, ZeroDivisionError,
-            struct.error):
+            RecursionError, struct.error):
         return None

@@ -417,3 +417,25 @@ def test_distinct_count_tiers_hll(spark):
     plan = distinct_estimates(t1d)._jdf.queryExecution(
         ).executedPlan().toString()
     assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_sketch_tier_null_values(spark):
+    """NULL metric rows must not poison a bucket's digest (review fix):
+    digests/cnt match the same data with NULLs dropped."""
+    import pandas as pd
+
+    from pytimetk_spark.rollup.sketch import (
+        rollup_sketch_tier,
+        sketch_quantiles,
+    )
+
+    pdf = pd.DataFrame({
+        "url": ["a"] * 6,
+        "ts": pd.to_datetime(["2024-01-01 00:01"] * 6),
+        "v": [1.0, 2.0, None, 3.0, None, 4.0],
+    })
+    t = rollup_sketch_tier(spark.createDataFrame(pdf), "url", "ts", "v",
+                           "h")
+    got = sketch_quantiles(t, (0.5,)).toPandas()
+    assert got.loc[0, "cnt"] == 4
+    assert abs(got.loc[0, "p50"] - 2.5) < 1e-9

@@ -2477,3 +2477,46 @@ def test_avif_heic_tiff_probes_and_sniff(spark):
            .toPandas().sort_values("doc_id"))
     assert list(out["media_type"]) == [
         "image/avif", "image/heic", "image/tiff", "video/mp4"]
+
+
+def test_review_hardening_regressions(spark):
+    """Pinned fixes from the round-5 self-review: string doc ids pass
+    through hash_embed/bpe_encode/pack_sequences verbatim (a long cast
+    silently corrupted them to garbage), NULL token counts pack as 0,
+    all-unlisted-script docs get NULL dominance (not the alphabetical
+    tie-winner), CRC-protected ADTS sniffs as aac, and deeply-nested
+    HEIF boxes return None instead of blowing the stack."""
+    from pytimetk_spark.webtext.bpe import bpe_encode, bpe_train
+    from pytimetk_spark.webtext.cleaning import pack_sequences
+    from pytimetk_spark.webtext.imageinfo import parse_image_dims
+    from pytimetk_spark.webtext.multimodal import sniff_media_type
+    from pytimetk_spark.webtext.similarity import hash_embed
+    from pytimetk_spark.webtext.textstats import script_profile
+
+    sdocs = pd.DataFrame({"doc_id": ["url-a", "url-b"],
+                          "text": ["hello world", "hello there"]})
+    sdf = spark.createDataFrame(sdocs)
+    got = hash_embed(sdf, dim=16).toPandas()
+    assert set(got["doc_id"]) == {"url-a", "url-b"}
+    merges = bpe_train(sdf, n_merges=10, fit_sample=10)
+    enc = bpe_encode(sdf, merges).toPandas()
+    assert set(enc["doc_id"]) == {"url-a", "url-b"}
+    toks = spark.createDataFrame(pd.DataFrame(
+        {"doc_id": ["x", "y", "z"], "bpe_n_tokens": [100, None, 50]}))
+    packed = pack_sequences(toks, max_tokens=256).toPandas()
+    assert set(packed["doc_id"]) == {"x", "y", "z"}  # NULL packs as 0
+
+    sp = script_profile(spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "text": ["ქართული ტექსტი"]}))
+    ).toPandas()  # Georgian: in no listed script
+    assert pd.isna(sp.loc[0, "dominant_script"])
+
+    crc_adts = bytes([0xFF, 0xF0]) + bytes(30)
+    out = sniff_media_type(spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "blob": [crc_adts]})), "blob"
+    ).toPandas()
+    assert out.loc[0, "media_type"] == "audio/aac"
+
+    deep = b"\x00\x00\x00\x14ftypavif\x00\x00\x00\x00avif"
+    deep += b"".join(b"\x00\x00\x00\x08iprp" for _ in range(2000))
+    assert parse_image_dims(deep) is None  # bounded, no RecursionError
