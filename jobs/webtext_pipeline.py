@@ -39,6 +39,8 @@ def run_pipeline(
     min_words: int = 3,
     near_dedup: bool = True,
     jaccard: float = 0.8,
+    pack_tokens: int | None = None,
+    split_fractions: dict | None = None,
 ):
     """documents(doc_id, text, ...) -> (curated_df, stats_dict).
 
@@ -101,6 +103,25 @@ def run_pipeline(
         )
         stats["n_after_decontamination"] = deduped.count()
 
+    if pack_tokens:
+        # corpus-fit BPE counts + greedy sequence packing: the curated
+        # set leaves with training-ready sequence assignments
+        from pytimetk_spark.webtext.bpe import bpe_encode, bpe_train
+        from pytimetk_spark.webtext.cleaning import pack_sequences
+
+        merges = bpe_train(deduped)
+        counts = bpe_encode(deduped, merges)
+        deduped = deduped.join(counts, "doc_id")
+        packed = pack_sequences(deduped, max_tokens=pack_tokens)
+        deduped = deduped.join(packed, "doc_id")
+        stats["n_sequences"] = packed.select("seq_id").distinct().count()
+        stats["n_bpe_merges"] = len(merges)
+
+    if split_fractions:
+        from pytimetk_spark.webtext.cleaning import hash_split
+
+        deduped = hash_split(deduped, split_fractions)
+
     flagged.unpersist()
     drop = [c for c in ("__keep_clean__", "__keep_quality__",
                         "__keep_rep__", "text_masked",
@@ -120,6 +141,10 @@ def main() -> None:
     ap.add_argument("--min-words", type=int, default=3)
     ap.add_argument("--jaccard", type=float, default=0.8)
     ap.add_argument("--no-dedup-near", action="store_true")
+    ap.add_argument("--pack-tokens", type=int, default=None,
+                    help="fit BPE + pack docs into sequences of N tokens")
+    ap.add_argument("--split", default=None,
+                    help="e.g. train=0.98,val=0.01,test=0.01")
     ap.add_argument("--partitions", type=int, default=None,
                     help="output file count (coalesce); default: leave as-is")
     args = ap.parse_args()
@@ -135,6 +160,12 @@ def main() -> None:
         min_words=args.min_words,
         near_dedup=not args.no_dedup_near,
         jaccard=args.jaccard,
+        pack_tokens=args.pack_tokens,
+        split_fractions=(
+            {k: float(v) for k, v in
+             (kv.split("=") for kv in args.split.split(","))}
+            if args.split else None
+        ),
     )
     out = curated
     if args.partitions:

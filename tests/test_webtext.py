@@ -1836,6 +1836,18 @@ def test_webtext_pipeline_end_to_end(spark):
     assert not ({0, 1, 2} & survivors)
     assert {"text", "text_raw", "quality_score"} <= set(curated.columns)
 
+    # tokenize/pack/split tail stages: every surviving doc gets a BPE
+    # count, a sequence assignment within budget, and a split label
+    curated2, stats2 = run_pipeline(
+        spark, docs, min_quality=0.3, max_dup_5gram=0.5,
+        pack_tokens=512, split_fractions={"train": 0.9, "val": 0.1},
+    )
+    pdf2 = curated2.toPandas()
+    assert {"bpe_n_tokens", "seq_id", "seq_fill", "split"} <= set(
+        pdf2.columns)
+    assert stats2["n_sequences"] == pdf2["seq_id"].nunique()
+    assert set(pdf2["split"].unique()) <= {"train", "val"}
+
 
 def test_extract_html_text(spark):
     """Regex-tier HTML extraction: head/script/style/comment subtrees
