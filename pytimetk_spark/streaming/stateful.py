@@ -146,3 +146,87 @@ def streaming_sessionize(
         )
         .drop("session_window")
     )
+
+
+def streaming_sketch_tier(
+    stream_df: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    value_col: str = "plen",
+    freq: str = "h",
+    delta: float = 100.0,
+    quantiles: tuple[float, ...] = (0.5, 0.99),
+) -> DataFrame:
+    """Streaming twin of ``rollup.sketch.rollup_sketch_tier``: per
+    (url, bucket) t-digest maintained in group state across
+    micro-batches, current percentile estimates emitted each update.
+
+    State per group = the digest's (means, weights) arrays — bounded at
+    ~delta*2 centroids regardless of how many rows the bucket has seen
+    (the whole point of the sketch: streaming percentiles with O(delta)
+    state where exact would need every value). Late data folds into its
+    bucket's digest whenever it arrives (NoTimeout: buckets stay
+    mergeable until the query ends; production would add a watermark
+    timeout and flush closed buckets to the batch tier store)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from pytimetk_spark.functions.datetime import floor_date
+    from pytimetk_spark.rollup.sketch import (
+        compress,
+        digest_quantile,
+        merge_digests,
+    )
+
+    qcols = [f"p{round(q * 1000) / 10:g}".replace(".", "_")
+             for q in quantiles]
+    out_schema = T.StructType(
+        [T.StructField("url", T.StringType()),
+         T.StructField("bucket_ts", T.TimestampType()),
+         T.StructField("cnt", T.LongType())]
+        + [T.StructField(c, T.DoubleType()) for c in qcols]
+    )
+    state_schema = T.StructType([
+        T.StructField("cnt", T.LongType()),
+        T.StructField("means", T.ArrayType(T.DoubleType())),
+        T.StructField("weights", T.ArrayType(T.DoubleType())),
+    ])
+
+    def fn(key, pdfs, state):
+        if state.exists:
+            cnt, means, weights = state.get
+            means = np.asarray(means, float)
+            weights = np.asarray(weights, float)
+        else:
+            cnt, means, weights = 0, np.zeros(0), np.zeros(0)
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            state.update((int(cnt), means.tolist(), weights.tolist()))
+            return
+        vals = pd.concat(chunks, ignore_index=True)["__v__"].to_numpy(
+            dtype=np.float64)
+        vals = vals[~np.isnan(vals)]
+        batch_m, batch_w = compress(vals, np.ones(len(vals)), delta)
+        if len(means):
+            means, weights = merge_digests(
+                [(means, weights), (batch_m, batch_w)], delta)
+        else:
+            means, weights = batch_m, batch_w
+        cnt = int(cnt) + len(vals)
+        state.update((cnt, means.tolist(), weights.tolist()))
+        row = {"url": key[0], "bucket_ts": key[1], "cnt": cnt}
+        for c, q in zip(qcols, quantiles):
+            row[c] = digest_quantile(means, weights, q)
+        yield pd.DataFrame([row])
+
+    src = stream_df.select(
+        F.col(url_col).alias("url"),
+        floor_date(F.col(ts_col), freq).alias("bucket_ts"),
+        F.col(value_col).cast("double").alias("__v__"),
+    )
+    return src.groupBy("url", "bucket_ts").applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

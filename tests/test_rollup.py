@@ -439,3 +439,43 @@ def test_sketch_tier_null_values(spark):
     got = sketch_quantiles(t, (0.5,)).toPandas()
     assert got.loc[0, "cnt"] == 4
     assert abs(got.loc[0, "p50"] - 2.5) < 1e-9
+
+
+def test_streaming_sketch_tier_matches_batch(spark, tmp_path):
+    """Streaming percentile tier (t-digest in applyInPandasWithState
+    group state, O(delta) per bucket) must agree with the batch sketch
+    tier over the same files: identical counts, p50 within digest
+    batch-split tolerance."""
+    import pandas as pd
+    from pyspark.sql import functions as SF
+
+    from pytimetk_spark.rollup.sketch import (
+        rollup_sketch_tier,
+        sketch_quantiles,
+    )
+    from pytimetk_spark.streaming.stateful import streaming_sketch_tier
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        SF.col("event_type").alias("url"),
+        SF.col("ts").cast("timestamp").alias("warc_ts"),
+        SF.col("value").alias("plen"))
+    src = str(tmp_path / "sk_src")
+    ev.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    q = (streaming_sketch_tier(stream, freq="d", quantiles=(0.5,))
+         .writeStream.format("memory").queryName("sk_stream_t")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = (spark.table("sk_stream_t").toPandas()
+           .sort_values("cnt").groupby(["url", "bucket_ts"])
+           .last().reset_index())
+    batch = sketch_quantiles(
+        rollup_sketch_tier(ev, "url", "warc_ts", "plen", "d"), (0.5,)
+    ).toPandas()
+    m = got.merge(batch, on=["url", "bucket_ts"], suffixes=("_s", "_b"))
+    assert len(m) == len(batch)
+    assert (m["cnt_s"] == m["cnt_b"]).all()
+    rel = ((m["p50_s"] - m["p50_b"]).abs()
+           / m["p50_b"].abs().clip(lower=1))
+    assert rel.max() < 0.05
