@@ -170,7 +170,10 @@ def main() -> None:
     out = curated
     if args.partitions:
         out = out.coalesce(args.partitions)
-    out.write.mode("overwrite").parquet(f"{args.out}/curated")
+    writer = out.write.mode("overwrite")
+    if args.split:  # split-pruned reads for the training loader
+        writer = writer.partitionBy("split")
+    writer.parquet(f"{args.out}/curated")
     with open(f"{args.out}/manifest.json", "w") as fh:
         json.dump(stats, fh, indent=2)
     print(json.dumps(stats))
