@@ -460,9 +460,13 @@ def test_streaming_sketch_tier_matches_batch(spark, tmp_path):
         SF.col("ts").cast("timestamp").alias("warc_ts"),
         SF.col("value").alias("plen"))
     src = str(tmp_path / "sk_src")
-    ev.write.mode("overwrite").parquet(src)
+    # several files + maxFilesPerTrigger=1 forces MULTIPLE micro-batches,
+    # exercising the cross-batch digest merge in group state (a single
+    # batch would never touch the state-merge path)
+    ev.repartition(4).write.mode("overwrite").parquet(src)
 
-    stream = spark.readStream.schema(ev.schema).parquet(src)
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
     q = (streaming_sketch_tier(stream, freq="d", quantiles=(0.5,))
          .writeStream.format("memory").queryName("sk_stream_t")
          .outputMode("update").trigger(availableNow=True).start())
