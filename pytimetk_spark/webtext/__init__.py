@@ -26,6 +26,7 @@ from pytimetk_spark.webtext.textstats import (
     repetition_signals,
     script_profile,
     token_stats,
+    url_features,
 )
 from pytimetk_spark.webtext.multimodal import (
     byte_stats_features,

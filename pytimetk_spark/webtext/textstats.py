@@ -390,3 +390,36 @@ def script_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
         )
         .drop("__letters__")
     )
+
+
+def url_features(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """URL structure features, pure Catalyst (``parse_url`` + regex):
+    host, registrable domain (last-two-labels approximation — exact
+    registrability needs the Public Suffix List, so ``co.uk``-style
+    hosts under-split; documented trade-off), top-level domain, path
+    depth, scheme/query flags. The grouping keys every crawl pipeline
+    cuts by (domain-level dedup budgets, per-TLD quality priors)."""
+    u = F.col(url_col)
+    host = F.lower(F.parse_url(u, F.lit("HOST")))
+    path = F.coalesce(F.parse_url(u, F.lit("PATH")), F.lit(""))
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    domain = F.when(
+        n >= 2,
+        F.concat_ws(".", F.element_at(labels, -2), F.element_at(labels, -1)),
+    ).otherwise(host)
+    return (
+        df.withColumn("url_host", host)
+        .withColumn("url_domain", domain)
+        .withColumn("url_tld", F.element_at(labels, -1))
+        .withColumn(
+            "url_path_depth",
+            F.size(F.filter(F.split(path, "/"),
+                            lambda x: F.length(x) > 0)),
+        )
+        .withColumn("url_is_https", u.startswith("https://"))
+        .withColumn(
+            "url_has_query",
+            F.parse_url(u, F.lit("QUERY")).isNotNull(),
+        )
+    )

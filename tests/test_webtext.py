@@ -2532,3 +2532,33 @@ def test_review_hardening_regressions(spark):
     deep = b"\x00\x00\x00\x14ftypavif\x00\x00\x00\x00avif"
     deep += b"".join(b"\x00\x00\x00\x08iprp" for _ in range(2000))
     assert parse_image_dims(deep) is None  # bounded, no RecursionError
+
+
+def test_url_features(spark):
+    """URL structure features (parse_url + regex, pure Catalyst): host
+    lowercasing, last-two-label registrable-domain approximation, path
+    depth over non-empty segments, scheme/query flags; synthetic
+    webpages group correctly by domain."""
+    from pytimetk_spark.sources.webpages import generate_webpages
+    from pytimetk_spark.webtext.textstats import url_features
+
+    urls = pd.DataFrame({"doc_id": range(3), "url": [
+        "https://Sub.Example.COM/a/b/page.html?q=1",
+        "http://example.org/",
+        "https://single",
+    ]})
+    out = (url_features(spark.createDataFrame(urls), "url").toPandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert out.loc[0, "url_host"] == "sub.example.com"
+    assert out.loc[0, "url_domain"] == "example.com"
+    assert (out.loc[0, "url_path_depth"], out.loc[1, "url_path_depth"]) \
+        == (3, 0)
+    assert bool(out.loc[0, "url_has_query"])
+    assert not bool(out.loc[1, "url_is_https"])
+    assert out.loc[2, "url_domain"] == "single"
+
+    wp = url_features(generate_webpages(spark, n_urls=30,
+                                        crawls_per_url=2), "url")
+    doms = wp.select("url_domain").distinct().count()
+    assert doms >= 1  # synthetic urls share the example.com suffix
+    assert wp.filter("url_tld != 'com'").count() == 0
