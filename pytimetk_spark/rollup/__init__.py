@@ -15,3 +15,11 @@ from pytimetk_spark.rollup.tiers import (
 )
 from pytimetk_spark.rollup.store import TierStore, run_rollup
 from pytimetk_spark.rollup.retention import apply_retention
+from pytimetk_spark.rollup.sketch import (
+    distinct_estimates,
+    rollup_distinct_tier,
+    rollup_distinct_tier_to_tier,
+    rollup_sketch_tier,
+    rollup_sketch_tier_to_tier,
+    sketch_quantiles,
+)
