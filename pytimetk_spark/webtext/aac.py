@@ -149,5 +149,5 @@ def parse_aac_info(blob: bytes) -> AacInfo | None:
     try:
         return _parse_aac_impl(blob)
     except (IndexError, KeyError, ValueError, ZeroDivisionError,
-            RecursionError, struct.error):
+            RecursionError, struct.error, MemoryError):
         return None

@@ -533,11 +533,31 @@ def connected_components(
 
     Reference scope: pytimetk has no graph ops — this belongs to the
     engine-mandate dedup surface (SURVEY §2, LLM-pipeline tier).
+
+    Id types: integral id columns propagate as ``long`` (narrow shuffle
+    keys); any other type (string/uuid doc ids from the ``*_pairs``
+    producers) propagates in its STRING form directly — ``min``/``least``
+    are lexicographic, so ``cluster_id`` is the component's lexicographic
+    minimum member id. No silent cast-to-NULL path exists: non-numeric
+    ids are never cast to long (that would drop every edge), and rows
+    with genuinely NULL ids raise.
     """
+    _integral = {"tinyint", "smallint", "int", "bigint"}
+    dtypes = dict(pairs.select(src_col, dst_col).dtypes)
+    if set(dtypes.values()) <= _integral:
+        id_type = "long"
+    else:
+        id_type = "string"
     e = pairs.select(
-        F.col(src_col).cast("long").alias("s"),
-        F.col(dst_col).cast("long").alias("d"),
-    ).filter(F.col("s").isNotNull() & F.col("d").isNotNull())
+        F.col(src_col).cast(id_type).alias("s"),
+        F.col(dst_col).cast(id_type).alias("d"),
+    )
+    if e.filter(F.col("s").isNull() | F.col("d").isNull()).limit(1).count():
+        raise ValueError(
+            "connected_components: NULL ids in the edge list — a NULL "
+            f"{src_col}/{dst_col} cannot be assigned to a component; "
+            "filter or repair the pair producer first"
+        )
     # symmetrize once; self-loops keep isolated-in-pair-list nodes alive
     edges = (
         e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
@@ -595,6 +615,7 @@ def duplicate_passages(
     stride: int = 20,
     anchor_gram: int = 8,
     min_docs: int = 2,
+    chunk_chars: int = 65536,
 ) -> DataFrame:
     """Cross-document repeated-passage detection — the content-defined-
     window approximation of exact substring dedup (Lee et al. 2022,
@@ -614,35 +635,64 @@ def duplicate_passages(
     Returns one row per (document, offending window): ``(id, pos,
     passage_hash, n_docs)`` — the byte ranges a removal pass cuts.
 
-    Scale shape: ONE projection builds anchor positions + window hashes
-    (per-candidate O(anchor_gram) + per-anchor O(window) char work, the
-    inherent cost), one explode, one count shuffle on the 8-byte hash,
-    one semi-join back. No Python in the row path.
+    Scale shape: documents first explode into overlapping spans of
+    ``chunk_chars`` candidate positions (+ ``window-1`` chars of overlap,
+    so no cross-boundary window is missed) — a single multi-MB crawl
+    document therefore never materializes more than a ``chunk_chars``-
+    element array or span string in any one row, bounding executor
+    memory per row regardless of document size. Within each span, ONE
+    projection builds anchor positions + window hashes (per-candidate
+    O(anchor_gram) + per-anchor O(window) char work, the inherent cost),
+    one explode, one count shuffle on the 8-byte hash, one semi-join
+    back. No Python in the row path. Reported ``pos`` stays global
+    (1-based offset in the full document), and anchor decisions are
+    content-defined on the same characters, so chunking does not change
+    which windows are detected.
     """
     t = F.col(text_col)
     staged = df.select(
         F.col(id_col).alias("__id__"), t.alias("__t__"),
         F.length(t).alias("__n__"),
     )
-    txt = F.col("__t__")
-    candidates = F.when(
-        F.col("__n__") >= window,
-        F.sequence(F.lit(1), F.col("__n__") - window + 1),
+    n = F.col("__n__")
+    # span starts over the candidate range [1, n-window+1], stepped by
+    # chunk_chars; each span row carries only its own slice of text
+    span_starts = F.when(
+        n >= window, F.sequence(F.lit(1), n - window + 1, F.lit(chunk_chars))
     ).otherwise(F.array().cast("array<int>"))
+    spans = staged.select(
+        "__id__",
+        F.explode(span_starts).alias("__s__"),
+        "__t__",
+        n,
+    ).select(
+        "__id__",
+        "__s__",
+        F.substring(
+            F.col("__t__"), F.col("__s__"),
+            chunk_chars + max(window, anchor_gram) - 1,
+        ).alias("__sp__"),
+        F.least(
+            F.lit(chunk_chars), n - window + 2 - F.col("__s__")
+        ).alias("__cnt__"),
+    )
+    sp = F.col("__sp__")
+    s0 = F.col("__s__")
+    candidates = F.sequence(F.lit(1), F.col("__cnt__"))
     anchors = F.filter(
         candidates,
-        lambda i: (i == 1)
-        | (F.pmod(F.xxhash64(F.substring(txt, i, anchor_gram)),
+        lambda i: ((s0 + i) == 2)  # global position 1: always anchored
+        | (F.pmod(F.xxhash64(F.substring(sp, i, anchor_gram)),
                   F.lit(stride)) == 0),
     )
     wins = F.transform(
         anchors,
         lambda i: F.struct(
-            i.alias("pos"),
-            F.xxhash64(F.substring(txt, i, window)).alias("h"),
+            (s0 + i - 1).cast("int").alias("pos"),
+            F.xxhash64(F.substring(sp, i, window)).alias("h"),
         ),
     )
-    exploded = staged.select(
+    exploded = spans.select(
         "__id__", F.explode(wins).alias("w")
     ).select("__id__", "w.pos", "w.h")
     repeated = (

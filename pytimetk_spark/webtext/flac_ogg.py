@@ -187,7 +187,7 @@ def parse_flac_info(blob: bytes) -> AudioStreamInfo | None:
     try:
         return _parse_flac_impl(blob)
     except (IndexError, KeyError, ValueError, ZeroDivisionError,
-            RecursionError, struct.error):
+            RecursionError, struct.error, MemoryError):
         return None
 
 
@@ -197,5 +197,5 @@ def parse_ogg_info(blob: bytes) -> AudioStreamInfo | None:
     try:
         return _parse_ogg_impl(blob)
     except (IndexError, KeyError, ValueError, ZeroDivisionError,
-            RecursionError, struct.error):
+            RecursionError, struct.error, MemoryError):
         return None

@@ -14,7 +14,11 @@ pipelines). Returns None for malformed streams.
 Performance shape: LZW is an inherently sequential code stream (a
 Python loop over codes, with numpy for palette expansion / interlace
 reorder / compositing). Runs per blob inside mapInPandas — same
-amortization boundary as the JPEG/PNG/BMP/WAV decoders.
+amortization boundary as the JPEG/PNG/BMP/WAV decoders. At true
+100-TB image volume this per-symbol Python loop is the CPU
+bottleneck: this module is the SWAP-FOR-NATIVE-CODEC boundary — keep
+the mapInPandas batch plumbing and replace only ``decode_gif`` with a
+native library (PIL/libgif) where the deployment image has one.
 """
 
 from __future__ import annotations
@@ -159,5 +163,5 @@ def decode_gif(blob: bytes) -> np.ndarray | None:
     try:
         return _decode_gif_impl(blob)
     except (IndexError, KeyError, ValueError, ZeroDivisionError,
-            RecursionError, struct.error):
+            RecursionError, struct.error, MemoryError):
         return None

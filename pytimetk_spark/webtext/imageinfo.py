@@ -211,5 +211,5 @@ def parse_image_dims(blob: bytes) -> dict | None:
     try:
         return _parse_image_dims_impl(blob)
     except (IndexError, KeyError, ValueError, ZeroDivisionError,
-            RecursionError, struct.error):
+            RecursionError, struct.error, MemoryError):
         return None

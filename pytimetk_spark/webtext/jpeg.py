@@ -22,7 +22,11 @@ Performance shape: header/Huffman parsing is a per-blob Python loop
 bulk — is ONE einsum over all of a component's blocks, and dequantize /
 level-shift / color-convert are whole-image numpy ops. Decode runs per
 file inside mapInPandas, so the Python overhead amortizes per blob, the
-same boundary as the BMP/WAV decoders.
+same boundary as the BMP/WAV decoders. At true 100-TB image volume the
+per-symbol Huffman loop is the CPU bottleneck: this module is the
+SWAP-FOR-NATIVE-CODEC boundary — keep the mapInPandas batch plumbing
+and replace only ``decode_jpeg`` with a native library (libjpeg-turbo/
+PIL) where the deployment image has one.
 """
 
 from __future__ import annotations
@@ -518,7 +522,7 @@ def decode_jpeg(blob: bytes) -> np.ndarray | None:
     try:
         return _decode_jpeg_impl(blob)
     except (IndexError, KeyError, ValueError, ZeroDivisionError,
-            RecursionError, struct.error):
+            RecursionError, struct.error, MemoryError):
         return None
 
 

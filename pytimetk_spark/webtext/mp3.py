@@ -174,5 +174,5 @@ def parse_mp3_info(blob: bytes) -> Mp3Info | None:
     try:
         return _parse_mp3_impl(blob)
     except (IndexError, KeyError, ValueError, ZeroDivisionError,
-            RecursionError, struct.error):
+            RecursionError, struct.error, MemoryError):
         return None

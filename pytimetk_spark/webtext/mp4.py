@@ -193,10 +193,17 @@ def _parse_stbl(blob: bytes, trk: Mp4Track, s: int, e: int) -> None:
                 np.frombuffer(blob, ">u4", n, bs + 8).astype(np.int64) - 1
             )
     ns = trk.n_samples
-    # decode timestamps from stts run-lengths
+    # decode timestamps from stts run-lengths. stts counts are attacker-
+    # controlled: clip each run so the expanded delta array never exceeds
+    # the stsz-derived sample count — a crafted count=2^31 entry would
+    # otherwise force a multi-GB np.repeat before the [:ns] truncation.
     if stts is not None and ns:
+        runs = stts[:, 0].astype(np.int64)
+        remaining = np.maximum(
+            ns - np.concatenate([[0], np.cumsum(runs)[:-1]]), 0
+        )
         deltas = np.repeat(
-            stts[:, 1].astype(np.int64), stts[:, 0].astype(np.int64)
+            stts[:, 1].astype(np.int64), np.minimum(runs, remaining)
         )[:ns]
         dts = np.concatenate([[0], np.cumsum(deltas)[:-1]])
         trk.sample_ts = dts / float(trk.timescale)
@@ -273,5 +280,5 @@ def parse_mp4(blob: bytes) -> Mp4Info | None:
     try:
         return _parse_mp4_impl(blob)
     except (IndexError, KeyError, ValueError, ZeroDivisionError,
-            RecursionError, struct.error):
+            RecursionError, struct.error, MemoryError):
         return None

@@ -29,6 +29,11 @@ import numpy as np
 _SIG = b"\x89PNG\r\n\x1a\n"
 # color type -> samples per pixel
 _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+# Crawl blobs are attacker-controlled: a tiny IDAT can declare a 2^31-pixel
+# IHDR (allocation bomb) or inflate to multi-GB (decompression bomb). Cap
+# the pixel count before any allocation and bound the inflate to exactly
+# the scanline bytes the header implies.
+MAX_PIXELS = 64_000_000  # 64 MP ≈ 8k×8k — far above real web images
 # Adam7 pass geometry: (x_origin, y_origin, x_stride, y_stride)
 ADAM7_PASSES = [
     (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
@@ -68,8 +73,27 @@ def _decode_png_impl(blob: bytes) -> np.ndarray | None:
         return None
     w, h, color, interlace = ihdr
     ch = _CHANNELS[color]
+    if w == 0 or h == 0 or w * h > MAX_PIXELS:
+        return None
+    # Exact raw size the header implies: one filter byte + w*ch samples per
+    # scanline (per Adam7 pass when interlaced). Inflate AT MOST that many
+    # bytes — a stream that still has input left afterwards is a bomb.
+    if interlace:
+        expected = 0
+        for x0, y0, dx, dy in ADAM7_PASSES:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw > 0 and ph > 0:
+                expected += ph * (pw * ch + 1)
+    else:
+        expected = h * (w * ch + 1)
     try:
-        raw = zlib.decompress(bytes(idat))
+        dobj = zlib.decompressobj()
+        raw = dobj.decompress(bytes(idat), expected)
+        if dobj.unconsumed_tail and dobj.decompress(
+            dobj.unconsumed_tail, 1
+        ):
+            return None  # inflates past the declared geometry: reject
     except zlib.error:
         return None
     if interlace:
@@ -170,5 +194,5 @@ def decode_png(blob: bytes) -> np.ndarray | None:
     try:
         return _decode_png_impl(blob)
     except (IndexError, KeyError, ValueError, ZeroDivisionError,
-            RecursionError, struct.error):
+            RecursionError, struct.error, MemoryError):
         return None

@@ -205,7 +205,9 @@ def repetition_signals(
     ``quality_score``): per document,
 
     * ``dup_line_frac`` / ``dup_line_char_frac`` — fraction of lines
-      (and of line characters) occurring more than once; same for
+      (and of line characters) that are repeats of an earlier line,
+      i.e. ``1 - distinct/total``: each line's FIRST occurrence does
+      not count as a duplicate (``[a, a, b]`` -> 1/3). Same for
       paragraphs (``dup_para_*``, split on blank lines).
     * ``top_{n}gram_char_frac`` (n in ``top_ns``) — character occupancy
       of the single most frequent word n-gram: count * len / n_chars,

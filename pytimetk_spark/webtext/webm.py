@@ -242,5 +242,5 @@ def parse_webm(blob: bytes) -> WebmInfo | None:
     try:
         return _parse_webm_impl(blob)
     except (IndexError, KeyError, ValueError, ZeroDivisionError,
-            RecursionError, struct.error):
+            RecursionError, struct.error, MemoryError):
         return None

@@ -18,7 +18,11 @@ chunk; those return None for the stub fallback.
 Performance shape: the entropy loop is sequential python per symbol
 (same boundary as the JPEG Huffman and GIF LZW loops); transforms are
 per-pixel but the images a crawl feature-extractor touches are
-thumbnails. Runs per blob inside mapInPandas.
+thumbnails. Runs per blob inside mapInPandas. At true 100-TB image
+volume the per-symbol Python loop is the CPU bottleneck: this module
+is the SWAP-FOR-NATIVE-CODEC boundary — keep the mapInPandas batch
+plumbing and replace only ``decode_webp`` with a native library
+(libwebp/PIL) where the deployment image has one.
 """
 
 from __future__ import annotations
@@ -458,5 +462,5 @@ def decode_webp_lossless(blob: bytes) -> np.ndarray | None:
     try:
         return _decode_webp_impl(blob)
     except (IndexError, KeyError, ValueError, ZeroDivisionError,
-            RecursionError, struct.error):
+            RecursionError, struct.error, MemoryError):
         return None

@@ -715,6 +715,50 @@ def test_png_decoder_rejects_out_of_scope(spark):
                                np.array(out.loc[1, "features"]))
 
 
+def test_png_decoder_rejects_bombs():
+    """Attacker-controlled crawl blobs: a tiny IDAT declaring a 2^31-pixel
+    IHDR (allocation bomb) and an IDAT inflating far past the declared
+    geometry (decompression bomb) must both return None WITHOUT
+    allocating header-declared buffers (ADVICE r5 png.py:72)."""
+    import struct
+    import zlib
+
+    from pytimetk_spark.webtext.png import decode_png
+
+    def chunk(ctype, data):
+        c = ctype + data
+        return struct.pack(">I", len(data)) + c + struct.pack(
+            ">I", zlib.crc32(c) & 0xFFFFFFFF
+        )
+
+    # 1) allocation bomb: 65500 x 65500 RGB header (4.3 G pixels), tiny body
+    bomb = bytearray(b"\x89PNG\r\n\x1a\n")
+    bomb += chunk(b"IHDR", struct.pack(">IIBBBBB", 65500, 65500, 8, 2, 0, 0, 0))
+    bomb += chunk(b"IDAT", zlib.compress(b"\x00" * 64))
+    bomb += chunk(b"IEND", b"")
+    assert decode_png(bytes(bomb)) is None
+
+    # 2) decompression bomb: sane 4x4 geometry, IDAT inflating to 100 MB
+    bomb2 = bytearray(b"\x89PNG\r\n\x1a\n")
+    bomb2 += chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0))
+    bomb2 += chunk(b"IDAT", zlib.compress(b"\x00" * (100 * 1024 * 1024)))
+    bomb2 += chunk(b"IEND", b"")
+    assert decode_png(bytes(bomb2)) is None
+
+    # 3) zero-dimension header
+    z = bytearray(b"\x89PNG\r\n\x1a\n")
+    z += chunk(b"IHDR", struct.pack(">IIBBBBB", 0, 4, 8, 2, 0, 0, 0))
+    z += chunk(b"IDAT", zlib.compress(b""))
+    z += chunk(b"IEND", b"")
+    assert decode_png(bytes(z)) is None
+
+    # 4) a well-formed image still decodes exactly (guards didn't tighten
+    #    the happy path)
+    rng = np.random.RandomState(7)
+    rgb = rng.randint(0, 256, (6, 5, 3)).astype(np.uint8)
+    np.testing.assert_array_equal(decode_png(_make_png(rgb, color=2)), rgb)
+
+
 def _lzw_encode(indices, min_code: int) -> bytes:
     """Real GIF-variant LZW encoder (test fixture): builds the string
     table so the decoder's growth + KwKwK paths are exercised."""
@@ -1065,6 +1109,31 @@ def test_mp4_container_parse_and_keyframe_extraction():
 
     assert parse_mp4(b"\x00\x00\x00\x08freeXXXX") is None
     assert extract_keyframes(b"not a container") is None
+
+
+def test_mp4_stts_run_count_bomb():
+    """stts run counts are attacker-controlled: a crafted count=2^31
+    entry must NOT force a multi-GB np.repeat (ADVICE r5 mp4.py:198) —
+    runs are clipped to the stsz-derived sample count and the remaining
+    samples still get exact timestamps."""
+    import struct
+
+    from pytimetk_spark.webtext.mp4 import parse_mp4
+
+    rng = np.random.RandomState(21)
+    frames = [bytes(rng.randint(0, 256, 50).astype(np.uint8))
+              for _ in range(8)]
+    blob = bytearray(_make_mp4(frames, fps=4.0, sync_every=4, n_chunks=2))
+    # stts body: [version/flags:4][entry_count:4][run_count:4][delta:4];
+    # overwrite run_count (sample count for the single run) with 2^31
+    i = blob.rfind(b"stts")
+    assert i > 0
+    struct.pack_into(">I", blob, i + 4 + 4 + 4, 2**31)
+    info = parse_mp4(bytes(blob))
+    trk = info.video_track()
+    assert trk.n_samples == 8
+    # timestamps still exact for the real 8 samples, no bomb allocation
+    np.testing.assert_allclose(trk.sample_ts, np.arange(8) * 0.25, rtol=1e-9)
 
 
 def test_sample_video_frames_spark(spark):
@@ -1763,6 +1832,59 @@ def test_connected_components_clusters(spark):
     assert len(got) == len(expect)
     for _, row in got.iterrows():
         assert expect[row["id"]] == row["cluster_id"], row["id"]
+
+
+def test_connected_components_string_ids_and_null_guard(spark):
+    """String/uuid doc ids must label correctly (ADVICE r5 dedup.py:538:
+    the old long cast silently NULLed every edge): labels propagate in
+    the ids' native string form, cluster_id = lexicographic min member.
+    NULL ids raise instead of silently dropping rows."""
+    from pytimetk_spark.webtext.dedup import connected_components
+
+    df = spark.createDataFrame(pd.DataFrame({
+        "id_a": ["doc-b", "doc-a", "doc-x", "uuid-9"],
+        "id_b": ["doc-c", "doc-b", "doc-y", "uuid-9"],
+    }))
+    got = (connected_components(df).toPandas()
+           .set_index("id")["cluster_id"].to_dict())
+    assert got == {
+        "doc-a": "doc-a", "doc-b": "doc-a", "doc-c": "doc-a",
+        "doc-x": "doc-x", "doc-y": "doc-x", "uuid-9": "uuid-9",
+    }
+    bad = spark.createDataFrame(pd.DataFrame({
+        "id_a": ["doc-a", None], "id_b": ["doc-b", "doc-c"]}))
+    with pytest.raises(ValueError, match="NULL ids"):
+        connected_components(bad)
+
+
+def test_duplicate_passages_chunking_bounds_rows(spark):
+    """duplicate_passages explodes documents into bounded spans (ADVICE
+    r5 dedup.py:630): a document much longer than chunk_chars must find
+    the same cross-document passages as the unchunked path — including
+    a shared span that straddles a chunk boundary — while never
+    building a per-row array longer than chunk_chars."""
+    from pytimetk_spark.webtext.dedup import duplicate_passages
+
+    rng = np.random.RandomState(3)
+    alph = np.array(list("abcdefgh "))
+    shared = "".join(rng.choice(alph, 300))
+    # place the shared passage straddling the 1000-char chunk boundary
+    long_doc = ("".join(rng.choice(alph, 900)) + shared
+                + "".join(rng.choice(alph, 2200)))
+    other = "".join(rng.choice(alph, 150)) + shared + "".join(
+        rng.choice(alph, 100))
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2], "text": [long_doc, other]}))
+    kw = dict(window=100, stride=20, anchor_gram=8, min_docs=2)
+    chunked = duplicate_passages(df, chunk_chars=1000, **kw).toPandas()
+    whole = duplicate_passages(df, chunk_chars=1 << 20, **kw).toPandas()
+    key = ["doc_id", "pos", "passage_hash", "n_docs"]
+    pd.testing.assert_frame_equal(
+        chunked.sort_values(key).reset_index(drop=True)[key],
+        whole.sort_values(key).reset_index(drop=True)[key],
+    )
+    # the planted shared span was actually detected in both docs
+    assert set(chunked["doc_id"]) == {1, 2}
 
 
 def test_product_quantization_adc(spark):
