@@ -857,10 +857,17 @@ def q_streaming_ewm(spark, sf_dir):
 def q_ts_features_models(spark, sf_dir):
     """Model-fit ts_features (holt/hw SSE-fit smoothing parameters via
     the in-repo Nelder-Mead, AR-prewhitened ARCH/GARCH heterogeneity,
-    unit-root p-values) — iterative optimizations, genuinely
-    non-SQL-expressible, so this is a rows-only contract entry; the
-    numeric behavior is pinned by tests/test_diagnostics_transforms.py
-    (planted-regime goldens + statsmodels differential when installed)."""
+    unit-root p-values). The optimizers are non-SQL-expressible, so —
+    like q_ts_features_ets — the oracle pins the deterministic 0/1
+    invariants any correct fit satisfies EXACTLY (hash-checkable):
+    holt/hw parameters admissible (0<α,β<1; 0<γ≤1−α), the KPSS p-value
+    inside its interpolation-table clamp [0.01, 0.10], the PP tau
+    p-value inside the open unit interval (probit-space interpolation
+    through a normal CDF), ARCH/GARCH heterogeneity stats finite and
+    in-range when emitted (acf sums-of-squares >= 0, LM R^2 in [0,1]),
+    plus the real per-group day count. The raw numerics stay pinned by
+    tests/test_diagnostics_transforms.py (planted-regime goldens +
+    statsmodels differential when installed)."""
     from pytimetk_spark import ts_features
 
     ev = _events(spark, sf_dir)
@@ -868,10 +875,30 @@ def q_ts_features_models(spark, sf_dir):
         ev, "ts", "value", group_cols=["event_type"], freq="D", agg_func="count"
     )
     out = ts_features(daily, "ts", "value", group_cols=["event_type"], period=7)
-    return out.select(
-        "event_type", "holt_alpha", "holt_beta", "hw_alpha", "hw_beta",
-        "hw_gamma", "arch_acf", "garch_acf", "arch_r2", "garch_r2",
-        "unitroot_kpss_pvalue", "unitroot_pp_pvalue",
+    n_days = daily.groupBy("event_type").agg(F.count("*").alias("n_days"))
+
+    def flag(cond):
+        return F.when(cond, F.lit(1)).otherwise(F.lit(0)).cast("long")
+
+    a, b = F.col("holt_alpha"), F.col("holt_beta")
+    ha, hb, hg = F.col("hw_alpha"), F.col("hw_beta"), F.col("hw_gamma")
+    kp, pp = F.col("unitroot_kpss_pvalue"), F.col("unitroot_pp_pvalue")
+    aacf, ar2 = F.col("arch_acf"), F.col("arch_r2")
+    gacf, gr2 = F.col("garch_acf"), F.col("garch_r2")
+    checks = out.select(
+        "event_type",
+        flag((a > 0) & (a < 1) & (b > 0) & (b < 1)).alias("holt_admissible"),
+        flag((ha > 0) & (ha < 1) & (hb > 0) & (hb < 1)
+             & (hg > 0) & (hg <= 1 - ha + 1e-12)).alias("hw_admissible"),
+        flag((kp >= 0.01) & (kp <= 0.10)).alias("kpss_p_in_table"),
+        flag((pp > 0) & (pp < 1)).alias("pp_p_in_unit"),
+        flag((aacf >= 0) & (ar2 >= 0) & (ar2 <= 1)).alias("arch_in_range"),
+        flag(gacf.isNull()
+             | ((gacf >= 0) & (gr2 >= 0) & (gr2 <= 1))).alias("garch_ok"),
+    )
+    return checks.join(n_days, "event_type").select(
+        "event_type", "n_days", "holt_admissible", "hw_admissible",
+        "kpss_p_in_table", "pp_p_in_unit", "arch_in_range", "garch_ok",
     )
 
 
@@ -921,6 +948,142 @@ def q_ts_features_ets(spark, sf_dir):
         fit,
         schema="event_type string, n_days bigint, holt_admissible bigint, "
                "hw_admissible bigint, mle_not_worse_than_start bigint",
+    )
+
+
+def q_hll_distinct_tier(spark, sf_dir):
+    """HLL distinct-count rollup tiers (rollup/sketch.py:214,241,259 —
+    native Spark Datasketches, pure Catalyst): hourly sketches of
+    distinct user_ids per event_type MERGE into daily sketches with
+    union semantics. The sketch estimate is probabilistic but its
+    DETERMINISTIC contract is the error bound: per (event_type, day),
+    |estimate - exact| / exact <= 0.05 (lg_k=12 ~ 1.6% stderr; these
+    cardinalities sit in the sketch's exact sparse mode). The exact
+    distinct count itself is emitted alongside and hash-checked against
+    DuckDB's count(DISTINCT ...) — real data, not just the flag."""
+    from pytimetk_spark.rollup.sketch import (
+        distinct_estimates,
+        rollup_distinct_tier,
+        rollup_distinct_tier_to_tier,
+    )
+
+    ev = _events(spark, sf_dir).withColumn("ts", F.col("ts").cast("timestamp"))
+    t1h = rollup_distinct_tier(ev, "event_type", "ts", "user_id", freq="h")
+    t1d = rollup_distinct_tier_to_tier(t1h, "d")
+    est = distinct_estimates(t1d).select(
+        F.col("url").alias("event_type"),
+        F.col("bucket_ts").cast("long").alias("bucket_ts"),
+        F.col("cnt").cast("long").alias("cnt"),
+        F.col("n_distinct").alias("__est__"),
+    )
+    exact = (
+        ev.groupBy(
+            "event_type",
+            F.date_trunc("day", F.col("ts")).cast("long").alias("bucket_ts"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_exact"))
+    )
+    return est.join(exact, ["event_type", "bucket_ts"]).select(
+        "event_type", "bucket_ts", "cnt",
+        F.col("n_exact").cast("long").alias("n_exact"),
+        F.when(
+            F.abs(F.col("__est__") - F.col("n_exact"))
+            / F.col("n_exact") <= 0.05, F.lit(1)
+        ).otherwise(F.lit(0)).cast("long").alias("hll_within_5pct"),
+    )
+
+
+def q_tdigest_tier(spark, sf_dir):
+    """t-digest percentile rollup tiers (rollup/sketch.py:110,152,186):
+    hourly digests of event values per event_type MERGE into monthly
+    digests without touching raw rows, then p50/p90/p99 are read off
+    each digest. t-digest guarantees RANK accuracy, so the pinned
+    invariant is the rank error of each estimate against the group's
+    raw values: |frac(value <= p_q) - q| <= max(0.05, 2/n) — a bound a
+    correct k1-scale digest at delta=100 satisfies deterministically
+    (inputs are pre-sorted, merging is order-stable). The per-bucket
+    row count rides along hash-checked as real data."""
+    from pytimetk_spark.rollup.sketch import (
+        rollup_sketch_tier,
+        rollup_sketch_tier_to_tier,
+        sketch_quantiles,
+    )
+
+    ev = _events(spark, sf_dir).withColumn("ts", F.col("ts").cast("timestamp"))
+    t1h = rollup_sketch_tier(ev, "event_type", "ts", "value", freq="h")
+    t1m = rollup_sketch_tier_to_tier(t1h, "MS")
+    est = sketch_quantiles(t1m, (0.5, 0.9, 0.99)).select(
+        F.col("url").alias("event_type"),
+        F.col("bucket_ts").cast("long").alias("bucket_ts"),
+        F.col("cnt").cast("long").alias("cnt"),
+        "p50", "p90", "p99",
+    )
+    raw = ev.select(
+        "event_type",
+        F.date_trunc("month", F.col("ts")).cast("long").alias("bucket_ts"),
+        "value",
+    )
+    j = raw.join(F.broadcast(est), ["event_type", "bucket_ts"])
+
+    def rank_ok(pcol, q):
+        frac = F.avg(
+            F.when(F.col("value") <= F.col(pcol), 1.0).otherwise(0.0)
+        )
+        tol = F.greatest(F.lit(0.05), 2.0 / F.count("value"))
+        return (
+            F.when(F.abs(frac - F.lit(q)) <= tol, F.lit(1))
+            .otherwise(F.lit(0)).cast("long").alias(f"{pcol}_rank_ok")
+        )
+
+    return (
+        j.groupBy("event_type", "bucket_ts")
+        .agg(
+            F.first("cnt").alias("cnt"),
+            rank_ok("p50", 0.5),
+            rank_ok("p90", 0.9),
+            rank_ok("p99", 0.99),
+        )
+        .select("event_type", "bucket_ts", "cnt",
+                "p50_rank_ok", "p90_rank_ok", "p99_rank_ok")
+    )
+
+
+def q_url_features_psl(spark, sf_dir):
+    """PSL-backed url_features (webtext/textstats.py:url_features +
+    sources/psl.py): deterministic URLs synthesized from doc_id span all
+    rule classes — plain gTLD, co.uk-style second-level registry,
+    com.au, the *.ck wildcard, the !www.ck exception, and an unknown
+    TLD (the PSL default rule). The oracle derives every expected
+    host/registrable-domain/public-suffix/path/scheme value by hand
+    from the same doc_id arithmetic — a full independent re-derivation,
+    not a constant row. Plan: one projection + 4 broadcast hash joins
+    (no shuffle; tests/test_webtext.py pins SortMergeJoin absence)."""
+    from pytimetk_spark.sources.psl import psl_rules
+    from pytimetk_spark.webtext.textstats import url_features
+
+    docs = _prep(spark).read.parquet(f"{sf_dir}/documents.parquet")
+    d = F.col("doc_id")
+    m = F.pmod(d, F.lit(6))
+    url = (
+        F.when(m == 0, F.concat(F.lit("https://www.example"), d,
+                                F.lit(".com/a/b")))
+        .when(m == 1, F.concat(F.lit("http://shop"), d,
+                               F.lit(".books.co.uk/x?q=1")))
+        .when(m == 2, F.concat(F.lit("https://node"), d,
+                               F.lit(".gov.com.au/")))
+        .when(m == 3, F.concat(F.lit("http://x"), d, F.lit(".foo.bar.ck/p")))
+        .when(m == 4, F.concat(F.lit("https://deep"), d, F.lit(".www.ck/")))
+        .otherwise(F.concat(F.lit("http://host"), d,
+                            F.lit(".example.unknowntld/a/b/c")))
+    )
+    out = url_features(
+        docs.select("doc_id", url.alias("url")), "url",
+        psl_rules=psl_rules(spark),
+    )
+    return out.select(
+        "doc_id", "url_host", "url_domain", "url_public_suffix", "url_tld",
+        F.col("url_path_depth").cast("long").alias("url_path_depth"),
+        "url_is_https", "url_has_query",
     )
 
 
@@ -1465,79 +1628,48 @@ def q_gorilla_roundtrip(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # ROTATION POLICY (round 5, per VERDICT r4 #3/#9): the driver evaluates
+    # ROTATION POLICY (standing, per VERDICT r4 #3/#9): the driver evaluates
     # only the FIRST 50 dict entries, so dict order is the evidence roster.
-    #   1. Rows with NO driver evidence ever, or last verified in round 2,
-    #      occupy the front of the window until they earn a green driver row.
-    #   2. Any row that has EVER gone red in a driver run (sessionize, red
-    #      r1-r4) stays pinned inside the window for TWO consecutive green
-    #      driver rounds before it may cycle out.
+    #   1. Rows with NO green driver evidence ever (new rows, no_oracle
+    #      rows) occupy the front of the window until they earn one.
+    #   2. Any row that has EVER gone red in a driver run stays pinned
+    #      inside the window for TWO consecutive green driver rounds
+    #      before it may cycle out.
     #   3. Long-stable rows (green in the latest driver round and at least
     #      one earlier round) cycle to the tail to make room; they remain in
     #      the contract and in the local mirror (tools/check_contract.py runs
     #      ALL rows every round regardless of position).
-    # Round-5 window: 23 tail rows from r4 (7 never-run + 16 r2-stale),
-    # sessionize (rule 2), 2 new rows (frequency_grouped, ts_features_ets),
-    # and 24 keepers; 25 finance/augment/correlate rows green in both r3+r4
-    # cycle out under rule 3.
+    # Round-6 window (VERDICT r5 #2): 3 new r6 rows + ts_features_models
+    # (r5 no_oracle, now invariant-pinned) + 4 r5-tail rows enter under
+    # rule 1; sessionize stays pinned (rule 2: r5 was its FIRST green);
+    # the 8 rows whose only green is r5 stay (rule 3 needs two greens);
+    # the 25 rows cycled out in r5 rotate back so no row's evidence ages
+    # past r4; 8 headline keepers retained; the 32 rows green in r5 AND
+    # an earlier round cycle to the tail.
     return {
-        # -- never driver-run (7) --
+        # -- never driver-run: new in r6 (3) --
+        "hll_distinct_tier": q_hll_distinct_tier,
+        "tdigest_tier": q_tdigest_tier,
+        "url_features_psl": q_url_features_psl,
+        # -- driver-run r5 but no_oracle; invariant oracle added r6 --
+        "ts_features_models": q_ts_features_models,
+        # -- new in r5, tail then; first driver run now (rule 1) --
+        "repetition_signals": q_repetition_signals,
+        "cleaning_stats": q_cleaning_stats,
+        "decontaminate": q_decontaminate,
+        "near_dup_clusters": q_near_dup_clusters,
+        # -- ever-red, pinned per rule 2 (first green r5; needs a 2nd) --
+        "sessionize": q_sessionize,
+        # -- single green (r5 only): stay until a 2nd green round (8) --
         "streaming_tier_1h": q_streaming_tier_1h,
         "streaming_ewm": q_streaming_ewm,
         "binarize_onehot": q_binarize,
         "rolling_apply": q_rolling_apply,
         "expanding_apply": q_expanding_apply,
         "retention_expiry": q_retention,
-        "ts_features_models": q_ts_features_models,
-        # -- last driver-verified in round 2 (16) --
-        "quality_score": q_quality_score,
-        "minhash_dedup": q_minhash_dedup,
-        "simhash": q_simhash,
-        "byte_stats_features": q_byte_features,
-        "document_fingerprint": q_document_fingerprint,
-        "embedding_near_dup_pairs": q_embedding_near_dup,
-        "lsh_bucket_ann": q_lsh_ann,
-        "ivf_ann": q_ivf_ann,
-        "frequency_summary": q_frequency_summary,
-        "apply_by_time_lambdas": q_apply_by_time,
-        "acf_diagnostics": q_acf_diagnostics,
-        "ts_features_subset": q_ts_features,
-        "regime_detection": q_regime_detection,
-        "augment_ewm": q_ewm,
-        "anomalize": q_anomalize,
-        "gorilla_roundtrip": q_gorilla_roundtrip,
-        # -- ever-red, pinned per rule 2 (oracle HUGEINT fixed this round) --
-        "sessionize": q_sessionize,
-        # -- keepers: headline aggregation/rollup/join surface (24) --
-        "summarize_by_time_hourly": q_summarize_hourly,
-        "summarize_by_time_daily_lineitem": q_summarize_daily_lineitem,
-        "summarize_by_time_month_end": q_summarize_month_end,
-        "pad_by_time_hourly": q_pad_by_time,
-        "filter_by_time": q_filter_by_time,
-        "future_frame_daily": q_future_frame,
-        "timeseries_signature": q_timeseries_signature,
-        "ts_summary": q_ts_summary,
-        "rollup_tier_1h": q_rollup_tier_1h,
-        "rollup_tier_1d_from_1h": q_rollup_tier_1d,
-        "rollup_salted_1h": q_rollup_salted_1h,
-        "gap_fill_tier_1h": q_gap_fill_tier,
-        "cv_folds": q_cv_folds,
-        "interval_join": q_interval_join,
-        "asof_join_backward": q_asof_join_backward,
-        "asof_join_forward": q_asof_join_forward,
-        "asof_join_nearest": q_asof_join_nearest,
-        "risk_metrics": q_risk_metrics,
-        "seasonal_trend_frequency": q_seasonal_trend_frequency,
-        "holiday_signature": q_holiday_signature,
-        "dedup_exact": q_dedup_exact,
-        "token_stats": q_token_stats,
-        "language_scores": q_language_scores,
-        "cosine_topk_bruteforce": q_cosine_topk,
-        # -- new in r5 --
         "frequency_grouped": q_frequency_grouped,
         "ts_features_ets": q_ts_features_ets,
-        # ---- driver window cutoff (first 50 entries above) ----
-        # -- cycled out this round under rule 3 (green r3+r4) --
+        # -- r5-cycled-out rows rotate back in (25): last green r4 --
         "fip_momentum": q_fip_momentum,
         "qsmomentum": q_qsmomentum,
         "augment_shift": q_augment_shift,
@@ -1563,12 +1695,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weekday_sequence": q_weekday_sequence,
         "weekend_sequence": q_weekend_sequence,
         "augment_fourier": q_fourier,
-        # -- new in round 5 (tail: pytest + local mirror this round;
-        #    rotates into the driver window next round per rule 1) --
-        "repetition_signals": q_repetition_signals,
-        "cleaning_stats": q_cleaning_stats,
-        "decontaminate": q_decontaminate,
-        "near_dup_clusters": q_near_dup_clusters,
+        # -- headline keepers retained in-window (8) --
+        "summarize_by_time_hourly": q_summarize_hourly,
+        "rollup_tier_1h": q_rollup_tier_1h,
+        "gap_fill_tier_1h": q_gap_fill_tier,
+        "asof_join_backward": q_asof_join_backward,
+        "interval_join": q_interval_join,
+        "minhash_dedup": q_minhash_dedup,
+        "gorilla_roundtrip": q_gorilla_roundtrip,
+        "holiday_signature": q_holiday_signature,
+        # ---- driver window cutoff (first 50 entries above) ----
+        # -- cycled to the tail under rule 3 (green r5 + earlier) (32) --
+        "quality_score": q_quality_score,
+        "simhash": q_simhash,
+        "byte_stats_features": q_byte_features,
+        "document_fingerprint": q_document_fingerprint,
+        "embedding_near_dup_pairs": q_embedding_near_dup,
+        "lsh_bucket_ann": q_lsh_ann,
+        "ivf_ann": q_ivf_ann,
+        "frequency_summary": q_frequency_summary,
+        "apply_by_time_lambdas": q_apply_by_time,
+        "acf_diagnostics": q_acf_diagnostics,
+        "ts_features_subset": q_ts_features,
+        "regime_detection": q_regime_detection,
+        "augment_ewm": q_ewm,
+        "anomalize": q_anomalize,
+        "summarize_by_time_daily_lineitem": q_summarize_daily_lineitem,
+        "summarize_by_time_month_end": q_summarize_month_end,
+        "pad_by_time_hourly": q_pad_by_time,
+        "filter_by_time": q_filter_by_time,
+        "future_frame_daily": q_future_frame,
+        "timeseries_signature": q_timeseries_signature,
+        "ts_summary": q_ts_summary,
+        "rollup_tier_1d_from_1h": q_rollup_tier_1d,
+        "rollup_salted_1h": q_rollup_salted_1h,
+        "cv_folds": q_cv_folds,
+        "asof_join_forward": q_asof_join_forward,
+        "asof_join_nearest": q_asof_join_nearest,
+        "risk_metrics": q_risk_metrics,
+        "seasonal_trend_frequency": q_seasonal_trend_frequency,
+        "dedup_exact": q_dedup_exact,
+        "token_stats": q_token_stats,
+        "language_scores": q_language_scores,
+        "cosine_topk_bruteforce": q_cosine_topk,
     }
 
 
@@ -2045,6 +2214,95 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1 AS BIGINT) AS hw_admissible,
                    CAST(1 AS BIGINT) AS mle_not_worse_than_start
             FROM events GROUP BY 1
+        """,
+        "ts_features_models": """
+            -- iterative model fits are not SQL-expressible; pin the
+            -- deterministic invariants any correct fit satisfies
+            -- (see q_ts_features_models): parameter admissibility,
+            -- p-value clamp bounds, heterogeneity stat ranges
+            SELECT event_type,
+                   count(DISTINCT date_trunc('day', ts)) AS n_days,
+                   CAST(1 AS BIGINT) AS holt_admissible,
+                   CAST(1 AS BIGINT) AS hw_admissible,
+                   CAST(1 AS BIGINT) AS kpss_p_in_table,
+                   CAST(1 AS BIGINT) AS pp_p_in_unit,
+                   CAST(1 AS BIGINT) AS arch_in_range,
+                   CAST(1 AS BIGINT) AS garch_ok
+            FROM events GROUP BY 1
+        """,
+        "hll_distinct_tier": """
+            -- the HLL estimate is probabilistic; its deterministic
+            -- contract is the error bound vs the EXACT distinct count,
+            -- which is itself emitted and hash-checked as real data
+            SELECT event_type,
+                   epoch_us(date_trunc('day', ts)) // 1000000 AS bucket_ts,
+                   CAST(count(*) AS BIGINT) AS cnt,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+                   CAST(1 AS BIGINT) AS hll_within_5pct
+            FROM events GROUP BY 1, 2
+        """,
+        "tdigest_tier": """
+            -- t-digest guarantees RANK accuracy: the pinned invariant is
+            -- rank error of each merged-digest percentile vs the group's
+            -- raw values (see q_tdigest_tier); counts ride along as data
+            SELECT event_type,
+                   epoch_us(date_trunc('month', ts)) // 1000000
+                     AS bucket_ts,
+                   CAST(count(value) AS BIGINT) AS cnt,
+                   CAST(1 AS BIGINT) AS p50_rank_ok,
+                   CAST(1 AS BIGINT) AS p90_rank_ok,
+                   CAST(1 AS BIGINT) AS p99_rank_ok
+            FROM events GROUP BY 1, 2
+        """,
+        "url_features_psl": """
+            -- full independent re-derivation: the Spark side synthesizes
+            -- URLs from doc_id % 6 spanning every PSL rule class, so the
+            -- oracle recomputes host / PSL registrable domain / public
+            -- suffix / path depth by hand from the same arithmetic
+            WITH b AS (
+              SELECT doc_id, doc_id % 6 AS m,
+                     CAST(doc_id AS VARCHAR) AS ds
+              FROM documents
+            )
+            SELECT doc_id,
+              CASE m
+                WHEN 0 THEN 'www.example' || ds || '.com'
+                WHEN 1 THEN 'shop' || ds || '.books.co.uk'
+                WHEN 2 THEN 'node' || ds || '.gov.com.au'
+                WHEN 3 THEN 'x' || ds || '.foo.bar.ck'
+                WHEN 4 THEN 'deep' || ds || '.www.ck'
+                ELSE 'host' || ds || '.example.unknowntld'
+              END AS url_host,
+              CASE m
+                WHEN 0 THEN 'example' || ds || '.com'  -- rule: com
+                WHEN 1 THEN 'books.co.uk'              -- rule: co.uk
+                WHEN 2 THEN 'gov.com.au'               -- rule: com.au
+                WHEN 3 THEN 'foo.bar.ck'               -- rule: *.ck
+                WHEN 4 THEN 'www.ck'                   -- rule: !www.ck
+                ELSE 'example.unknowntld'              -- default rule *
+              END AS url_domain,
+              CASE m
+                WHEN 0 THEN 'com'
+                WHEN 1 THEN 'co.uk'
+                WHEN 2 THEN 'com.au'
+                WHEN 3 THEN 'bar.ck'
+                WHEN 4 THEN 'ck'
+                ELSE 'unknowntld'
+              END AS url_public_suffix,
+              CASE m
+                WHEN 0 THEN 'com'
+                WHEN 1 THEN 'uk'
+                WHEN 2 THEN 'au'
+                WHEN 3 THEN 'ck'
+                WHEN 4 THEN 'ck'
+                ELSE 'unknowntld'
+              END AS url_tld,
+              CAST(CASE m WHEN 0 THEN 2 WHEN 1 THEN 1 WHEN 2 THEN 0
+                          WHEN 3 THEN 1 WHEN 4 THEN 0 ELSE 3 END
+                   AS BIGINT) AS url_path_depth,
+              (m % 2 = 0) AS url_is_https,
+              (m = 1) AS url_has_query
+            FROM b
         """,
         "regime_detection": """
             SELECT event_type,

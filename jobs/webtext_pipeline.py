@@ -41,6 +41,7 @@ def run_pipeline(
     jaccard: float = 0.8,
     pack_tokens: int | None = None,
     split_fractions: dict | None = None,
+    url_col: str | None = None,
 ):
     """documents(doc_id, text, ...) -> (curated_df, stats_dict).
 
@@ -117,6 +118,22 @@ def run_pipeline(
         stats["n_sequences"] = packed.select("seq_id").distinct().count()
         stats["n_bpe_merges"] = len(merges)
 
+    if url_col is not None:
+        # PSL-correct registrable domains (NOT last-two-labels: co.uk-
+        # class hosts would collapse whole registries into one "domain")
+        # — the grouping key for per-domain crawl budgets / data cards
+        from pytimetk_spark.sources.psl import psl_rules
+        from pytimetk_spark.webtext.textstats import url_features
+
+        deduped = url_features(deduped, url_col,
+                               psl_rules=psl_rules(spark))
+        dom_counts = deduped.groupBy("url_domain").count()
+        stats["n_domains"] = dom_counts.count()
+        top = dom_counts.orderBy(F.desc("count"), "url_domain").first()
+        if top is not None:
+            stats["top_domain"] = top["url_domain"]
+            stats["top_domain_docs"] = top["count"]
+
     if split_fractions:
         from pytimetk_spark.webtext.cleaning import hash_split
 
@@ -147,6 +164,9 @@ def main() -> None:
                     help="e.g. train=0.98,val=0.01,test=0.01")
     ap.add_argument("--partitions", type=int, default=None,
                     help="output file count (coalesce); default: leave as-is")
+    ap.add_argument("--url-col", default=None,
+                    help="URL column: annotate PSL registrable domains "
+                         "and report per-domain stats")
     args = ap.parse_args()
 
     spark = SparkSession.builder.appName("pytimetk-webtext").getOrCreate()
@@ -161,6 +181,7 @@ def main() -> None:
         near_dedup=not args.no_dedup_near,
         jaccard=args.jaccard,
         pack_tokens=args.pack_tokens,
+        url_col=args.url_col,
         split_fractions=(
             {k: float(v) for k, v in
              (kv.split("=") for kv in args.split.split(","))}

@@ -394,26 +394,124 @@ def script_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def url_features(df: DataFrame, url_col: str = "url") -> DataFrame:
+def url_features(
+    df: DataFrame, url_col: str = "url", psl_rules: DataFrame | None = None
+) -> DataFrame:
     """URL structure features, pure Catalyst (``parse_url`` + regex):
-    host, registrable domain (last-two-labels approximation — exact
-    registrability needs the Public Suffix List, so ``co.uk``-style
-    hosts under-split; documented trade-off), top-level domain, path
-    depth, scheme/query flags. The grouping keys every crawl pipeline
-    cuts by (domain-level dedup budgets, per-TLD quality priors)."""
+    host, registrable domain, top-level domain, path depth,
+    scheme/query flags. The grouping keys every crawl pipeline cuts by
+    (domain-level dedup budgets, per-TLD quality priors).
+
+    ``url_domain`` (registrable domain): with ``psl_rules`` (a Public
+    Suffix List rules DataFrame — the bundled deterministic subset is
+    ``pytimetk_spark.sources.psl.psl_rules(spark)``; a full list parses
+    via ``psl_rules_from_lines``) the PSL algorithm runs exactly:
+    longest matching rule wins, ``*.x`` wildcards match any single
+    label, ``!y.x`` exceptions shorten the suffix by one label, default
+    rule ``*`` when nothing matches; registrable = public suffix + one
+    label, falling back to the bare host when the host IS a public
+    suffix. Without ``psl_rules`` the last-two-labels approximation is
+    kept (documented trade-off: ``co.uk``-style hosts under-split).
+
+    Scale shape: the rules table is tiny, so the PSL path adds ONE
+    BROADCAST hash join per distinct rule length per kind (the bundled
+    subset: 4 joins) on precomputed suffix-key columns — no explode, no
+    re-group, no shuffle; everything else is one projection.
+    """
     u = F.col(url_col)
     host = F.lower(F.parse_url(u, F.lit("HOST")))
     path = F.coalesce(F.parse_url(u, F.lit("PATH")), F.lit(""))
-    labels = F.split(host, r"\.")
+    out = df.withColumn("url_host", host)
+    # stage the label array once (HOF/slice consumers below)
+    out = out.withColumn("__labels__", F.split(F.col("url_host"), r"\."))
+    labels = F.col("__labels__")
     n = F.size(labels)
-    domain = F.when(
-        n >= 2,
-        F.concat_ws(".", F.element_at(labels, -2), F.element_at(labels, -1)),
-    ).otherwise(host)
-    return (
-        df.withColumn("url_host", host)
-        .withColumn("url_domain", domain)
-        .withColumn("url_tld", F.element_at(labels, -1))
+
+    def suffix(k):
+        # last k labels of the host, joined — NULL when host is shorter
+        return F.when(
+            n >= k, F.concat_ws(".", F.slice(labels, n - k + 1, k))
+        )
+
+    if psl_rules is None:
+        domain = F.when(n >= 2, suffix(2)).otherwise(F.col("url_host"))
+        out = out.withColumn("url_domain", domain)
+    else:
+        # PSL lengths present per kind (rules table is tiny: collect is
+        # a driver-side constant-fold, not a data-path collect)
+        kinds = psl_rules.select(
+            "n_labels", "is_wildcard", "is_exception"
+        ).distinct().collect()
+        ks_exact = sorted({r.n_labels for r in kinds if not r.is_wildcard})
+        ks_wild = sorted({r.n_labels for r in kinds if r.is_wildcard})
+        exc_cols, norm_cols = [], []
+        for k in ks_exact:
+            key = f"__sfx{k}__"
+            out = out.withColumn(key, suffix(k))
+            r = psl_rules.filter(
+                (~F.col("is_wildcard")) & (F.col("n_labels") == k)
+            ).select(
+                F.col("rule").alias(key),
+                F.col("is_exception").alias(f"__exc{k}__"),
+            ).dropDuplicates([key])
+            out = out.join(F.broadcast(r), key, "left")
+            # exception rule: public suffix = rule minus leading label
+            exc_cols.append(
+                (k, F.when(F.col(f"__exc{k}__") == True,  # noqa: E712
+                           F.lit(k - 1)))
+            )
+            norm_cols.append(
+                (k, F.when(F.col(f"__exc{k}__") == False,  # noqa: E712
+                           F.lit(k)))
+            )
+        for k in ks_wild:
+            key = f"__wld{k}__"
+            # "*." + last (k-1) labels; needs >= k host labels (the *
+            # consumes one real label)
+            out = out.withColumn(
+                key,
+                F.when(n >= k, F.concat(F.lit("*."), suffix(k - 1))),
+            )
+            r = psl_rules.filter(
+                F.col("is_wildcard") & (F.col("n_labels") == k)
+            ).select(
+                F.col("rule").alias(key),
+                F.lit(True).alias(f"__wmatch{k}__"),
+            ).dropDuplicates([key])
+            out = out.join(F.broadcast(r), key, "left")
+            norm_cols.append(
+                (k, F.when(F.col(f"__wmatch{k}__"), F.lit(k)))
+            )
+        # prevailing rule: any exception first, else most labels
+        exc_npub = F.coalesce(
+            *[c for _, c in sorted(exc_cols, key=lambda t: -t[0])],
+            F.lit(None),
+        )
+        norm_npub = F.coalesce(
+            *[c for _, c in sorted(norm_cols, key=lambda t: -t[0])],
+            F.lit(None),
+        )
+        n_pub = F.coalesce(exc_npub, norm_npub, F.lit(1))
+        out = out.withColumn("__npub__", n_pub)
+        npub = F.col("__npub__")
+        registrable = F.when(
+            n > npub,
+            F.concat_ws(".", F.slice(labels, n - npub, npub + 1)),
+        )
+        out = (
+            out.withColumn("url_public_suffix",
+                           F.concat_ws(".", F.slice(labels, n - npub + 1,
+                                                    npub)))
+            .withColumn("url_domain",
+                        F.coalesce(registrable, F.col("url_host")))
+        )
+        drop = [f"__sfx{k}__" for k in ks_exact]
+        drop += [f"__exc{k}__" for k in ks_exact]
+        drop += [f"__wld{k}__" for k in ks_wild]
+        drop += [f"__wmatch{k}__" for k in ks_wild]
+        out = out.drop(*drop, "__npub__")
+    out = (
+        out.withColumn("url_tld", F.element_at(labels, -1))
         .withColumn(
             "url_path_depth",
             F.size(F.filter(F.split(path, "/"),
@@ -424,4 +522,6 @@ def url_features(df: DataFrame, url_col: str = "url") -> DataFrame:
             "url_has_query",
             F.parse_url(u, F.lit("QUERY")).isNotNull(),
         )
+        .drop("__labels__")
     )
+    return out

@@ -18,8 +18,11 @@ import pytest
 sys.path.insert(0, "/root/repo")
 import __spark_entry__ as entrymod
 
-# rows whose SQL isn't expressible; they get the weaker rows-only check
-ROWS_ONLY_OK = {"ts_features_models"}
+# rows whose SQL isn't expressible; they get the weaker rows-only check.
+# Empty since r6: ts_features_models gained an invariant-pinning oracle
+# (the q_ts_features_ets pattern — VERDICT r5 #1), so every contract row
+# is now hash-checked.
+ROWS_ONLY_OK = set()
 
 # rows that have EVER gone red in a driver round: pinned in the window
 # until two consecutive green driver rounds (rotation policy rule 2)
@@ -27,11 +30,13 @@ EVER_RED = {"sessionize"}
 
 # rows introduced or materially changed this round: need driver evidence
 NEEDS_EVIDENCE_R5 = {
-    "frequency_grouped", "ts_features_ets",
-    # never driver-run before r5
-    "streaming_tier_1h", "streaming_ewm", "binarize_onehot",
-    "rolling_apply", "expanding_apply", "retention_expiry",
+    # new in r6
+    "hll_distinct_tier", "tdigest_tier", "url_features_psl",
+    # r5 no_oracle -> r6 invariant oracle
     "ts_features_models",
+    # new in r5, first driver run is r6
+    "repetition_signals", "cleaning_stats", "decontaminate",
+    "near_dup_clusters",
 }
 
 

@@ -1970,6 +1970,21 @@ def test_webtext_pipeline_end_to_end(spark):
     assert stats2["n_sequences"] == pdf2["seq_id"].nunique()
     assert set(pdf2["split"].unique()) <= {"train", "val"}
 
+    # url_col: PSL-correct registrable domains (co.uk hosts must group
+    # by the THIRD label, not the two-label approximation) + stats
+    docs3 = docs.withColumn(
+        "url",
+        F.concat(F.lit("https://www.site"), F.col("doc_id") % 7,
+                 F.lit(".co.uk/p/"), F.col("doc_id")),
+    )
+    curated3, stats3 = run_pipeline(
+        spark, docs3, min_quality=0.3, max_dup_5gram=0.5, url_col="url")
+    pdf3 = curated3.select("doc_id", "url_domain").toPandas()
+    assert (pdf3["url_domain"] ==
+            "site" + (pdf3["doc_id"] % 7).astype(str) + ".co.uk").all()
+    assert stats3["n_domains"] == pdf3["url_domain"].nunique()
+    assert stats3["top_domain"].endswith(".co.uk")
+
 
 def test_extract_html_text(spark):
     """Regex-tier HTML extraction: head/script/style/comment subtrees
@@ -2684,3 +2699,53 @@ def test_url_features(spark):
     doms = wp.select("url_domain").distinct().count()
     assert doms >= 1  # synthetic urls share the example.com suffix
     assert wp.filter("url_tld != 'com'").count() == 0
+
+
+def test_url_features_psl_registrable_domain(spark):
+    """PSL-backed registrable domains (VERDICT r5 #5): the full rule
+    semantics — longest match, ``*.ck`` wildcards, ``!www.ck``
+    exceptions, multi-level registry rules, the ``*`` default — against
+    hand-derived expectations from publicsuffix.org's own test vectors;
+    and the plan stays broadcast-join-only (no shuffle added)."""
+    from pytimetk_spark.sources.psl import psl_rules
+    from pytimetk_spark.webtext.textstats import url_features
+
+    cases = [
+        # (url, expected url_domain, expected public suffix)
+        ("https://www.example.co.uk/a?x=1", "example.co.uk", "co.uk"),
+        ("http://shop.books.com.au/", "books.com.au", "com.au"),
+        ("https://a.b.example.com/x", "example.com", "com"),
+        ("http://example.com", "example.com", "com"),
+        # wildcard *.ck: public suffix is <label>.ck
+        ("http://x.foo.bar.ck/", "foo.bar.ck", "bar.ck"),
+        # host IS a public suffix under the wildcard -> fallback host
+        ("http://bar.ck/", "bar.ck", "bar.ck"),
+        # exception !www.ck: registrable is www.ck itself
+        ("http://www.ck/page", "www.ck", "ck"),
+        ("http://deep.www.ck/page", "www.ck", "ck"),
+        # multi-level registry rule (4 labels)
+        ("https://school.pvt.k12.ma.us/", "school.pvt.k12.ma.us",
+         "pvt.k12.ma.us"),
+        # unknown TLD -> PSL default rule "*": last two labels
+        ("http://foo.example.unknowntld/", "example.unknowntld",
+         "unknowntld"),
+        # host equal to a plain public suffix -> fallback host
+        ("https://co.uk/", "co.uk", "co.uk"),
+        ("https://www.example.govt.nz/x", "example.govt.nz", "govt.nz"),
+    ]
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": range(len(cases)), "url": [c[0] for c in cases]}))
+    rules = psl_rules(spark)
+    out = (url_features(df, "url", psl_rules=rules).toPandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    for i, (u, dom, _sfx) in enumerate(cases):
+        assert out.loc[i, "url_domain"] == dom, (u, out.loc[i, "url_domain"])
+    # public suffix column (host == suffix cases report the suffix match)
+    assert out.loc[0, "url_public_suffix"] == "co.uk"
+    assert out.loc[4, "url_public_suffix"] == "bar.ck"
+    assert out.loc[6, "url_public_suffix"] == "ck"
+    # plan: PSL lookups are broadcast hash joins; no exchange beyond them
+    plan = url_features(df, "url", psl_rules=rules)._jdf.queryExecution(
+        ).executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
