@@ -107,6 +107,54 @@ def bench_queries(spark):
     }
 
 
+def webtext_queries(spark, web):
+    """Curation-suite headline queries (VERDICT r5 ask #7) over the same
+    deterministic 60k-url web table the tier job uses: exact dedup on the
+    full crawl (~2M rows), MinHash near-dup dedup / Gopher repetition
+    signals / BPE encode on the 60k distinct documents (the
+    post-exact-dedup shape those stages consume in the pipeline job)."""
+    from pytimetk_spark.webtext.bpe import bpe_encode, bpe_train
+    from pytimetk_spark.webtext.dedup import (
+        dedup_exact,
+        minhash_dedup,
+        release_minhash_cache,
+    )
+    from pytimetk_spark.webtext.textstats import repetition_signals
+
+    work = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    import tempfile
+
+    docs_src = f"{work or tempfile.gettempdir()}/bench_webdocs_60k"
+    if not os.path.exists(f"{docs_src}/_SUCCESS"):
+        (web.select("url", "text").distinct()
+         .withColumn("doc_id", F.abs(F.xxhash64("url")))
+         .write.mode("overwrite").parquet(docs_src))
+    docs = spark.read.parquet(docs_src)
+    crawl = web.withColumn("doc_id", F.monotonically_increasing_id())
+    # model fit ONCE outside the timed region: bpe_train is a bounded
+    # seeded-sample driver fit (a train step, not a per-run query cost);
+    # the timed query is the distributed full-corpus encode
+    merges = bpe_train(docs, "text", n_merges=200, fit_sample=20_000)
+
+    def q_minhash():
+        r = minhash_dedup(docs, "text", "doc_id")
+        _force(r)
+        release_minhash_cache(r)
+
+    return {
+        "webtext_dedup_exact": lambda: _force(
+            dedup_exact(crawl, "text", "doc_id")
+        ),
+        "webtext_minhash_dedup": q_minhash,
+        "webtext_repetition_signals": lambda: _force(
+            repetition_signals(docs, "text", "doc_id")
+        ),
+        "webtext_bpe_encode": lambda: _force(
+            bpe_encode(docs, merges, "text", "doc_id")
+        ),
+    }
+
+
 def main():
     spark = tk.get_spark(app_name="pytimetk_spark-bench", master=f"local[{CPUS}]")
     ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
@@ -134,6 +182,16 @@ def main():
             n_domains=1200, seed=42,
         ).write.mode("overwrite").parquet(src)
     web = spark.read.parquet(src)
+
+    # curation-suite headline queries (same warm-up + single-timed protocol;
+    # NOTE: their addition is a one-time headline-total discontinuity vs
+    # rounds <= 5 — see BENCH/BASELINE.md)
+    for name, fn in webtext_queries(spark, web).items():
+        fn()
+        t0 = time.time()
+        fn()
+        timings[name] = round(time.time() - t0, 4)
+
     pre = web.select("url", "warc_ts", F.length("text").alias("plen")).repartition(
         int(CPUS) * 2, F.col("url")
     )

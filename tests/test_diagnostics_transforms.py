@@ -377,6 +377,76 @@ def test_streaming_dedup_and_stateful_ewm(spark, tmp_path):
     )
 
 
+def test_streaming_ewm_idle_timeout_drops_state(spark, tmp_path):
+    """VERDICT r5 #3 (EWM leg): ``idle_timeout`` arms an event-time
+    timeout that DROPS an idle url's (w, y) accumulators once the
+    watermark moves past its last event + idle_timeout — state row count
+    tracks ACTIVE urls. A url that reappears after expiry restarts its
+    EWM from scratch (the documented trade-off)."""
+    import time
+
+    from pytimetk_spark.streaming.stateful import streaming_running_ewm
+
+    rng = np.random.RandomState(11)
+
+    def batch_pdf(urls, hour, n=20):
+        rows = []
+        for u in urls:
+            rows.append(pd.DataFrame({
+                "url": u,
+                "warc_ts": pd.to_datetime(f"2024-01-01 {hour:02d}:00:00")
+                + pd.to_timedelta(np.sort(rng.randint(0, 1800, n)), unit="s"),
+                "plen": rng.randint(10, 500, n).astype(float),
+            }))
+        return pd.concat(rows, ignore_index=True)
+
+    # b1: urls a+b @ h0 (2 state rows); b2: a @ h6; b3: a @ h12 (b idle,
+    # no b input => hasTimedOut fires: the watermark after b2
+    # (~06:30 - 2h = 04:30) passed b's ~02:30 timeout); b4: a+b @ h18
+    # (b reappears AFTER expiry and restarts from scratch).
+    batches = [batch_pdf(["a", "b"], 0), batch_pdf(["a"], 6),
+               batch_pdf(["a"], 12), batch_pdf(["a", "b"], 18)]
+    src = tmp_path / "ewm_idle_src"
+    src.mkdir()
+    for b in batches:
+        spark.createDataFrame(b).coalesce(1).write.mode("append").parquet(
+            str(src))
+        time.sleep(0.05)  # distinct mtimes: oldest-first file order
+    schema = "url string, warc_ts timestamp, plen double"
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(src)))
+    q = (streaming_running_ewm(stream, "url", "warc_ts", "plen", alpha=0.3,
+                               idle_timeout="2 hours")
+         .writeStream.format("memory").queryName("ewm_idle")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    removed = sum(p["stateOperators"][0].get("numRowsRemoved", 0)
+                  for p in q.recentProgress if p["stateOperators"])
+    assert removed >= 1  # b's idle state was dropped, not kept forever
+
+    got = (spark.table("ewm_idle").toPandas()
+           .sort_values(["url", "ts"]).reset_index(drop=True))
+    # url a was never idle past the horizon: its EWM chains across all
+    # four batches (state survived every gap)
+    a = got[got["url"] == "a"].reset_index(drop=True)
+    a_vals = pd.concat([b[b["url"] == "a"] for b in batches],
+                       ignore_index=True)["plen"]
+    want_a = a_vals.ewm(alpha=0.3, adjust=True).mean()
+    np.testing.assert_allclose(a.loc[len(a) - 1, "ewm"],
+                               want_a.iloc[-1], rtol=1e-9)
+    # url b RESTARTED at h18: its first h18 row's EWM equals that row's
+    # raw plen exactly (fresh state), not a continuation of h0 history
+    b18 = got[(got["url"] == "b")
+              & (got["ts"] >= pd.Timestamp("2024-01-01 18:00:00"))]
+    b18 = b18.sort_values("ts").reset_index(drop=True)
+    b18_raw = (batches[3][batches[3]["url"] == "b"]
+               .sort_values("warc_ts").reset_index(drop=True))
+    np.testing.assert_allclose(b18.loc[0, "ewm"], b18_raw.loc[0, "plen"],
+                               rtol=1e-12)
+
+
 def test_nelder_mead_quadratic():
     from pytimetk_spark.functions.optim import nelder_mead
 
