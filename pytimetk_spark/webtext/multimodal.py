@@ -113,11 +113,13 @@ def decode_image_batch(
 
     REAL pure-numpy/stdlib decode for JPEG incl. progressive
     (webtext/jpeg.py — full Huffman + IDCT), PNG incl. Adam7 (webtext/png.py — zlib
-    inflate + unfilter), GIF (webtext/gif.py), WebP-lossless
-    (webtext/webp.py), uncompressed BMP (24/32-bpp BI_RGB) and binary
+    inflate + unfilter), GIF (webtext/gif.py), WebP — both VP8L
+    lossless (webtext/webp.py) and lossy-VP8 keyframes
+    (webtext/vp8.py, RFC 6386 intra codec) — uncompressed BMP
+    (24/32-bpp BI_RGB) and binary
     PPM (P6); features = normalized 8-bin luminance histogram of
-    the resized image. Other formats (lossy-VP8 WebP, 12-bit/CMYK
-    JPEG/...) need PIL →
+    the resized image. Other formats (12-bit/CMYK JPEG, animated
+    WebP/...) need PIL →
     NotImplementedError unless ``fake=True``, which produces a
     DETERMINISTIC byte-level stand-in (real schema and batch shape),
     keeping the distributed plumbing testable for any format.
@@ -169,19 +171,18 @@ def decode_image_batch(
                     img = decode_gif(blob)
                 if (img is None and blob[:4] == b"RIFF"
                         and blob[8:12] == b"WEBP"):
-                    from pytimetk_spark.webtext.webp import (
-                        decode_webp_lossless,
-                    )
+                    from pytimetk_spark.webtext.webp import decode_webp
 
-                    img = decode_webp_lossless(blob)
+                    img = decode_webp(blob)
                 if img is None:
                     raise NotImplementedError(
                         "JPEG (baseline + progressive), 8-bit PNG "
                         "(incl. Adam7), GIF "
-                        "(first frame), WebP-lossless (VP8L), "
+                        "(first frame), WebP (VP8L lossless + lossy-VP8 "
+                        "keyframes), "
                         "uncompressed BMP (24/32bpp) and binary PPM (P6) "
                         "decode dependency-free; other formats "
-                        "(lossy-VP8 WebP, 12-bit/CMYK JPEG/...) need "
+                        "(12-bit/CMYK JPEG, animated WebP/...) need "
                         "PIL — or pass fake=True for the "
                         "deterministic byte-level stand-in"
                     )

@@ -11,9 +11,10 @@ dependency-free decode is complete, not a subset.
 Supported: the full VP8L feature set — meta-prefix partitioning, all
 five prefix-code classes, color cache, LZ77 with the 120-entry
 neighbor distance map, and all four transforms (recursively decoded
-sub-images). NOT handled: lossy VP8 chunks (``VP8 `` fourcc — needs the
-VP8 intra codec) and animated/extended containers beyond a plain VP8L
-chunk; those return None for the stub fallback.
+sub-images). Lossy VP8 chunks (``VP8 `` fourcc) route to the keyframe
+decoder in ``webtext/vp8.py`` (RFC 6386 intra codec, r6). NOT handled:
+animated/extended containers beyond a plain VP8L/VP8 chunk; those
+return None for the stub fallback.
 
 Performance shape: the entropy loop is sequential python per symbol
 (same boundary as the JPEG Huffman and GIF LZW loops); transforms are
@@ -269,8 +270,10 @@ def _cache_insert(cache, cache_bits, a, r, g, b):
 
 
 def _decode_webp_impl(blob: bytes) -> np.ndarray | None:
-    """Decode RIFF/WEBP/VP8L -> HxWx3 uint8 RGB (alpha composited over
-    white), or None for lossy VP8 / extended-animation / non-WebP."""
+    """Decode RIFF/WEBP -> HxWx3 uint8 RGB. VP8L chunks decode here
+    (alpha composited over white); lossy ``VP8 `` chunks route to the
+    keyframe decoder in ``webtext/vp8.py``. None for extended-animation
+    containers without either chunk / non-WebP."""
     if blob[:4] != b"RIFF" or blob[8:12] != b"WEBP" or len(blob) < 21:
         return None
     pos = 12
@@ -282,6 +285,10 @@ def _decode_webp_impl(blob: bytes) -> np.ndarray | None:
         if fourcc == b"VP8L":
             vp8l = blob[pos + 8 : pos + 8 + size]
             break
+        if fourcc == b"VP8 ":
+            from pytimetk_spark.webtext.vp8 import decode_vp8_rgb
+
+            return decode_vp8_rgb(blob[pos + 8 : pos + 8 + size])
         pos += 8 + size + (size & 1)
     if vp8l is None or not vp8l or vp8l[0] != 0x2F:
         return None
@@ -455,12 +462,18 @@ def _inverse_predictor(img, bits, sub):
     return out.astype(np.uint8)
 
 
-def decode_webp_lossless(blob: bytes) -> np.ndarray | None:
-    """Total wrapper: one corrupt blob in a crawl shard must fall to
-    the None/stub path, never kill a Spark task — truncated or
-    malformed streams surface as parser exceptions in the impl."""
+def decode_webp(blob: bytes) -> np.ndarray | None:
+    """Decode a WebP container: VP8L (lossless, this module) or lossy
+    VP8 keyframes (``webtext/vp8.py``). Total wrapper: one corrupt blob
+    in a crawl shard must fall to the None/stub path, never kill a
+    Spark task — truncated or malformed streams surface as parser
+    exceptions in the impls."""
     try:
         return _decode_webp_impl(blob)
     except (IndexError, KeyError, ValueError, ZeroDivisionError,
             RecursionError, struct.error, MemoryError):
         return None
+
+
+# back-compat name (pre-r6, when only the lossless half decoded)
+decode_webp_lossless = decode_webp
