@@ -1087,6 +1087,34 @@ def q_url_features_psl(spark, sf_dir):
     )
 
 
+def q_ngram_lm(spark, sf_dir):
+    """Stupid-Backoff trigram LM (webtext/lm.py; Brants et al. 2007 /
+    CCNet-style perplexity gate): fit on the even-doc_id half of the
+    corpus (min_count=2 pruning), score every document. Evidence columns
+    are exact integers — tokens resolved at each backoff order m=3/2/1
+    and unseen — plus the floor(x*100+0.5) canon of the summed log10
+    score, so the full count/backoff/pruning logic is hash-checked while
+    float ulp noise stays below the canon granularity."""
+    from pytimetk_spark.webtext.lm import fit_ngram_lm, score_perplexity
+
+    docs = _prep(spark).read.parquet(f"{sf_dir}/documents.parquet")
+    train = docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 0)
+    model = fit_ngram_lm(train, n=3, min_count=2)
+    out = score_perplexity(
+        docs, model, n=3, alpha=0.4, with_order_stats=True
+    )
+    return out.select(
+        "doc_id",
+        F.col("n_scored").cast("long").alias("n_scored"),
+        F.col("n_m3").cast("long").alias("n_m3"),
+        F.col("n_m2").cast("long").alias("n_m2"),
+        F.col("n_m1").cast("long").alias("n_m1"),
+        F.col("n_unk").cast("long").alias("n_unk"),
+        F.floor(-F.col("log10_score_sum") * 100 + F.lit(0.5))
+        .cast("long").alias("neg_lp_c"),
+    )
+
+
 def q_apply_by_time(spark, sf_dir):
     """Arbitrary named-lambda downsampling (the Arrow grouped-map escape
     hatch) — lambdas here are SQL-expressible on purpose so the whole path
@@ -1647,7 +1675,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # past r4; 8 headline keepers retained; the 32 rows green in r5 AND
     # an earlier round cycle to the tail.
     return {
-        # -- never driver-run: new in r6 (3) --
+        # -- never driver-run: new in r6 (4) --
+        "ngram_lm": q_ngram_lm,
         "hll_distinct_tier": q_hll_distinct_tier,
         "tdigest_tier": q_tdigest_tier,
         "url_features_psl": q_url_features_psl,
@@ -1703,9 +1732,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join": q_interval_join,
         "minhash_dedup": q_minhash_dedup,
         "gorilla_roundtrip": q_gorilla_roundtrip,
-        "holiday_signature": q_holiday_signature,
         # ---- driver window cutoff (first 50 entries above) ----
-        # -- cycled to the tail under rule 3 (green r5 + earlier) (32) --
+        # -- cycled to the tail under rule 3 (green r5 + earlier) (33) --
+        "holiday_signature": q_holiday_signature,
         "quality_score": q_quality_score,
         "simhash": q_simhash,
         "byte_stats_features": q_byte_features,
@@ -3671,6 +3700,80 @@ def oracle_sql() -> dict[str, str]:
                      * 1.0 / greatest(len(string_split(text, chr(10))), 1),
                      6) AS line_keep_frac
             FROM documents
+        """,
+        "ngram_lm": """
+            -- Stupid-Backoff trigram LM: fit on even doc_ids (min_count 2),
+            -- score all docs; integer backoff-order evidence + log canon
+            WITH tok AS (
+              SELECT doc_id,
+                     list_filter(string_split(trim(regexp_replace(
+                       lower(text), '\\s+', ' ', 'g')), ' '),
+                       x -> x <> '') AS toks
+              FROM documents),
+            pad AS (
+              SELECT doc_id, ['<s>', '<s>'] || toks || ['</s>'] AS p
+              FROM tok),
+            t1 AS (SELECT p, unnest(range(1, len(p) + 1)) AS i
+                   FROM pad WHERE doc_id % 2 = 0),
+            t2 AS (SELECT p, unnest(range(1, len(p))) AS i
+                   FROM pad WHERE doc_id % 2 = 0),
+            t3 AS (SELECT p, unnest(range(1, len(p) - 1)) AS i
+                   FROM pad WHERE doc_id % 2 = 0),
+            counts AS (
+              SELECT g, count(*) AS c FROM (
+                SELECT p[i] AS g FROM t1
+                UNION ALL
+                SELECT array_to_string(p[i : i + 1], ' ') AS g FROM t2
+                UNION ALL
+                SELECT array_to_string(p[i : i + 2], ' ') AS g FROM t3
+              ) GROUP BY g HAVING count(*) >= 2),
+            nval AS (
+              SELECT CAST(sum(c) AS DOUBLE) AS n FROM counts
+              WHERE g <> '<s>' AND NOT contains(g, ' ')),
+            pos AS (
+              SELECT doc_id, p, unnest(range(3, len(p) + 1)) AS i
+              FROM pad),
+            lk AS (
+              SELECT doc_id, i,
+                     array_to_string(p[i - 2 : i], ' ') AS g3n,
+                     array_to_string(p[i - 1 : i], ' ') AS g2n,
+                     p[i] AS g1n,
+                     array_to_string(p[i - 2 : i - 1], ' ') AS d3,
+                     p[i - 1] AS d2
+              FROM pos),
+            sc AS (
+              SELECT l.doc_id,
+                     CASE WHEN c3.c IS NOT NULL THEN 3
+                          WHEN c2.c IS NOT NULL THEN 2
+                          WHEN c1.c IS NOT NULL THEN 1
+                          ELSE 0 END AS m,
+                     CASE WHEN c3.c IS NOT NULL
+                            THEN log10(c3.c / cd3.c)
+                          WHEN c2.c IS NOT NULL
+                            THEN log10(c2.c / cd2.c) + log10(0.4)
+                          WHEN c1.c IS NOT NULL
+                            THEN log10(c1.c / (SELECT n FROM nval))
+                                 + 2 * log10(0.4)
+                          ELSE log10(1.0 / (SELECT n FROM nval))
+                               + 2 * log10(0.4) END AS lp
+              FROM lk l
+              LEFT JOIN counts c3 ON c3.g = l.g3n
+              LEFT JOIN counts c2 ON c2.g = l.g2n
+              LEFT JOIN counts c1 ON c1.g = l.g1n
+              LEFT JOIN counts cd3 ON cd3.g = l.d3
+              LEFT JOIN counts cd2 ON cd2.g = l.d2)
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_scored,
+                   CAST(sum(CASE WHEN m = 3 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_m3,
+                   CAST(sum(CASE WHEN m = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_m2,
+                   CAST(sum(CASE WHEN m = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_m1,
+                   CAST(sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_unk,
+                   CAST(floor(-sum(lp) * 100 + 0.5) AS BIGINT) AS neg_lp_c
+            FROM sc GROUP BY doc_id
         """,
         "decontaminate": """
             -- GPT-3 13-gram decontamination vs docs 0-4 as benchmark

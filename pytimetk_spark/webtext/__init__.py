@@ -43,6 +43,12 @@ from pytimetk_spark.webtext.cleaning import (
 )
 from pytimetk_spark.webtext.bpe import bpe_encode, bpe_train
 from pytimetk_spark.webtext.html import extract_html_text
+from pytimetk_spark.webtext.lm import (
+    fit_ngram_lm,
+    lm_filter,
+    perplexity_buckets,
+    score_perplexity,
+)
 from pytimetk_spark.webtext.imageinfo import image_stream_info
 from pytimetk_spark.webtext.pq import pq_encode, pq_search, pq_train
 from pytimetk_spark.webtext.videoprobe import video_stream_info
