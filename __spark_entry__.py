@@ -1115,6 +1115,47 @@ def q_ngram_lm(spark, sf_dir):
     )
 
 
+def q_dsir_select(spark, sf_dir):
+    """DSIR Gumbel-top-k importance resampling (webtext/sampling.py;
+    Xie et al. 2023): target = every 10th doc, raw = full corpus, hashed
+    uni+bigram features in 4096 buckets, add-1 smoothing, seed-3 Gumbel
+    noise. Every quantity derives from exact counts and the cross-engine
+    md5 uniform, so the oracle re-runs the whole pipeline in SQL; the
+    score ships as its floor(x*100+0.5) canon."""
+    from pytimetk_spark.webtext.sampling import dsir_select
+
+    docs = _prep(spark).read.parquet(f"{sf_dir}/documents.parquet")
+    target = docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) == 0)
+    sel = dsir_select(
+        docs, target, k=50, n_buckets=4096, smoothing=1.0, seed=3
+    )
+    return sel.select(
+        "doc_id",
+        F.col("n_feat").cast("long").alias("n_feat"),
+        F.floor(F.col("score") * 100 + F.lit(0.5)).cast("long")
+        .alias("score_c"),
+    )
+
+
+def q_temperature_sample(spark, sf_dir):
+    """Temperature alpha=0.5 mixture sampling (webtext/sampling.py;
+    XLM/mT5-style): per-lang rates q_d/p_d realized as deterministic
+    md5-uniform copy counts, repeats exploded with copy_idx. Output is
+    all-integer/string — the full sampling decision is hash-checked."""
+    from pytimetk_spark.webtext.sampling import temperature_sample
+
+    docs = _prep(spark).read.parquet(f"{sf_dir}/documents.parquet")
+    out = temperature_sample(
+        docs, domain_col="lang", alpha=0.5, target_frac=1.0, seed=1
+    )
+    return out.select(
+        "doc_id",
+        "lang",
+        F.col("n_copies").cast("long").alias("n_copies"),
+        F.col("copy_idx").cast("long").alias("copy_idx"),
+    )
+
+
 def q_apply_by_time(spark, sf_dir):
     """Arbitrary named-lambda downsampling (the Arrow grouped-map escape
     hatch) — lambdas here are SQL-expressible on purpose so the whole path
@@ -1675,8 +1716,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # past r4; 8 headline keepers retained; the 32 rows green in r5 AND
     # an earlier round cycle to the tail.
     return {
-        # -- never driver-run: new in r6 (4) --
+        # -- never driver-run: new in r6 (6) --
         "ngram_lm": q_ngram_lm,
+        "dsir_select": q_dsir_select,
+        "temperature_sample": q_temperature_sample,
         "hll_distinct_tier": q_hll_distinct_tier,
         "tdigest_tier": q_tdigest_tier,
         "url_features_psl": q_url_features_psl,
@@ -1730,10 +1773,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gap_fill_tier_1h": q_gap_fill_tier,
         "asof_join_backward": q_asof_join_backward,
         "interval_join": q_interval_join,
+        # ---- driver window cutoff (first 50 entries above) ----
+        # -- cycled to the tail under rule 3 (green r5 + earlier) (35) --
         "minhash_dedup": q_minhash_dedup,
         "gorilla_roundtrip": q_gorilla_roundtrip,
-        # ---- driver window cutoff (first 50 entries above) ----
-        # -- cycled to the tail under rule 3 (green r5 + earlier) (33) --
         "holiday_signature": q_holiday_signature,
         "quality_score": q_quality_score,
         "simhash": q_simhash,
@@ -3700,6 +3743,94 @@ def oracle_sql() -> dict[str, str]:
                      * 1.0 / greatest(len(string_split(text, chr(10))), 1),
                      6) AS line_keep_frac
             FROM documents
+        """,
+        "dsir_select": """
+            -- DSIR Gumbel-top-k: hashed uni+bigram bag models, target =
+            -- every 10th doc, add-1 smoothing over 4096 buckets, seed 3
+            WITH tok AS (
+              SELECT doc_id,
+                     list_filter(string_split(trim(regexp_replace(
+                       lower(text), '\\s+', ' ', 'g')), ' '),
+                       x -> x <> '') AS toks
+              FROM documents),
+            u1 AS (SELECT doc_id, toks,
+                          unnest(range(1, len(toks) + 1)) AS i FROM tok),
+            u2 AS (SELECT doc_id, toks,
+                          unnest(range(1, len(toks))) AS i FROM tok),
+            grams AS (
+              SELECT doc_id, toks[i] AS g FROM u1
+              UNION ALL
+              SELECT doc_id, array_to_string(toks[i : i + 1], ' ') AS g
+              FROM u2),
+            feats AS (
+              SELECT doc_id,
+                     CAST('0x' || substr(md5(g), 1, 13) AS BIGINT) % 4096
+                       AS bucket,
+                     count(*) AS c
+              FROM grams GROUP BY 1, 2),
+            tdist AS (SELECT bucket, sum(c) AS tc FROM feats
+                      WHERE doc_id % 10 = 0 GROUP BY 1),
+            tg AS (SELECT CAST(sum(tc) AS DOUBLE) + 4096.0 AS d FROM tdist),
+            rdist AS (SELECT bucket, sum(c) AS rc FROM feats GROUP BY 1),
+            rg AS (SELECT CAST(sum(rc) AS DOUBLE) + 4096.0 AS d FROM rdist),
+            llr AS (
+              SELECT r.bucket,
+                     ln((coalesce(t.tc, 0) + 1.0) / (SELECT d FROM tg))
+                     - ln((r.rc + 1.0) / (SELECT d FROM rg)) AS v
+              FROM rdist r LEFT JOIN tdist t USING (bucket)),
+            w AS (
+              SELECT f.doc_id, sum(f.c) AS n_feat,
+                     sum(f.c * l.v) AS log_w
+              FROM feats f JOIN llr l USING (bucket) GROUP BY 1),
+            tot AS (
+              SELECT d.doc_id,
+                     coalesce(w.n_feat, 0) AS n_feat,
+                     coalesce(w.log_w, 0.0) AS log_w
+              FROM documents d LEFT JOIN w USING (doc_id)),
+            scored AS (
+              SELECT doc_id, n_feat,
+                     log_w - ln(-ln(
+                       least(greatest(
+                         CAST('0x' || substr(md5('3' || chr(31) ||
+                           CAST(doc_id AS VARCHAR)), 1, 13) AS BIGINT)
+                           / 4503599627370496.0,
+                         1e-12), 1.0 - 1e-12)
+                     )) AS score
+              FROM tot)
+            SELECT doc_id,
+                   CAST(n_feat AS BIGINT) AS n_feat,
+                   CAST(floor(score * 100 + 0.5) AS BIGINT) AS score_c
+            FROM scored
+            ORDER BY score DESC, doc_id
+            LIMIT 50
+        """,
+        "temperature_sample": """
+            -- alpha=0.5 temperature mixing over lang, md5-uniform copies
+            WITH counts AS (
+              SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+            tot AS (SELECT CAST(sum(n) AS DOUBLE) AS g FROM counts),
+            w AS (
+              SELECT lang, n,
+                     n / (SELECT g FROM tot) AS p,
+                     pow(n / (SELECT g FROM tot), 0.5) AS qr
+              FROM counts),
+            z AS (SELECT sum(qr) AS z FROM w),
+            r AS (SELECT lang, (qr / (SELECT z FROM z)) / p AS rate FROM w),
+            d AS (
+              SELECT doc.doc_id, doc.lang, r.rate,
+                     CAST('0x' || substr(md5('1' || chr(31) ||
+                       CAST(doc.doc_id AS VARCHAR)), 1, 13) AS BIGINT)
+                       / 4503599627370496.0 AS u
+              FROM documents doc JOIN r USING (lang)),
+            nc AS (
+              SELECT doc_id, lang,
+                     CAST(floor(rate) AS BIGINT)
+                     + CASE WHEN u < rate - floor(rate) THEN 1 ELSE 0 END
+                       AS n_copies
+              FROM d)
+            SELECT doc_id, lang, n_copies,
+                   unnest(range(0, n_copies)) AS copy_idx
+            FROM nc WHERE n_copies > 0
         """,
         "ngram_lm": """
             -- Stupid-Backoff trigram LM: fit on even doc_ids (min_count 2),

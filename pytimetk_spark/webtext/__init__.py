@@ -49,6 +49,13 @@ from pytimetk_spark.webtext.lm import (
     perplexity_buckets,
     score_perplexity,
 )
+from pytimetk_spark.webtext.sampling import (
+    dsir_select,
+    dsir_weights,
+    hashed_ngram_features,
+    temperature_mixture_weights,
+    temperature_sample,
+)
 from pytimetk_spark.webtext.imageinfo import image_stream_info
 from pytimetk_spark.webtext.pq import pq_encode, pq_search, pq_train
 from pytimetk_spark.webtext.videoprobe import video_stream_info
