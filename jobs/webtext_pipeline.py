@@ -4,8 +4,11 @@ Chains the LLM-training-data operators end-to-end over a documents
 table (the shape a Common-Crawl-derived corpus lands in): C4 line
 cleaning -> PII masking -> quality + Gopher-repetition filtering ->
 exact dedup -> MinHash near-dup dedup -> optional benchmark
-decontamination -> partitioned parquet + a JSON manifest of per-stage
-survival counts (the numbers a data card reports).
+decontamination -> optional CCNet perplexity gate (Stupid-Backoff
+n-gram LM) -> optional BPE tokenize + sequence pack -> hash split ->
+optional temperature-alpha domain mixing -> partitioned parquet + a
+JSON manifest of per-stage survival counts (the numbers a data card
+reports).
 
 Usage:
   python tools/make_pyfiles_zip.py
@@ -42,6 +45,11 @@ def run_pipeline(
     pack_tokens: int | None = None,
     split_fractions: dict | None = None,
     url_col: str | None = None,
+    ppl_reference=None,
+    ppl_keep: tuple = ("head", "middle"),
+    ppl_n: int = 3,
+    mix_alpha: float | None = None,
+    mix_domain_col: str = "lang",
 ):
     """documents(doc_id, text, ...) -> (curated_df, stats_dict).
 
@@ -104,6 +112,29 @@ def run_pipeline(
         )
         stats["n_after_decontamination"] = deduped.count()
 
+    if ppl_reference is not None:
+        # CCNet-style LM quality gate: score perplexity under a Stupid-
+        # Backoff n-gram model of the reference corpus and keep the
+        # head/middle buckets. ppl_reference="self" fits on the surviving
+        # corpus itself (drop-the-tail heuristic).
+        from pytimetk_spark.webtext.lm import (
+            fit_ngram_lm,
+            perplexity_buckets,
+            score_perplexity,
+        )
+
+        ref = deduped if isinstance(ppl_reference, str) else ppl_reference
+        model = fit_ngram_lm(ref, n=ppl_n, min_count=2)
+        scored = perplexity_buckets(
+            score_perplexity(deduped, model, n=ppl_n)
+        )
+        deduped = deduped.join(
+            scored.filter(F.col("ppl_bucket").isin(*ppl_keep))
+            .select("doc_id", "ppl", "ppl_bucket"),
+            "doc_id",
+        )
+        stats["n_after_ppl_gate"] = deduped.count()
+
     if pack_tokens:
         # corpus-fit BPE counts + greedy sequence packing: the curated
         # set leaves with training-ready sequence assignments
@@ -139,6 +170,17 @@ def run_pipeline(
 
         deduped = hash_split(deduped, split_fractions)
 
+    if mix_alpha is not None and mix_domain_col in deduped.columns:
+        # temperature mixing LAST (training-data assembly step): tail
+        # domains gain deterministic repeat copies, head domains thin;
+        # (doc_id, copy_idx) is the unique output key from here on
+        from pytimetk_spark.webtext.sampling import temperature_sample
+
+        deduped = temperature_sample(
+            deduped, domain_col=mix_domain_col, alpha=mix_alpha
+        )
+        stats["n_after_mixing"] = deduped.count()
+
     flagged.unpersist()
     drop = [c for c in ("__keep_clean__", "__keep_quality__",
                         "__keep_rep__", "text_masked",
@@ -167,6 +209,17 @@ def main() -> None:
     ap.add_argument("--url-col", default=None,
                     help="URL column: annotate PSL registrable domains "
                          "and report per-domain stats")
+    ap.add_argument("--ppl-reference", default=None,
+                    help="parquet of LM-reference texts for the CCNet "
+                         "perplexity gate, or 'self' to fit on the "
+                         "surviving corpus and drop its tail")
+    ap.add_argument("--ppl-keep", default="head,middle",
+                    help="comma list of perplexity buckets to keep")
+    ap.add_argument("--mix-alpha", type=float, default=None,
+                    help="temperature-mix domains with this alpha "
+                         "(deterministic copy counts, runs last)")
+    ap.add_argument("--mix-domain", default="lang",
+                    help="domain column for temperature mixing")
     args = ap.parse_args()
 
     spark = SparkSession.builder.appName("pytimetk-webtext").getOrCreate()
@@ -182,6 +235,14 @@ def main() -> None:
         jaccard=args.jaccard,
         pack_tokens=args.pack_tokens,
         url_col=args.url_col,
+        ppl_reference=(
+            "self" if args.ppl_reference == "self"
+            else spark.read.parquet(args.ppl_reference)
+            if args.ppl_reference else None
+        ),
+        ppl_keep=tuple(args.ppl_keep.split(",")),
+        mix_alpha=args.mix_alpha,
+        mix_domain_col=args.mix_domain,
         split_fractions=(
             {k: float(v) for k, v in
              (kv.split("=") for kv in args.split.split(","))}

@@ -1985,6 +1985,22 @@ def test_webtext_pipeline_end_to_end(spark):
     assert stats3["n_domains"] == pdf3["url_domain"].nunique()
     assert stats3["top_domain"].endswith(".co.uk")
 
+    # CCNet-style self-fit perplexity gate + temperature mixing tail:
+    # the gate drops the tail ppl bucket; mixing emits deterministic
+    # per-doc copies keyed by (doc_id, copy_idx)
+    curated4, stats4 = run_pipeline(
+        spark, docs, min_quality=0.3, max_dup_5gram=0.5,
+        ppl_reference="self", mix_alpha=0.5,
+    )
+    assert stats4["n_after_ppl_gate"] < stats4["n_after_near_dedup"]
+    assert stats4["n_after_mixing"] == curated4.count()
+    pdf4 = curated4.select(
+        "doc_id", "copy_idx", "n_copies", "ppl_bucket", "ppl"
+    ).toPandas()
+    assert set(pdf4["ppl_bucket"].unique()) <= {"head", "middle"}
+    assert (pdf4["copy_idx"] < pdf4["n_copies"]).all()
+    assert not pdf4.duplicated(["doc_id", "copy_idx"]).any()
+
 
 def test_extract_html_text(spark):
     """Regex-tier HTML extraction: head/script/style/comment subtrees
