@@ -141,6 +141,22 @@ def webtext_queries(spark, web):
         _force(r)
         release_minhash_cache(r)
 
+    def q_ngram_lm():
+        # fit + score are ONE unit: the LM is corpus-derived each run
+        # (fit = one explode+groupBy; scoring = one broadcast join)
+        from pytimetk_spark.webtext.lm import fit_ngram_lm, score_perplexity
+
+        model = fit_ngram_lm(docs, "text", n=3, min_count=2)
+        _force(score_perplexity(docs, model, n=3, id_col="doc_id"))
+
+    def q_dsir():
+        from pytimetk_spark.webtext.sampling import dsir_select
+
+        _force(dsir_select(
+            docs, docs.filter(F.col("doc_id") % 10 == 0), k=1000,
+            n_buckets=65_536, seed=1,
+        ))
+
     return {
         "webtext_dedup_exact": lambda: _force(
             dedup_exact(crawl, "text", "doc_id")
@@ -152,6 +168,8 @@ def webtext_queries(spark, web):
         "webtext_bpe_encode": lambda: _force(
             bpe_encode(docs, merges, "text", "doc_id")
         ),
+        "webtext_ngram_lm_ppl": q_ngram_lm,
+        "webtext_dsir_select": q_dsir,
     }
 
 
