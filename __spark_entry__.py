@@ -1156,6 +1156,31 @@ def q_temperature_sample(spark, sf_dir):
     )
 
 
+def q_dedup_paragraphs(spark, sf_dir):
+    """RefinedWeb/MassiveText repeated-paragraph removal
+    (webtext/dedup.py:dedup_paragraphs): every document is wrapped with
+    a shared synthetic header/footer line, so those lines (and any
+    corpus-repeated document body) must be dropped while unique bodies
+    survive; rebuilt text ships as its md5 so the full reassembly is
+    hash-checked without moving megabytes through the driver compare."""
+    from pytimetk_spark.webtext.dedup import dedup_paragraphs
+
+    docs = _prep(spark).read.parquet(f"{sf_dir}/documents.parquet")
+    wrapped = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("SHARED HEADER\n"), F.col("text"), F.lit("\nCC BY")
+        ).alias("text"),
+    )
+    out = dedup_paragraphs(wrapped)
+    return out.select(
+        "doc_id",
+        F.col("n_paras").cast("long").alias("n_paras"),
+        F.col("n_paras_dropped").cast("long").alias("n_paras_dropped"),
+        F.md5(F.col("text")).alias("text_md5"),
+    )
+
+
 def q_apply_by_time(spark, sf_dir):
     """Arbitrary named-lambda downsampling (the Arrow grouped-map escape
     hatch) — lambdas here are SQL-expressible on purpose so the whole path
@@ -1716,10 +1741,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # past r4; 8 headline keepers retained; the 32 rows green in r5 AND
     # an earlier round cycle to the tail.
     return {
-        # -- never driver-run: new in r6 (6) --
+        # -- never driver-run: new in r6 (7) --
         "ngram_lm": q_ngram_lm,
         "dsir_select": q_dsir_select,
         "temperature_sample": q_temperature_sample,
+        "dedup_paragraphs": q_dedup_paragraphs,
         "hll_distinct_tier": q_hll_distinct_tier,
         "tdigest_tier": q_tdigest_tier,
         "url_features_psl": q_url_features_psl,
@@ -1772,9 +1798,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_tier_1h": q_rollup_tier_1h,
         "gap_fill_tier_1h": q_gap_fill_tier,
         "asof_join_backward": q_asof_join_backward,
-        "interval_join": q_interval_join,
         # ---- driver window cutoff (first 50 entries above) ----
-        # -- cycled to the tail under rule 3 (green r5 + earlier) (35) --
+        # -- cycled to the tail under rule 3 (green r5 + earlier) (36) --
+        "interval_join": q_interval_join,
         "minhash_dedup": q_minhash_dedup,
         "gorilla_roundtrip": q_gorilla_roundtrip,
         "holiday_signature": q_holiday_signature,
@@ -3743,6 +3769,44 @@ def oracle_sql() -> dict[str, str]:
                      * 1.0 / greatest(len(string_split(text, chr(10))), 1),
                      6) AS line_keep_frac
             FROM documents
+        """,
+        "dedup_paragraphs": """
+            -- repeated-line removal over header/footer-wrapped docs
+            WITH base AS (
+              SELECT doc_id,
+                     'SHARED HEADER' || chr(10) || text || chr(10) ||
+                       'CC BY' AS t
+              FROM documents),
+            sp AS (
+              SELECT doc_id, string_split(t, chr(10)) AS ps FROM base),
+            ix AS (
+              SELECT doc_id, ps, unnest(range(1, len(ps) + 1)) AS i
+              FROM sp),
+            paras AS (
+              SELECT doc_id, i, trim(ps[i]) AS para FROM ix
+              WHERE trim(ps[i]) <> ''),
+            rep AS (
+              SELECT para FROM (
+                SELECT para, count(DISTINCT doc_id) AS c
+                FROM paras GROUP BY 1)
+              WHERE c >= 2),
+            flg AS (
+              SELECT p.doc_id, p.i, p.para,
+                     (r.para IS NOT NULL) AS is_rep
+              FROM paras p LEFT JOIN rep r USING (para)),
+            reb AS (
+              SELECT doc_id,
+                     CAST(count(*) AS BIGINT) AS n_paras,
+                     CAST(sum(CASE WHEN is_rep THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_paras_dropped,
+                     string_agg(CASE WHEN NOT is_rep THEN para END,
+                                chr(10) ORDER BY i) AS t
+              FROM flg GROUP BY doc_id)
+            SELECT d.doc_id,
+                   coalesce(r.n_paras, 0) AS n_paras,
+                   coalesce(r.n_paras_dropped, 0) AS n_paras_dropped,
+                   md5(coalesce(r.t, '')) AS text_md5
+            FROM documents d LEFT JOIN reb r USING (doc_id)
         """,
         "dsir_select": """
             -- DSIR Gumbel-top-k: hashed uni+bigram bag models, target =

@@ -1,6 +1,7 @@
 from pytimetk_spark.webtext.dedup import (
     connected_components,
     dedup_exact,
+    dedup_paragraphs,
     duplicate_passages,
     embedding_near_dup_pairs,
     exact_duplicate_groups,

@@ -709,3 +709,111 @@ def duplicate_passages(
             "n_docs",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# paragraph/line-level dedup (RefinedWeb / MassiveText repetition removal)
+
+
+def dedup_paragraphs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    join_sep: str = "\n",
+    min_docs: int = 2,
+    keep_first: bool = False,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Remove paragraphs (default: lines) that recur across the corpus,
+    reassembling each document's text from its surviving paragraphs —
+    the line-level dedup of RefinedWeb (Penedo et al. 2023 §3.3) /
+    MassiveText (Rae et al. 2021 A1.2): boilerplate (cookie banners,
+    nav text, license blocks) repeats across documents while real prose
+    does not.
+
+    ``sep`` is the split REGEX (default: line granularity; pass
+    ``r"\\n{2,}"`` for blank-line paragraphs) and ``join_sep`` the
+    literal separator used to rebuild. A paragraph is dropped when its
+    trimmed form occurs in at least ``min_docs`` DISTINCT documents. ``keep_first=True`` retains the
+    single copy in the lowest-``id_col`` document instead of dropping
+    all copies. Empty/whitespace paragraphs never count toward
+    repetition and are preserved as separators' collapse (they are
+    dropped from the reassembly).
+
+    Returns the input rows (all columns) with ``out_col`` (default:
+    overwrite ``text_col``) rebuilt, plus ``n_paras`` and
+    ``n_paras_dropped``. Documents whose paragraphs are all dropped
+    yield an empty string.
+
+    Scale shape: one posexplode, one hashed-count shuffle keyed on
+    ``xxhash64(paragraph)`` (8-byte keys, map-side combined — the
+    repeated-set frame holds only hashes), one join back, one groupBy
+    reassembly keyed by ``id_col``. No window over the corpus, no
+    driver materialization; the same plan at 10^12 documents is three
+    hash shuffles.
+    """
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    out_col = out_col or text_col
+    paras = F.transform(
+        F.split(F.col(text_col), sep), lambda p: F.trim(p)
+    )
+    staged = df.select(
+        F.col(id_col).alias("__did__"), paras.alias("__paras__")
+    )
+    exploded = staged.select(
+        "__did__", F.posexplode("__paras__").alias("pos", "para")
+    ).filter(F.col("para") != "")
+    # 8-byte hashed keys through the count shuffle (never the text)
+    hashed = exploded.withColumn("__h__", F.xxhash64("para"))
+    agg = [F.count_distinct("__did__").alias("n_docs")]
+    if keep_first:
+        agg.append(F.min("__did__").alias("__keeper__"))
+    repeated = (
+        hashed.groupBy("__h__").agg(*agg)
+        .filter(F.col("n_docs") >= min_docs)
+    )
+    # hash-join on the 8-byte key; the repeated set is usually small
+    # (boilerplate cardinality) but unbounded in theory, so no forced
+    # broadcast — AQE picks one when it fits
+    flagged = hashed.join(repeated, "__h__", "left")
+    keep = F.col("n_docs").isNull()
+    if keep_first:
+        keep = keep | (F.col("__did__") == F.col("__keeper__"))
+    rebuilt = (
+        flagged.withColumn("__keep__", keep)
+        .groupBy("__did__")
+        .agg(
+            F.count(F.lit(1)).alias("n_paras"),
+            F.sum((~F.col("__keep__")).cast("long")).alias("n_paras_dropped"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("__keep__"),
+                                F.struct(F.col("pos"), F.col("para")),
+                            )
+                        )
+                    ),
+                    lambda s: s["para"],
+                ),
+                join_sep,
+            ).alias("__rebuilt__"),
+        )
+    )
+    joined = df.join(
+        rebuilt.withColumnRenamed("__did__", id_col), id_col, "left"
+    )
+    drop_src = [] if out_col != text_col else [text_col]
+    out = joined.withColumn(
+        out_col + "__tmp__", F.coalesce("__rebuilt__", F.lit(""))
+    ).drop("__rebuilt__", *drop_src)
+    return (
+        out.withColumnRenamed(out_col + "__tmp__", out_col)
+        .withColumn("n_paras", F.coalesce("n_paras", F.lit(0)))
+        .withColumn(
+            "n_paras_dropped", F.coalesce("n_paras_dropped", F.lit(0))
+        )
+    )

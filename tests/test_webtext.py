@@ -2765,3 +2765,55 @@ def test_url_features_psl_registrable_domain(spark):
         ).executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_dedup_paragraphs(spark):
+    """RefinedWeb-style repeated-paragraph removal: lines recurring in
+    >= min_docs documents are dropped (or kept once with keep_first),
+    text reassembled in order, counts per doc exact."""
+    from pytimetk_spark.webtext.dedup import dedup_paragraphs
+
+    docs = spark.createDataFrame(
+        [
+            (0, "INTRO\nunique zero\nFOOTER"),
+            (1, " INTRO \nunique one\nFOOTER"),  # trimmed form matches
+            (2, "only unique\ntext here"),
+            (3, "INTRO"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dedup_paragraphs(docs).collect()}
+    assert out[0].text == "unique zero" and out[0].n_paras == 3
+    assert out[0].n_paras_dropped == 2
+    assert out[1].text == "unique one"
+    assert out[2].text == "only unique\ntext here"
+    assert out[2].n_paras_dropped == 0
+    assert out[3].text == "" and out[3].n_paras_dropped == 1
+    assert out[4].text == "" and out[4].n_paras == 0
+    assert set(out[0].__fields__) >= {"doc_id", "text", "n_paras",
+                                      "n_paras_dropped"}
+
+    # keep_first: the lowest-id doc retains the shared copy
+    kf = {r.doc_id: r for r in
+          dedup_paragraphs(docs, keep_first=True).collect()}
+    assert kf[0].text == "INTRO\nunique zero\nFOOTER"
+    assert kf[0].n_paras_dropped == 0
+    assert kf[1].text == "unique one" and kf[1].n_paras_dropped == 2
+    assert kf[3].text == "" and kf[3].n_paras_dropped == 1
+
+    # min_docs raises the bar: nothing repeats 3+ times except INTRO
+    m3 = {r.doc_id: r for r in
+          dedup_paragraphs(docs, min_docs=3).collect()}
+    assert m3[0].text == "unique zero\nFOOTER"
+    assert m3[1].text == "unique one\nFOOTER"
+
+    # out_col preserves the source text
+    oc = dedup_paragraphs(docs, out_col="text_clean")
+    assert {"text", "text_clean"} <= set(oc.columns)
+    r0 = oc.filter("doc_id = 0").collect()[0]
+    assert r0.text == "INTRO\nunique zero\nFOOTER"
+    assert r0.text_clean == "unique zero"
+
+    with pytest.raises(ValueError, match="min_docs"):
+        dedup_paragraphs(docs, min_docs=1)
