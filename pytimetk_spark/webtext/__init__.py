@@ -50,6 +50,12 @@ from pytimetk_spark.webtext.lm import (
     perplexity_buckets,
     score_perplexity,
 )
+from pytimetk_spark.webtext.quality_model import (
+    fit_quality_classifier,
+    pareto_filter,
+    quality_classifier_filter,
+    score_quality,
+)
 from pytimetk_spark.webtext.sampling import (
     dsir_select,
     dsir_weights,
