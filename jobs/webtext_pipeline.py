@@ -48,6 +48,9 @@ def run_pipeline(
     ppl_reference=None,
     ppl_keep: tuple = ("head", "middle"),
     ppl_n: int = 3,
+    quality_target=None,
+    quality_alpha: float = 9.0,
+    quality_seed: int = 0,
     mix_alpha: float | None = None,
     mix_domain_col: str = "lang",
 ):
@@ -100,8 +103,19 @@ def run_pipeline(
     deduped = dedup_exact(kept, text_col="text")
     stats["n_after_exact_dedup"] = deduped.count()
     if near_dedup:
+        # observe_shed must be off when the trained-classifier stage
+        # follows: an observed plan cannot serialize into pyspark.ml
+        # task closures (Spark 4.1 ObservationManager), and even a
+        # localCheckpoint keeps the metrics node reachable through the
+        # checkpointed RDD's compute closure.
         deduped = minhash_dedup(deduped, text_col="text",
-                                threshold=jaccard)
+                                threshold=jaccard,
+                                observe_shed=quality_target is None)
+        # localCheckpoint: every later stage count would otherwise
+        # re-run the whole clean+dedup chain. At warehouse scale this
+        # materialization is the curated-intermediate write a real
+        # pipeline does anyway.
+        deduped = deduped.localCheckpoint(eager=False)
         stats["n_after_near_dedup"] = deduped.count()
 
     if benchmark is not None:
@@ -134,6 +148,26 @@ def run_pipeline(
             "doc_id",
         )
         stats["n_after_ppl_gate"] = deduped.count()
+
+    if quality_target is not None:
+        # GPT-3-style trained gate: target-vs-surviving-corpus LR,
+        # Pareto(alpha) stochastic keep (deterministic md5 draws)
+        from pytimetk_spark.webtext.quality_model import (
+            fit_quality_classifier,
+            pareto_filter,
+            score_quality,
+        )
+
+        qmodel = fit_quality_classifier(quality_target, deduped)
+        qkept = pareto_filter(
+            score_quality(deduped, qmodel),
+            alpha=quality_alpha, seed=quality_seed,
+        )
+        deduped = deduped.join(
+            qkept.select("doc_id", "quality_prob", "pareto_draw"),
+            "doc_id",
+        )
+        stats["n_after_quality_classifier"] = deduped.count()
 
     if pack_tokens:
         # corpus-fit BPE counts + greedy sequence packing: the curated
@@ -220,6 +254,10 @@ def main() -> None:
                          "(deterministic copy counts, runs last)")
     ap.add_argument("--mix-domain", default="lang",
                     help="domain column for temperature mixing")
+    ap.add_argument("--quality-target", default=None,
+                    help="parquet of quality-reference texts: train the "
+                         "GPT-3-style classifier gate against them")
+    ap.add_argument("--quality-alpha", type=float, default=9.0)
     args = ap.parse_args()
 
     spark = SparkSession.builder.appName("pytimetk-webtext").getOrCreate()
@@ -243,6 +281,11 @@ def main() -> None:
         ppl_keep=tuple(args.ppl_keep.split(",")),
         mix_alpha=args.mix_alpha,
         mix_domain_col=args.mix_domain,
+        quality_target=(
+            spark.read.parquet(args.quality_target)
+            if args.quality_target else None
+        ),
+        quality_alpha=args.quality_alpha,
         split_fractions=(
             {k: float(v) for k, v in
              (kv.split("=") for kv in args.split.split(","))}

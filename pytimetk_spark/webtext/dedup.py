@@ -190,8 +190,16 @@ def minhash_lsh_candidates(
     rows_per_band: int = 4,
     max_bucket: int | None = 1000,
     hash_variant: str = "xxhash64",
+    observe_shed: bool = True,
 ) -> DataFrame:
     """Candidate pairs (id_a < id_b) sharing ≥1 LSH band bucket.
+
+    ``observe_shed=False`` keeps the cap but skips the ``Observation``
+    metrics node: an observed plan cannot serialize into pyspark.ml
+    task closures (Spark 4.1 ObservationManager is not serializable),
+    so set it when the result feeds an ml fit downstream — the
+    BucketShedWarning still fires, only the exact shed counts are
+    unavailable.
 
     Buckets larger than ``max_bucket`` (boilerplate floods) are dropped
     EXPLICITLY — at web scale one mega-bucket would otherwise quadratically
@@ -233,8 +241,17 @@ def minhash_lsh_candidates(
         sizes = exploded.groupBy("band", "bucket").agg(
             F.count(id_col).alias("n")
         )
-        sizes, obs = _observe_shed(sizes, "n", max_bucket,
-                                   "minhash_lsh_candidates")
+        if observe_shed:
+            sizes, obs = _observe_shed(sizes, "n", max_bucket,
+                                       "minhash_lsh_candidates")
+        else:
+            warnings.warn(
+                f"minhash_lsh_candidates: max_bucket={max_bucket} active "
+                "with observe_shed=False — oversized buckets are shed "
+                "without counts.",
+                BucketShedWarning,
+                stacklevel=3,
+            )
         small = sizes.filter(F.col("n") <= max_bucket).select("band", "bucket")
         pruned = exploded.join(small, on=["band", "bucket"], how="left_semi")
     a = pruned.alias("a")
@@ -296,6 +313,7 @@ def minhash_dedup(
     shingle_size: int = 5,
     hash_variant: str = "xxhash64",
     persist: bool = True,
+    observe_shed: bool = True,
 ) -> DataFrame:
     """Near-dup removal: signatures → LSH candidates → exact-Jaccard verify
     → drop every doc that duplicates a smaller-id doc ("keep first";
@@ -322,7 +340,8 @@ def minhash_dedup(
 
         sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
     cands = minhash_lsh_candidates(
-        sigs, id_col, bands, n_hashes // bands, hash_variant=hash_variant
+        sigs, id_col, bands, n_hashes // bands, hash_variant=hash_variant,
+        observe_shed=observe_shed,
     )
     dups = ngram_jaccard_pairs(sigs, cands, id_col).filter(
         F.col("jaccard") >= threshold

@@ -11,62 +11,72 @@ enter with small probability (Brown et al. 2020, GPT-3 appendix A,
 which uses alpha = 9; the same recipe appears in PaLM and LLaMA's
 "quality classifier" stages).
 
-Scale design: the whole path is JVM-side — uni..max_n-gram arrays are
-built with array HOFs, ``pyspark.ml.feature.HashingTF`` buckets them
-(MurmurHash3; engine-local is fine here — unlike the samplers this op
-has no SQL oracle to mirror), and the classifier is ``pyspark.ml``
-LogisticRegression: a distributed L-BFGS fit whose entire model is one
-dense coefficient vector of ``n_buckets`` floats that Spark broadcasts
-into the scoring projection. No explode, no shuffle in scoring, no
-per-row Python. The Pareto draw derives from the deterministic md5
-uniform shared with ``sampling.py``, so the keep decision reproduces
-across runs and cluster sizes. The iterative fit makes this
+Scale design: features are ``sampling.hashed_ngram_features`` (one
+explode + groupBy; cross-engine md5 buckets, the same space DSIR
+uses). The fit is ``pyspark.ml`` LogisticRegression — distributed
+L-BFGS over SparseVectors assembled by a train-time UDF (the one
+Python boundary; training passes over the data many times anyway).
+SCORING deliberately avoids ``model.transform``: the fitted model is
+reduced to a plain ``(bucket, weight)`` DataFrame + intercept, and
+P(target|doc) = sigmoid(intercept + sum cnt_b * w_b) is one broadcast
+join + groupBy in pure Catalyst. That sidesteps a real Spark 4.1
+landmine — ``LogisticRegressionModel.trainingSummary`` pins the
+SparkSession (whose ObservationManager is not serializable), so any
+plan that captures the model in a closure can fail task serialization
+— and keeps the hot path (scoring the full crawl) free of Python and
+of ml-object closures entirely. The Pareto draw uses the
+deterministic md5 uniform shared with ``sampling.py``: keep decisions
+reproduce across runs and cluster sizes. The iterative fit makes this
 pytest-pinned rather than SQL-oracle-checked (same boundary as
 BPE/PQ/IVF).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+import math
+
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from pytimetk_spark.webtext.sampling import _u52
+from pytimetk_spark.webtext.sampling import _u52, hashed_ngram_features
 
 
-def _ngram_array(text_col: str, max_n: int) -> Column:
-    """Uni..max_n-gram strings of the textstats tokenization, one array."""
-    toks = F.split(
-        F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))), " "
-    )
-    toks = F.filter(toks, lambda x: x != "")
-
-    def _joiner(m: int):
-        return lambda i: F.array_join(F.slice(F.col("__toks__"), i, m), " ")
-
-    parts = []
-    for m in range(1, max_n + 1):
-        idx = F.when(
-            F.size(F.col("__toks__")) >= m,
-            F.sequence(F.lit(1), F.size(F.col("__toks__")) - F.lit(m - 1)),
-        ).otherwise(F.expr("array()").cast("array<int>"))
-        parts.append(F.transform(idx, _joiner(m)))
-    return toks, F.flatten(F.array(*parts))
-
-
-def _assemble_features(
-    df: DataFrame, text_col: str, id_col: str, n_buckets: int, max_n: int
+def _assemble_vectors(
+    feats: DataFrame, id_col: str, n_buckets: int
 ) -> DataFrame:
-    """(id, features SparseVector of hashed n-gram counts) — HashingTF
-    keeps the whole featurization in the JVM."""
-    from pyspark.ml.feature import HashingTF
+    """(id, bucket, cnt) -> (id, features SparseVector). Train-time only
+    (VectorUDT has no pandas_udf path); scoring never builds vectors."""
+    from pyspark.ml.linalg import SparseVector, VectorUDT
 
-    toks, grams = _ngram_array(text_col, max_n)
-    staged = df.select(F.col(id_col), toks.alias("__toks__"))
-    staged = staged.select(F.col(id_col), grams.alias("__grams__"))
-    tf = HashingTF(
-        inputCol="__grams__", outputCol="features", numFeatures=n_buckets
+    rows = feats.groupBy(id_col).agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("bucket"), F.col("cnt")))
+        ).alias("__bc__")
     )
-    return tf.transform(staged).select(id_col, "features")
+
+    @F.udf(VectorUDT())
+    def to_vec(bc):
+        return SparseVector(
+            n_buckets,
+            [int(r["bucket"]) for r in bc],
+            [float(r["cnt"]) for r in bc],
+        )
+
+    return rows.select(F.col(id_col), to_vec("__bc__").alias("features"))
+
+
+class QualityModel:
+    """A fitted classifier reduced to broadcastable plain data:
+    ``weights`` is a (bucket, weight) DataFrame (non-zero coefficients
+    only), ``intercept`` a float. Everything scoring needs — no ml
+    object, nothing that can pin a SparkSession in a closure."""
+
+    def __init__(self, weights: DataFrame, intercept: float,
+                 n_buckets: int, max_n: int):
+        self.weights = weights
+        self.intercept = float(intercept)
+        self.n_buckets = n_buckets
+        self.max_n = max_n
 
 
 def fit_quality_classifier(
@@ -79,9 +89,8 @@ def fit_quality_classifier(
     reg_param: float = 0.01,
     max_iter: int = 50,
     balance_classes: bool = True,
-):
-    """Fit the target-vs-raw LR. Returns the pyspark.ml model (its
-    coefficients are the only state — one dense vector of n_buckets).
+) -> QualityModel:
+    """Fit the target-vs-raw LR; return a :class:`QualityModel`.
 
     ``balance_classes`` (default) weights each class inversely to its
     size — the target corpus is typically orders of magnitude smaller
@@ -92,8 +101,15 @@ def fit_quality_classifier(
     large)."""
     from pyspark.ml.classification import LogisticRegression
 
-    t = _assemble_features(target, text_col, id_col, n_buckets, max_n)
-    r = _assemble_features(raw, text_col, id_col, n_buckets, max_n)
+    spark = raw.sparkSession
+    t = _assemble_vectors(
+        hashed_ngram_features(target, text_col, id_col, n_buckets, max_n),
+        id_col, n_buckets,
+    )
+    r = _assemble_vectors(
+        hashed_ngram_features(raw, text_col, id_col, n_buckets, max_n),
+        id_col, n_buckets,
+    )
     train = (
         t.withColumn("label", F.lit(1.0))
         .unionByName(r.withColumn("label", F.lit(0.0)))
@@ -111,28 +127,44 @@ def fit_quality_classifier(
             .otherwise(F.lit(tot / (2.0 * n_neg))),
         )
         kwargs["weightCol"] = "weight"
-    return LogisticRegression(**kwargs).fit(train)
+    model = LogisticRegression(**kwargs).fit(train)
+    coef = model.coefficients.toArray()
+    rows = [(int(b), float(w)) for b, w in enumerate(coef) if w != 0.0]
+    weights = spark.createDataFrame(rows, "bucket int, weight double")
+    return QualityModel(weights, model.intercept, n_buckets, max_n)
 
 
 def score_quality(
     df: DataFrame,
-    model,
+    model: QualityModel,
     text_col: str = "text",
     id_col: str = "doc_id",
-    n_buckets: int = 4096,
-    max_n: int = 2,
 ) -> DataFrame:
     """Classifier P(target | doc) per document: ``(id_col,
-    quality_prob)``. ``n_buckets``/``max_n`` must match the fit. One
-    narrow projection — the model broadcast rides the transform; the
-    probability vector is unpacked JVM-side (vector_to_array)."""
-    from pyspark.ml.functions import vector_to_array
-
-    feats = _assemble_features(df, text_col, id_col, n_buckets, max_n)
-    scored = model.transform(feats)
-    return scored.select(
+    quality_prob)``. Pure Catalyst: hashed features -> broadcast join
+    with the (bucket, weight) table -> per-doc weighted sum ->
+    sigmoid. Documents with no features score the intercept
+    probability."""
+    feats = hashed_ngram_features(
+        df, text_col, id_col, model.n_buckets, model.max_n
+    )
+    contrib = feats.join(F.broadcast(model.weights), "bucket", "left")
+    margins = contrib.groupBy(id_col).agg(
+        F.sum(
+            F.col("cnt").cast("double")
+            * F.coalesce(F.col("weight"), F.lit(0.0))
+        ).alias("__m__")
+    )
+    prob = F.lit(1.0) / (
+        F.lit(1.0) + F.exp(-(F.col("__m__") + F.lit(model.intercept)))
+    )
+    intercept_p = 1.0 / (1.0 + math.exp(-model.intercept))
+    return df.select(id_col).join(
+        margins.select(F.col(id_col), prob.alias("quality_prob")),
+        id_col, "left",
+    ).select(
         F.col(id_col),
-        F.element_at(vector_to_array("probability"), 2).alias(
+        F.coalesce("quality_prob", F.lit(intercept_p)).alias(
             "quality_prob"
         ),
     )
@@ -181,6 +213,6 @@ def quality_classifier_filter(
     model = fit_quality_classifier(
         target, raw, text_col, id_col, n_buckets, max_n
     )
-    scored = score_quality(raw, model, text_col, id_col, n_buckets, max_n)
+    scored = score_quality(raw, model, text_col, id_col)
     kept = pareto_filter(scored, id_col, alpha=alpha, seed=seed)
     return raw.join(kept, id_col, "inner")

@@ -2001,6 +2001,19 @@ def test_webtext_pipeline_end_to_end(spark):
     assert (pdf4["copy_idx"] < pdf4["n_copies"]).all()
     assert not pdf4.duplicated(["doc_id", "copy_idx"]).any()
 
+    # trained-classifier gate: target = a slice of the corpus itself;
+    # survivors carry the score + draw and the stage count is monotone
+    curated5, stats5 = run_pipeline(
+        spark, docs, min_quality=0.3, max_dup_5gram=0.5,
+        quality_target=docs.filter("doc_id % 4 = 0").select("doc_id", "text"),
+        quality_alpha=2.0,
+    )
+    assert stats5["n_after_quality_classifier"] <= stats5[
+        "n_after_near_dedup"]
+    assert stats5["n_after_quality_classifier"] == curated5.count()
+    pdf5 = curated5.select("quality_prob", "pareto_draw").toPandas()
+    assert ((pdf5.quality_prob > 1.0 - pdf5.pareto_draw).all())
+
 
 def test_extract_html_text(spark):
     """Regex-tier HTML extraction: head/script/style/comment subtrees
