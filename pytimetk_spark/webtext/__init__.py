@@ -48,6 +48,7 @@ from pytimetk_spark.webtext.lm import (
     fit_ngram_lm,
     lm_filter,
     perplexity_buckets,
+    prune_ngram_lm,
     score_perplexity,
 )
 from pytimetk_spark.webtext.quality_model import (

@@ -765,12 +765,13 @@ def dedup_paragraphs(
     ``n_paras_dropped``. Documents whose paragraphs are all dropped
     yield an empty string.
 
-    Scale shape: one posexplode, one hashed-count shuffle keyed on
-    ``xxhash64(paragraph)`` (8-byte keys, map-side combined — the
-    repeated-set frame holds only hashes), one join back, one groupBy
-    reassembly keyed by ``id_col``. No window over the corpus, no
-    driver materialization; the same plan at 10^12 documents is three
-    hash shuffles.
+    Scale shape: one posexplode, a distinct-doc count keyed on
+    ``xxhash64(paragraph)`` (8-byte keys; two-phase — an exchange on
+    (hash, doc) then on hash — the repeated-set frame holds only
+    hashes), one join back, one groupBy reassembly keyed by
+    ``id_col``. No window over the corpus, no driver materialization;
+    the same plan at 10^12 documents is three hash shuffles plus the
+    join (plan-pinned in tests).
     """
     if min_docs < 2:
         raise ValueError(f"min_docs must be >= 2, got {min_docs}")

@@ -2830,3 +2830,24 @@ def test_dedup_paragraphs(spark):
 
     with pytest.raises(ValueError, match="min_docs"):
         dedup_paragraphs(docs, min_docs=1)
+
+
+def test_dedup_paragraphs_plan_three_shuffles(spark, tmp_path):
+    """Scale contract: one posexplode feeding a hashed-count Exchange,
+    one join-back, one per-doc reassembly — no more than three
+    exchanges and no window over the corpus (parquet-backed input so
+    the plan prints untruncated)."""
+    from pytimetk_spark.webtext.dedup import dedup_paragraphs
+
+    p = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(i, f"HEAD\nbody {i}\nTAIL") for i in range(50)],
+        "doc_id long, text string",
+    ).write.parquet(p)
+    out = dedup_paragraphs(spark.read.parquet(p))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # hash shuffles only (joins broadcast at this size; at scale they
+    # add their own exchanges but stay keyed on the 8-byte hash):
+    # (h, did) dedup + (h) count [two-phase distinct] + (did) reassembly
+    assert plan.count("Exchange hashpartitioning") <= 3
+    assert "Window" not in plan
