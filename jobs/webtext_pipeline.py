@@ -16,7 +16,11 @@ Usage:
       --py-files dist/pytimetk_spark.zip \
       jobs/webtext_pipeline.py --source <documents.parquet> \
       --out <dir> [--benchmark <parquet>] [--min-quality 0.5] \
-      [--max-dup-5gram 0.3] [--no-dedup-near]
+      [--max-dup-5gram 0.3] [--no-dedup-near] \
+      [--ppl-reference <parquet>|self] [--ppl-keep head,middle] \
+      [--quality-target <parquet>] [--quality-alpha 9] \
+      [--pack-tokens 2048] [--split train=0.98,val=0.01,test=0.01] \
+      [--url-col url] [--mix-alpha 0.5] [--mix-domain lang]
 
 Every stage is a lazy transformation on one DataFrame lineage — the
 pipeline materializes ONCE at the write (plus the two dedup joins'
