@@ -90,29 +90,87 @@ def fit_ngram_lm(
         raise ValueError(f"n must be >= 1, got {n}")
     padded = _padded_tokens(text_col, n)
 
-    # single-arg lambda factory: a two-arg lambda would make F.transform
-    # pass the ELEMENT INDEX as the second argument, clobbering the order
-    def _tag(m: int):
-        return lambda g: F.struct(F.lit(m).alias("order"), g.alias("gram"))
-
     # Stage the padded array once, emit all orders' grams in one explode.
-    staged = df.select(padded.alias("__padded__"))
+    # Grams are exploded as BARE strings (not (order, gram) structs): a
+    # space-joined m-gram has exactly m whitespace-free tokens, so the
+    # order is a pure function of the text — deriving it AFTER the count
+    # aggregation (model-cardinality rows) instead of tagging every
+    # exploded occurrence narrows the shuffled row and the groupBy key
+    # from (int, string) to the string alone (guide §2.3: shuffle fewer
+    # bytes; the aggregate output is identical).
+    # round-robin the compact text rows to a cores-derived partition
+    # count before the fan-out: a handful of scan splits (or an AQE-
+    # coalesced exchange) would otherwise run the whole tokenize+count
+    # explode on a few tasks (guide §2: scale-adaptive partitioning)
+    nparts = df.sparkSession.sparkContext.defaultParallelism * 2
+    staged = df.select(F.col(text_col)).repartition(nparts).select(
+        padded.alias("__padded__")
+    )
     grams = staged.select(
         F.explode(
             F.flatten(
                 F.array(*[
-                    F.transform(_grams_expr(F.col("__padded__"), m), _tag(m))
+                    _grams_expr(F.col("__padded__"), m)
                     for m in range(1, n + 1)
                 ])
             )
-        ).alias("g")
-    ).select("g.order", "g.gram")
-    counts = grams.groupBy("order", "gram").agg(
-        F.count(F.lit(1)).alias("cnt")
+        ).alias("gram")
     )
+    counts = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("cnt"))
     if min_count > 1:
         counts = counts.filter(F.col("cnt") >= min_count)
-    return counts
+    return counts.select(
+        F.size(F.split(F.col("gram"), " ", -1)).alias("order"),
+        "gram",
+        "cnt",
+    )
+
+
+def _scored_positions_wide(df: DataFrame, id_col: str, text_col: str, n: int):
+    """ONE row per scored position with every lookup gram as a COLUMN:
+    ``(id, __g1__..__gn__, __c2__..__cn__)`` where __gm__ is the m-gram
+    ending at the position (numerator) and __cm__ its (m-1)-token context
+    (denominator).
+
+    Versus the tall shape (`_scored_positions`): (2n-1)× fewer exploded
+    rows and — because each row already carries all of a position's
+    lookups — NO per-(id, pos) aggregation afterwards. A doc's positions
+    all live in the explode output of its single input row, so the final
+    per-doc groupBy partial-aggregates to ≤ one row per doc per partition
+    before any exchange: the scoring plan needs no wide shuffle at all
+    (guide §2.4)."""
+    padded = _padded_tokens(text_col, n)
+    # cores-derived explicit partition count: the compact docs are the
+    # only thing shuffled; the explode fans out ~tokens× afterwards, so
+    # scan-split or AQE-coalesced partitioning would underuse the cluster
+    # (REPARTITION_BY_NUM is exempt from AQE's byte-based coalescing)
+    nparts = df.sparkSession.sparkContext.defaultParallelism * 2
+    staged = df.select(F.col(id_col), F.col(text_col)).repartition(
+        nparts, F.col(id_col)
+    ).select(F.col(id_col), padded.alias("__padded__"))
+    p = F.col("__padded__")
+    # scored positions: 1-indexed slice starts n..len(padded)
+    pos_idx = F.sequence(F.lit(n), F.size(p))
+
+    def _fields(i):
+        cols = [
+            F.array_join(F.slice(p, i - F.lit(m - 1), m), " ").alias(
+                f"__g{m}__"
+            )
+            for m in range(1, n + 1)
+        ]
+        cols += [
+            F.array_join(F.slice(p, i - F.lit(m - 1), m - 1), " ").alias(
+                f"__c{m}__"
+            )
+            for m in range(2, n + 1)
+        ]
+        return F.struct(*cols)
+
+    lookups = F.transform(pos_idx, _fields)
+    return staged.select(
+        F.col(id_col), F.explode(lookups).alias("l")
+    ).select(id_col, "l.*")
 
 
 def _scored_positions(df: DataFrame, id_col: str, text_col: str, n: int):
@@ -125,7 +183,8 @@ def _scored_positions(df: DataFrame, id_col: str, text_col: str, n: int):
     satisfied by hash(id), so the ~(2n-1)-rows-per-token exploded frame
     is never shuffled — only the compact document rows are."""
     padded = _padded_tokens(text_col, n)
-    staged = df.repartition(F.col(id_col)).select(
+    nparts = df.sparkSession.sparkContext.defaultParallelism * 2
+    staged = df.repartition(nparts, F.col(id_col)).select(
         F.col(id_col), padded.alias("__padded__")
     )
     p = F.col("__padded__")
@@ -194,11 +253,36 @@ def score_perplexity(
     ``with_order_stats=True`` adds integer columns ``n_m{m}`` (positions
     resolved at order m) and ``n_unk`` (unseen even as a unigram) — exact
     integers, useful as hash-stable oracle evidence of the backoff logic.
-    Plan: one explode, ONE join on the hashed gram string (broadcast if
-    ``broadcast_model``), two groupBys. No per-order join chain.
+
+    Plan (``broadcast_model=True``, the default): one explode to ONE row
+    per scored position carrying all (2n-1) lookup grams as columns, then
+    (2n-1) broadcast-hash probes against the SAME broadcast model (one
+    BroadcastExchange, reused), then a single per-doc aggregate whose
+    map-side partial reduces each partition to ≤ one row per doc — so no
+    wide shuffle anywhere. (The r6 tall shape exploded (2n-1) rows per
+    position and hash-aggregated them back per (id, pos): 5× the exploded
+    rows and a scored-positions-sized aggregation state; guide §2.3/§2.4.)
+
+    ``broadcast_model=False`` (web-scale unbroadcastable model) keeps the
+    tall shape: each position's lookups as (2n-1) rows, ONE shuffled join
+    on the gram string, conditional re-aggregation per (id, pos) — the
+    row path crosses the gram shuffle once, not 2n-1 times.
     """
     if not 0.0 < alpha <= 1.0:
         raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    model_handle = None
+    if broadcast_model and model.storageLevel.useMemory is False:
+        # The broadcast path probes the model (2n-1) times; without a
+        # materialized model each BroadcastExchange would recompute the
+        # fit lineage. The n_total action below fills the cache in the
+        # same pass it already pays for. Handle attached to the result as
+        # ``_lm_model_handle`` — call ``.unpersist()`` after the action
+        # (pattern and caveats identical to minhash_dedup's signature
+        # cache; at cluster scale persist the model to a table instead).
+        from pyspark import StorageLevel
+
+        model = model.persist(StorageLevel.MEMORY_AND_DISK)
+        model_handle = model
     uni = model.filter(
         (F.col("order") == 1) & (F.col("gram") != BOS)
     )
@@ -206,37 +290,78 @@ def score_perplexity(
     if n_total <= 0:
         raise ValueError("model has no unigram mass; fit on a non-empty corpus")
 
-    lookups = _scored_positions(df, id_col, text_col, n)
-    m = model.select("gram", F.col("cnt").alias("__cnt__"))
     if broadcast_model:
-        m = F.broadcast(m)
-    # one equi-join on gram; order/role disambiguation survives because a
-    # gram string of order m can only collide with itself (join key is the
-    # text, counts are per-(order,gram) but a space-joined m-gram is only
-    # ever looked up at order m: the token count pins it)
-    joined = lookups.join(m, "gram", "left")
+        per_pos = _scored_positions_wide(df, id_col, text_col, n)
+        # (2n-1) broadcast probes of the same model relation: the gram
+        # text uniquely determines its order (m whitespace-free tokens),
+        # so each probe is a 1:1 left lookup; Catalyst reuses one
+        # BroadcastExchange across all of them (ReusedExchange).
+        mrel = model.select("gram", F.col("cnt").alias("__cnt__"))
+        for mm in range(1, n + 1):
+            per_pos = per_pos.join(
+                F.broadcast(
+                    mrel.select(
+                        F.col("gram").alias(f"__g{mm}__"),
+                        F.col("__cnt__").alias(f"num{mm}"),
+                    )
+                ),
+                f"__g{mm}__",
+                "left",
+            )
+        for mm in range(2, n + 1):
+            per_pos = per_pos.join(
+                F.broadcast(
+                    mrel.select(
+                        F.col("gram").alias(f"__c{mm}__"),
+                        F.col("__cnt__").alias(f"den{mm}"),
+                    )
+                ),
+                f"__c{mm}__",
+                "left",
+            )
+        # normalize missing lookups to 0 (the tall path's
+        # max(when(..., coalesce(cnt, 0))) produced 0 there too)
+        per_pos = per_pos.select(
+            F.col(id_col),
+            *[
+                F.coalesce(F.col(f"num{mm}"), F.lit(0)).alias(f"num{mm}")
+                for mm in range(1, n + 1)
+            ],
+            *[
+                F.coalesce(F.col(f"den{mm}"), F.lit(0)).alias(f"den{mm}")
+                for mm in range(2, n + 1)
+            ],
+        )
+    else:
+        lookups = _scored_positions(df, id_col, text_col, n)
+        m = model.select("gram", F.col("cnt").alias("__cnt__"))
+        # one equi-join on gram; order/role disambiguation survives because
+        # a gram string of order m can only collide with itself (join key is
+        # the text, counts are per-(order,gram) but a space-joined m-gram is
+        # only ever looked up at order m: the token count pins it)
+        joined = lookups.join(m, "gram", "left")
 
-    # per-position conditional agg: numerator + denominator count per order
-    aggs = []
-    for mm in range(1, n + 1):
-        aggs.append(
-            F.max(
-                F.when(
-                    (F.col("role") == "num") & (F.col("order") == mm),
-                    F.coalesce(F.col("__cnt__"), F.lit(0)),
-                )
-            ).alias(f"num{mm}")
-        )
-    for mm in range(2, n + 1):
-        aggs.append(
-            F.max(
-                F.when(
-                    (F.col("role") == "den") & (F.col("order") == mm),
-                    F.coalesce(F.col("__cnt__"), F.lit(0)),
-                )
-            ).alias(f"den{mm}")
-        )
-    per_pos = joined.groupBy(id_col, "pos").agg(*aggs)
+        # per-position conditional agg: numerator + denominator per order
+        aggs = []
+        for mm in range(1, n + 1):
+            aggs.append(
+                F.max(
+                    F.when(
+                        (F.col("role") == "num") & (F.col("order") == mm),
+                        F.coalesce(F.col("__cnt__"), F.lit(0)),
+                    )
+                ).alias(f"num{mm}")
+            )
+        for mm in range(2, n + 1):
+            aggs.append(
+                F.max(
+                    F.when(
+                        (F.col("role") == "den") & (F.col("order") == mm),
+                        F.coalesce(F.col("__cnt__"), F.lit(0)),
+                    )
+                ).alias(f"den{mm}")
+            )
+        per_pos = joined.groupBy(id_col, "pos").agg(*aggs)
 
     # backoff selection: largest m with num_m > 0, else unigram pseudo-count
     log_alpha = math.log10(alpha)
@@ -274,13 +399,16 @@ def score_perplexity(
     per_doc = per_pos.select(
         F.col(id_col), score.alias("__lp__"), chosen.alias("__m__")
     ).groupBy(id_col).agg(*doc_aggs)
-    return per_doc.withColumn(
+    out = per_doc.withColumn(
         "ppl",
         F.pow(
             F.lit(10.0),
             -F.col("log10_score_sum") / F.col("n_scored").cast("double"),
         ),
     )
+    if model_handle is not None:
+        out._lm_model_handle = model_handle
+    return out
 
 
 def perplexity_buckets(

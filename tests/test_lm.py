@@ -170,19 +170,40 @@ def test_validation_errors(spark, docs, model):
         score_perplexity(docs, empty)
 
 
-def test_plan_one_join_no_explode_shuffle(spark, docs, model):
-    """The scoring contract: ONE broadcast join against the model and the
-    exploded per-token lookup frame is never shuffled (the only exchanges
-    feed the compact docs repartition and the model fit)."""
+def test_plan_wide_probes_no_explode_shuffle(spark, docs, model):
+    """The r7 scoring contract (broadcast path): (2n-1) broadcast-hash
+    probes of the model — one per numerator/denominator order — and the
+    exploded per-position frame is NEVER shuffled: the only shuffle
+    exchanges feed the model fit and the tiny per-doc final aggregate."""
     plan = (
         score_perplexity(docs, model)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
     )
-    assert plan.count("BroadcastHashJoin") == 1
-    # exchanges: docs repartition, model-count shuffle, broadcast — no more
-    assert plan.count("Exchange") <= 4
+    assert plan.count("BroadcastHashJoin") == 5  # 2n-1 probes, n=3
+    # the model is materialized once and probed from cache
+    assert plan.count("InMemoryTableScan") == 5
+    # stream side (everything above the first broadcast build): exactly
+    # one exchange — the compact-docs repartition by id; the exploded
+    # frame is never shuffled and the per-doc aggregate inherits hash(id)
+    stream_side = plan.split("BroadcastExchange")[0]
+    assert stream_side.count("Exchange") == 1
+    assert "REPARTITION_BY_NUM" in stream_side
+
+
+def test_plan_tall_one_join_for_shuffle_model(spark, docs, model):
+    """The non-broadcast (web-scale model) path keeps the tall shape:
+    each position's lookups cross the gram shuffle ONCE via a single
+    non-broadcast join, then re-aggregate per (id, pos)."""
+    plan = (
+        score_perplexity(docs, model, broadcast_model=False)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("BroadcastHashJoin") <= 1  # AQE may still demote
+    assert "Join" in plan
 
 
 def test_scale_smoke_on_documents(spark):
