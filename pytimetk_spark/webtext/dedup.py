@@ -152,22 +152,36 @@ def minhash_signatures(
     seed: int = 42,
     hash_variant: str = "xxhash64",
 ) -> DataFrame:
-    """(id, signature array<bigint>[n_hashes]) — base hash once per shingle
-    (``hash_variant`` mod 2^31-1), then n universal-hash permutations
-    ``(a·h + b) mod p`` evaluated as array transforms. Pure projection.
+    """(id, signature array<bigint>[n_hashes], shingle_hashes) — full-width
+    hash once per shingle, base = that hash mod 2^31-1, then n
+    universal-hash permutations ``(a·h + b) mod p`` evaluated as array
+    transforms. Pure projection.
 
-    Two-stage projection on purpose: the base hash array is materialized
-    as a column FIRST, so the (expensive — md5 for the oracle variant)
-    per-shingle hash runs ONCE per row; inlining it would embed the hash
-    sub-tree in all ``n_hashes`` min-expressions and evaluate it 64×
-    (Spark's subexpression elimination does not reach inside distinct
-    lambda bodies). Measured 2.4× on the md5 signature job at sf0.01."""
+    Staged projections on purpose: the full-width shingle-hash array is
+    materialized as a column FIRST (the expensive md5 for the oracle
+    variant runs ONCE per shingle), the 31-bit base array is derived from
+    it as a second staged column, and the ``n_hashes`` min-expressions
+    reference that; inlining would embed the hash sub-tree in all 64
+    min-expressions (Spark's subexpression elimination does not reach
+    inside distinct lambda bodies; measured 2.4× on the md5 signature
+    job at sf0.01).
+
+    ``shingle_hashes`` (the full-width per-shingle hashes, r7) replaces
+    the raw shingle strings in the output: the Jaccard verify step only
+    needs set intersections, which are hash-collision-safe at 2^-64
+    (2^-60 for md5) — shipping 8-byte hashes instead of ~30-byte word
+    5-shingles shrinks the persisted signature table and the verify-join
+    shuffle several-fold (guide §2.3: narrower types). The 31-bit base
+    used for the SIGNATURES is unchanged, so signatures and the LSH
+    banding are bit-identical to r6."""
     shingles = shingle_tokens(F.col(text_col), shingle_size)
-    base = F.transform(shingles, lambda s: F.pmod(_h64(s, hash_variant), F.lit(_MOD31)))
-    staged = df.select(
-        F.col(id_col),
-        shingles.alias("shingles"),
-        base.alias("__base__"),
+    hashed = F.transform(shingles, lambda s: _h64(s, hash_variant))
+    staged = df.select(F.col(id_col), hashed.alias("shingle_hashes"))
+    base = F.transform(
+        F.col("shingle_hashes"), lambda h: F.pmod(h, F.lit(_MOD31))
+    )
+    staged = staged.select(
+        F.col(id_col), F.col("shingle_hashes"), base.alias("__base__")
     )
     sig = F.array(
         *[
@@ -180,7 +194,7 @@ def minhash_signatures(
             for a, b in _perm_params(n_hashes, seed)
         ]
     ).alias("signature")
-    return staged.select(F.col(id_col), sig, "shingles")
+    return staged.select(F.col(id_col), sig, "shingle_hashes")
 
 
 def minhash_lsh_candidates(
@@ -236,36 +250,58 @@ def minhash_lsh_candidates(
     )
     obs = None
     if max_bucket is None:
-        pruned = exploded
-    else:
-        sizes = exploded.groupBy("band", "bucket").agg(
-            F.count(id_col).alias("n")
-        )
-        if observe_shed:
-            sizes, obs = _observe_shed(sizes, "n", max_bucket,
-                                       "minhash_lsh_candidates")
-        else:
-            warnings.warn(
-                f"minhash_lsh_candidates: max_bucket={max_bucket} active "
-                "with observe_shed=False — oversized buckets are shed "
-                "without counts.",
-                BucketShedWarning,
-                stacklevel=3,
+        # uncapped: keep the self-join shape — a collect_list of an
+        # unbounded mega-bucket would put a corpus-sized array in one row
+        a = exploded.alias("a")
+        b = exploded.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
             )
-        small = sizes.filter(F.col("n") <= max_bucket).select("band", "bucket")
-        pruned = exploded.join(small, on=["band", "bucket"], how="left_semi")
-    a = pruned.alias("a")
-    b = pruned.alias("b")
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+            )
+            .distinct()
+        )
+    # capped path (r7): ONE groupBy collects each bucket's members (the
+    # cap bounds the array), then in-bucket pairs expand via native array
+    # lambdas — this replaces the r6 three-pass shape (bucket-size
+    # aggregate + left_semi prune + sort-merge self-join), i.e. one
+    # exchange instead of an aggregate, a semi join and a self-join over
+    # the same exploded frame (guide §2.4). Pair set is identical:
+    # (x, y) with x < y per bucket, deduped across bands.
+    grouped = exploded.groupBy("band", "bucket").agg(
+        F.collect_list(F.col(id_col)).alias("__ids__")
+    ).withColumn("n", F.size("__ids__"))
+    if observe_shed:
+        grouped, obs = _observe_shed(grouped, "n", max_bucket,
+                                     "minhash_lsh_candidates")
+    else:
+        warnings.warn(
+            f"minhash_lsh_candidates: max_bucket={max_bucket} active "
+            "with observe_shed=False — oversized buckets are shed "
+            "without counts.",
+            BucketShedWarning,
+            stacklevel=3,
+        )
+    ids = F.col("__ids__")
+    pairs = F.flatten(
+        F.transform(
+            ids,
+            lambda x: F.transform(
+                F.filter(ids, lambda y: y > x),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
     out = (
-        a.join(
-            b,
-            (F.col(f"a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
+        grouped.filter(F.col("n") <= max_bucket)
+        .select(F.explode(pairs).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
     if obs is not None:
@@ -277,19 +313,20 @@ def ngram_jaccard_pairs(
     sig_df: DataFrame, candidates: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs (verification step):
-    two broadcast-able joins against the signature table, then native
-    array_intersect/array_union sizes."""
-    sh = sig_df.select(F.col(id_col), "shingles")
+    two joins against the signature table's full-width shingle-hash
+    arrays (hash-set Jaccard == string-set Jaccard up to 2^-64
+    collisions), then native array_intersect/array_union sizes."""
+    sh = sig_df.select(F.col(id_col), "shingle_hashes")
     j = (
         candidates.join(
             sh.withColumnRenamed(id_col, "id_a").withColumnRenamed(
-                "shingles", "sh_a"
+                "shingle_hashes", "sh_a"
             ),
             "id_a",
         )
         .join(
             sh.withColumnRenamed(id_col, "id_b").withColumnRenamed(
-                "shingles", "sh_b"
+                "shingle_hashes", "sh_b"
             ),
             "id_b",
         )
