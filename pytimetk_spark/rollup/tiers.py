@@ -135,15 +135,45 @@ def derived_stats(tier_df: DataFrame) -> DataFrame:
 
 
 def gap_fill_tier(tier_df: DataFrame, freq: str, fill_zero: bool = False) -> DataFrame:
-    """Make each url's bucket series regular (missing intervals explicit) —
-    pad_by_time with per-url bounds; count gaps become 0, values NULL."""
-    filled = pad_by_time(
-        tier_df,
+    """Make each url's bucket series regular (missing intervals explicit):
+    count gaps become 0, values NULL.
+
+    r7 shape: one lag window over (url, bucket) emits each gap's missing
+    buckets directly (``sequence(prev+1, cur-1)`` exploded), unioned with
+    the original rows — same row set as the old per-group-bounds
+    ``pad_by_time``, but with NO join: the r6 shape generated the full
+    |urls| × |buckets| calendar (≈ 11× the tier at sf1.0) and sort-merge-
+    joined the tier back into it, sorting the calendar side for nothing.
+    One exchange + a tier-sized sort replaces two exchanges and a
+    calendar-sized sort (guide §2.4/§3.3). ``pad_by_time`` remains the
+    general operator (global bounds, constant fill, arbitrary groups)."""
+    from pyspark.sql import Window
+
+    from pytimetk_spark.functions.datetime import parse_freq
+
+    ivl = parse_freq(freq).interval_sql()
+    stat_cols = [c for c in tier_df.columns if c not in ("url", "bucket_ts")]
+    w = Window.partitionBy("url").orderBy("bucket_ts")
+    start = F.expr(f"__prev__ + {ivl}")
+    stop = F.expr(f"bucket_ts - {ivl}")
+    gaps = (
+        tier_df.select(
+            "url", "bucket_ts", F.lag("bucket_ts").over(w).alias("__prev__")
+        )
+        .filter(F.col("__prev__").isNotNull() & (start <= stop))
+        .select(
+            "url",
+            F.explode(F.sequence(start, stop, F.expr(ivl))).alias("bucket_ts"),
+        )
+    )
+    dtypes = {fld.name: fld.dataType for fld in tier_df.schema.fields}
+    gap_rows = gaps.select(
+        "url",
         "bucket_ts",
-        freq=freq,
-        group_cols=["url"],
-        per_group_bounds=True,
-        fill_group_constants=False,
+        *[F.lit(None).cast(dtypes[c]).alias(c) for c in stat_cols],
+    )
+    filled = tier_df.select("url", "bucket_ts", *stat_cols).unionByName(
+        gap_rows
     )
     filled = filled.fillna(0, subset=["cnt"])
     if fill_zero:
@@ -182,19 +212,21 @@ def encode_tier_blocks(
         nparts, "url"
     ).sortWithinPartitions("url", "bucket_ts")
 
-    def encode_groups(pdf: pd.DataFrame) -> pd.DataFrame:
+    def encode_span(urls, ts_all, stat_cols, starts, ends) -> pd.DataFrame:
+        # group boundaries precomputed from the SORTED url column; whole-
+        # batch column conversions done once by the caller — the r6 shape
+        # paid a pandas groupby plus per-group astype/to_numpy for every
+        # url, which dominated wall time once groups shrank to ~64 points
+        # (15k groups at sf1.0: per-group overhead, not codec math)
         rows = []
-        for url, g in pdf.groupby("url", sort=False):
-            ts = (g["bucket_ts"].astype("int64") // 10**9).to_numpy()
+        for i in range(len(starts)):
+            s, e = starts[i], ends[i]
             rows.append(
                 (
-                    url,
-                    len(g),
-                    encode_timestamps(ts),
-                    *[
-                        encode_gorilla(g[s].to_numpy(dtype="float64"))
-                        for s in stats
-                    ],
+                    urls[s],
+                    e - s,
+                    encode_timestamps(ts_all[s:e]),
+                    *[encode_gorilla(col[s:e]) for col in stat_cols],
                 )
             )
         return pd.DataFrame(rows, columns=out_names)
@@ -206,14 +238,29 @@ def encode_tier_blocks(
                 pdf = pd.concat([carry, pdf], ignore_index=True)
             if not len(pdf):
                 continue
-            last = pdf["url"].iloc[-1]
-            mask = pdf["url"] == last
-            carry = pdf[mask]
-            rest = pdf[~mask]
-            if len(rest):
-                yield encode_groups(rest)
+            urls = pdf["url"].to_numpy()
+            n = len(urls)
+            bounds = np.flatnonzero(urls[1:] != urls[:-1]) + 1
+            starts = np.concatenate(([0], bounds))
+            ends = np.concatenate((bounds, [n]))
+            # last group may continue into the next Arrow batch — carry it
+            carry = pdf.iloc[starts[-1]:]
+            starts, ends = starts[:-1], ends[:-1]
+            if len(starts):
+                ts_all = (
+                    pdf["bucket_ts"].astype("int64").to_numpy() // 10**9
+                )
+                stat_cols = [
+                    pdf[s].to_numpy(dtype="float64") for s in stats
+                ]
+                yield encode_span(urls, ts_all, stat_cols, starts, ends)
         if carry is not None and len(carry):
-            yield encode_groups(carry)
+            urls = carry["url"].to_numpy()
+            ts_all = (carry["bucket_ts"].astype("int64").to_numpy() // 10**9)
+            stat_cols = [carry[s].to_numpy(dtype="float64") for s in stats]
+            yield encode_span(
+                urls, ts_all, stat_cols, np.array([0]), np.array([len(urls)])
+            )
 
     return pre.mapInPandas(encode_iter, schema=schema)
 
