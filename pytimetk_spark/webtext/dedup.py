@@ -608,18 +608,31 @@ def connected_components(
         F.col(src_col).cast(id_type).alias("s"),
         F.col(dst_col).cast(id_type).alias("d"),
     )
-    if e.filter(F.col("s").isNull() | F.col("d").isNull()).limit(1).count():
-        raise ValueError(
-            "connected_components: NULL ids in the edge list — a NULL "
-            f"{src_col}/{dst_col} cannot be assigned to a component; "
-            "filter or repair the pair producer first"
-        )
     # symmetrize once; self-loops keep isolated-in-pair-list nodes alive
     edges = (
         e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
         .distinct()
         .persist()
     )
+    # NULL probe folded into the cache-materializing action: the old
+    # standalone filter/limit/count probe ran BEFORE the persist and so
+    # recomputed the whole (often minhash/jaccard) pair lineage once
+    # extra just to check for NULLs (ADVICE r6). A NULL in the input
+    # survives symmetrize+distinct, so probing the persisted frame is
+    # equivalent — and this aggregate is the action that fills the cache
+    # every later iteration reads.
+    n_null = edges.agg(
+        F.sum(
+            (F.col("s").isNull() | F.col("d").isNull()).cast("long")
+        )
+    ).collect()[0][0]
+    if n_null:
+        edges.unpersist()
+        raise ValueError(
+            "connected_components: NULL ids in the edge list — a NULL "
+            f"{src_col}/{dst_col} cannot be assigned to a component; "
+            "filter or repair the pair producer first"
+        )
     labels = (
         edges.select(F.col("s").alias("id"))
         .distinct()
