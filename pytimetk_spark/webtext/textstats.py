@@ -252,27 +252,58 @@ def repetition_signals(
                 F.length(x).alias("chars"))
         )
 
-    def ngrams(n):
-        # slide a window of n tokens; empty when the doc is shorter
-        return F.when(
-            F.size(toks) >= n,
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - n + 1),
-                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-
-    streams = [tag("line", lines), tag("para", paras)]
-    for n in sorted(set(top_ns) | set(dup_ns)):
-        streams.append(tag(f"g{n}", ngrams(n)))
-
-    items = (
+    # line/para items stay on the (small) lambda path, exploded OUTER so
+    # every document keeps at least one row — the null row flows through
+    # the aggregations contributing to nothing but the doc's presence
+    # (all final aggregates filter on specific kind values)
+    lp_items = (
         staged.select(
             "__id__", "__n_chars__",
-            F.explode_outer(F.concat(*streams)).alias("it"),
+            F.explode_outer(
+                F.concat(tag("line", lines), tag("para", paras))
+            ).alias("it"),
         )
         .select("__id__", "__n_chars__", "it.kind", "it.item", "it.chars")
     )
+
+    # n-gram items via position explode + per-order gram COLUMNS + stack
+    # (r7): higher-order-function lambdas evaluate interpreted per
+    # element, and the r6 two-layer transform (string build, then
+    # struct tag) was 77% of the whole query's wall time; this shape is
+    # the same expressions — concat_ws(slice(toks, i, n)), xxhash64,
+    # length — but evaluated inside WholeStageCodegen (measured ~9× on
+    # the item-generation core, identical item multiset). A doc shorter
+    # than n yields NULLs that the filter drops, matching the r6
+    # empty-array case; null/empty docs are kept by lp_items above.
+    ns = sorted(set(top_ns) | set(dup_ns))
+    pos = staged.select(
+        "__id__", "__n_chars__", "__toks__",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1)))
+        ).alias("__i__"),
+    )
+    i = F.col("__i__")
+    gcols = [
+        F.when(
+            i <= F.size(toks) - n + 1,
+            F.concat_ws(" ", F.slice(toks, i, n)),
+        ).alias(f"__g{n}__")
+        for n in ns
+    ]
+    stack = "stack({}, {}) as (kind, __gs__)".format(
+        len(ns), ", ".join(f"'g{n}', __g{n}__" for n in ns)
+    )
+    g_items = (
+        pos.select("__id__", "__n_chars__", *gcols)
+        .selectExpr("__id__", "__n_chars__", stack)
+        .filter(F.col("__gs__").isNotNull())
+        .select(
+            "__id__", "__n_chars__", "kind",
+            F.xxhash64("__gs__").alias("item"),
+            F.length("__gs__").alias("chars"),
+        )
+    )
+    items = lp_items.unionByName(g_items) if ns else lp_items
     counts = items.groupBy("__id__", "kind", "item").agg(
         F.count(F.lit(1)).alias("cnt"),
         F.first("chars").alias("chars"),
