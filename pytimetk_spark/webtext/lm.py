@@ -63,15 +63,6 @@ def _padded_tokens(text_col: str, n: int):
     return F.concat(pads, toks, F.array(F.lit(EOS)))
 
 
-def _grams_expr(padded, m: int):
-    """All contiguous m-grams of `padded` as space-joined strings."""
-    # transform over 0..len-m start offsets; slice is 1-indexed
-    idx = F.sequence(F.lit(1), F.size(padded) - F.lit(m - 1))
-    return F.transform(
-        idx, lambda i: F.array_join(F.slice(padded, i, m), " ")
-    )
-
-
 def fit_ngram_lm(
     df: DataFrame,
     text_col: str = "text",
@@ -106,15 +97,32 @@ def fit_ngram_lm(
     staged = df.select(F.col(text_col)).repartition(nparts).select(
         padded.alias("__padded__")
     )
-    grams = staged.select(
-        F.explode(
-            F.flatten(
-                F.array(*[
-                    _grams_expr(F.col("__padded__"), m)
-                    for m in range(1, n + 1)
-                ])
-            )
-        ).alias("gram")
+    # position explode + per-order gram COLUMNS unpivoted via stack:
+    # higher-order-function lambdas evaluate interpreted per element, so
+    # the r6 transform-built gram arrays paid an interpreter visit per
+    # gram; these are the same array_join(slice(...)) expressions
+    # evaluated inside WholeStageCodegen (~2× on the fit core, identical
+    # gram multiset — the same rework as repetition_signals).
+    p = F.col("__padded__")
+    i = F.col("__i__")
+    pos = staged.select(
+        "__padded__",
+        F.explode(F.sequence(F.lit(1), F.size(p))).alias("__i__"),
+    )
+    gcols = [
+        F.when(
+            i <= F.size(p) - m + 1,
+            F.array_join(F.slice(p, i, m), " "),
+        ).alias(f"__g{m}__")
+        for m in range(1, n + 1)
+    ]
+    stack = "stack({}, {}) as gram".format(
+        n, ", ".join(f"__g{m}__" for m in range(1, n + 1))
+    )
+    grams = (
+        pos.select(*gcols)
+        .selectExpr(stack)
+        .filter(F.col("gram").isNotNull())
     )
     counts = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("cnt"))
     if min_count > 1:
@@ -149,28 +157,30 @@ def _scored_positions_wide(df: DataFrame, id_col: str, text_col: str, n: int):
         nparts, F.col(id_col)
     ).select(F.col(id_col), padded.alias("__padded__"))
     p = F.col("__padded__")
-    # scored positions: 1-indexed slice starts n..len(padded)
-    pos_idx = F.sequence(F.lit(n), F.size(p))
-
-    def _fields(i):
-        cols = [
-            F.array_join(F.slice(p, i - F.lit(m - 1), m), " ").alias(
-                f"__g{m}__"
-            )
-            for m in range(1, n + 1)
-        ]
-        cols += [
-            F.array_join(F.slice(p, i - F.lit(m - 1), m - 1), " ").alias(
-                f"__c{m}__"
-            )
-            for m in range(2, n + 1)
-        ]
-        return F.struct(*cols)
-
-    lookups = F.transform(pos_idx, _fields)
-    return staged.select(
-        F.col(id_col), F.explode(lookups).alias("l")
-    ).select(id_col, "l.*")
+    # scored positions: 1-indexed slice starts n..len(padded), exploded
+    # as bare indices so the (2n-1) gram columns are built by codegen —
+    # building them inside a transform lambda pays an interpreter visit
+    # per position (measured ~3× on the position core; same rework as
+    # repetition_signals / fit_ngram_lm)
+    pos = staged.select(
+        F.col(id_col),
+        "__padded__",
+        F.explode(F.sequence(F.lit(n), F.size(p))).alias("__i__"),
+    )
+    i = F.col("__i__")
+    cols = [
+        F.array_join(F.slice(p, i - F.lit(m - 1), m), " ").alias(
+            f"__g{m}__"
+        )
+        for m in range(1, n + 1)
+    ]
+    cols += [
+        F.array_join(F.slice(p, i - F.lit(m - 1), m - 1), " ").alias(
+            f"__c{m}__"
+        )
+        for m in range(2, n + 1)
+    ]
+    return pos.select(F.col(id_col), *cols)
 
 
 def _scored_positions(df: DataFrame, id_col: str, text_col: str, n: int):
@@ -270,19 +280,13 @@ def score_perplexity(
     """
     if not 0.0 < alpha <= 1.0:
         raise ValueError(f"alpha must be in (0, 1], got {alpha}")
-    model_handle = None
-    if broadcast_model and model.storageLevel.useMemory is False:
-        # The broadcast path probes the model (2n-1) times; without a
-        # materialized model each BroadcastExchange would recompute the
-        # fit lineage. The n_total action below fills the cache in the
-        # same pass it already pays for. Handle attached to the result as
-        # ``_lm_model_handle`` — call ``.unpersist()`` after the action
-        # (pattern and caveats identical to minhash_dedup's signature
-        # cache; at cluster scale persist the model to a table instead).
-        from pyspark import StorageLevel
-
-        model = model.persist(StorageLevel.MEMORY_AND_DISK)
-        model_handle = model
+    # The (2n-1) broadcast probes below all contain the model subtree;
+    # within one query execution Spark's stage cache materializes the
+    # fit's shuffle map stage once and the broadcast builds share it, so
+    # the model is NOT persisted here: a .persist() would outlive the
+    # call and silently serve later invocations' identical fit plans
+    # from cache (a warmed bench run would then not recompute the model
+    # from the parquet inputs — measured as an implausible 0.14 s "fit").
     uni = model.filter(
         (F.col("order") == 1) & (F.col("gram") != BOS)
     )
@@ -399,16 +403,13 @@ def score_perplexity(
     per_doc = per_pos.select(
         F.col(id_col), score.alias("__lp__"), chosen.alias("__m__")
     ).groupBy(id_col).agg(*doc_aggs)
-    out = per_doc.withColumn(
+    return per_doc.withColumn(
         "ppl",
         F.pow(
             F.lit(10.0),
             -F.col("log10_score_sum") / F.col("n_scored").cast("double"),
         ),
     )
-    if model_handle is not None:
-        out._lm_model_handle = model_handle
-    return out
 
 
 def perplexity_buckets(

@@ -182,8 +182,6 @@ def test_plan_wide_probes_no_explode_shuffle(spark, docs, model):
         .toString()
     )
     assert plan.count("BroadcastHashJoin") == 5  # 2n-1 probes, n=3
-    # the model is materialized once and probed from cache
-    assert plan.count("InMemoryTableScan") == 5
     # stream side (everything above the first broadcast build): exactly
     # one exchange — the compact-docs repartition by id; the exploded
     # frame is never shuffled and the per-doc aggregate inherits hash(id)
