@@ -76,22 +76,36 @@ def hashed_ngram_features(
     toks = F.filter(toks, lambda x: x != "")
     staged = df.select(F.col(id_col), toks.alias("__toks__"))
     t = F.col("__toks__")
-    # single-arg lambda factory (a two-arg F.transform lambda receives the
-    # element INDEX as its second argument — see webtext/lm.py)
-    def _joiner(m: int):
-        return lambda i: F.array_join(F.slice(t, i, m), " ")
-
-    grams_per_n = []
-    for m in range(1, max_n + 1):
-        # sequence(1, 0) is DESCENDING [1, 0] in Spark, not empty — docs
-        # shorter than m tokens must yield an empty gram list explicitly
-        idx = F.when(
-            F.size(t) >= m, F.sequence(F.lit(1), F.size(t) - F.lit(m - 1))
-        ).otherwise(F.expr("array()").cast("array<int>"))
-        grams_per_n.append(F.transform(idx, _joiner(m)))
-    grams = F.flatten(F.array(*grams_per_n))
-    exploded = staged.select(
-        F.col(id_col), F.explode(grams).alias("__g__")
+    # position explode + per-order gram COLUMNS unpivoted via stack
+    # (r7): transform lambdas evaluate interpreted per element; these are
+    # the same array_join(slice(...)) gram expressions evaluated inside
+    # WholeStageCodegen (~1.8× on the featurization core, identical gram
+    # multiset — the same rework as lm.py / repetition_signals). Docs
+    # shorter than m tokens yield NULL gram columns that the filter
+    # drops; greatest(size, 1) guards Spark's descending-sequence
+    # behavior for empty/NULL token arrays.
+    i = F.col("__i__")
+    pos = staged.select(
+        F.col(id_col),
+        "__toks__",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.size(t), F.lit(1)))
+        ).alias("__i__"),
+    )
+    gcols = [
+        F.when(
+            i <= F.size(t) - m + 1,
+            F.array_join(F.slice(t, i, m), " "),
+        ).alias(f"__g{m}__")
+        for m in range(1, max_n + 1)
+    ]
+    stack = "stack({}, {}) as __g__".format(
+        max_n, ", ".join(f"__g{m}__" for m in range(1, max_n + 1))
+    )
+    exploded = (
+        pos.select(F.col(id_col), *gcols)
+        .selectExpr(f"`{id_col}`", stack)
+        .filter(F.col("__g__").isNotNull())
     )
     return (
         exploded.withColumn("bucket", _hash_bucket(F.col("__g__"), n_buckets))
