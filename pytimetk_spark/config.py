@@ -43,7 +43,12 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "100000")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # single-JVM local mode: driver heap IS the executor heap. 16g
+        # default (was 8g) — long benches accumulate broadcast relations
+        # and shuffle state across queries, and full-GC stalls under the
+        # 8g ceiling produced rare 10×+ outliers on late queries; still
+        # env-overridable for small hosts (SPARK_DRIVER_MEMORY)
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
     )
