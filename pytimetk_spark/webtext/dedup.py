@@ -358,10 +358,10 @@ def minhash_dedup(
     label-propagation pass — documented simplification).
 
     ``persist=True`` materializes the signature projection once
-    (MEMORY_AND_DISK): it is consumed by FOUR downstream branches (bucket
-    sizing, both sides of the candidate self-join, the Jaccard verify) and
-    recomputing the shingle+hash work per branch dominates the job (~9× at
-    sf0.01). At cluster scale write signatures to a table instead — same
+    (MEMORY_AND_DISK): it is consumed by THREE downstream branches (the
+    band explode feeding candidate generation, both Jaccard verify
+    lookups) and recomputing the shingle+hash work per branch dominates
+    the job. At cluster scale write signatures to a table instead — same
     materialize-once principle.
 
     The cached signatures live until released: the handle is attached to
