@@ -81,7 +81,7 @@ def fit_ngram_lm(
         raise ValueError(f"n must be >= 1, got {n}")
     padded = _padded_tokens(text_col, n)
 
-    # Stage the padded array once, emit all orders' grams in one explode.
+    # Stage the padded array once; one position explode covers all orders.
     # Grams are exploded as BARE strings (not (order, gram) structs): a
     # space-joined m-gram has exactly m whitespace-free tokens, so the
     # order is a pure function of the text — deriving it AFTER the count
