@@ -317,12 +317,25 @@ def repetition_signals(
             F.lit(0),
         ).alias("dup_char_count"),
         F.sum(F.col("chars") * F.col("cnt")).alias("total_char_count"),
-        F.max_by(
-            F.col("cnt") * F.col("chars"),
-            F.struct(F.col("cnt").alias("c"),
-                     (F.col("cnt") * F.col("chars")).alias("occ")),
-        ).alias("top_char_occ"),
-    )
+        # argmax by (cnt, occ) as a PACKED bigint max (r7): a struct
+        # ordering key gives max_by a non-fixed-width buffer, which kicks
+        # the whole aggregate out of HashAggregate into SortAggregate —
+        # both sides of the exchange then SORT the full counts frame
+        # (~150M rows at bench scale) just to compute one argmax. Since
+        # occ = cnt*chars and cnt >= 1, ordering by (cnt, occ) ==
+        # ordering by (cnt, chars); cnt and chars are each < 2^31 (array
+        # sizes / string lengths are ints), so cnt*2^32 + chars packs the
+        # exact ordering into one bigint and max() keeps the aggregate
+        # hash-based. The unpacked product is bit-identical to the old
+        # max_by value (ties tie on the product too).
+        F.max(
+            F.shiftleft(F.col("cnt"), 32) + F.col("chars")
+        ).alias("__packed_top__"),
+    ).withColumn(
+        "top_char_occ",
+        F.shiftright(F.col("__packed_top__"), 32)
+        * F.col("__packed_top__").bitwiseAND(F.lit((1 << 32) - 1)),
+    ).drop("__packed_top__")
     final_aggs = []
     for kind in ("line", "para"):
         k = F.col("kind") == kind

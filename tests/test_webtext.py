@@ -1736,6 +1736,24 @@ def test_repetition_signals_plan_staged(spark):
     assert not re.findall(r"lambdafunction[^\n]*regexp_replace", plan)
 
 
+def test_repetition_signals_plan_hash_aggregated(spark):
+    """Every aggregate in the repetition plan must be hash-based: the
+    old max_by(occ, struct(cnt, occ)) argmax had a non-fixed-width
+    buffer, which kicked the per-(doc, kind) aggregate into
+    SortAggregate — both sides of its exchange then SORTED the full
+    counts frame (~150M rows at bench scale; measured −28% when the
+    argmax became a packed-bigint max). Pin: no SortAggregate, and the
+    packed shiftleft argmax is present."""
+    from pytimetk_spark.webtext.textstats import repetition_signals
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (repetition_signals(docs)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "SortAggregate" not in plan
+    assert "max_by" not in plan
+    assert "shiftleft" in plan
+
+
 def test_cleaning_operators(spark):
     """PII masking (typed tokens + counts), C4 line filtering (terminal
     punctuation / min words / boilerplate), and GPT-3-style 13-gram
