@@ -106,9 +106,18 @@ def dedup_exact(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """Keep exactly one row (min id) per distinct text. Window-free: a
-    min-id aggregate + semi-join, so it scales as two hash shuffles."""
+    min-id aggregate + semi-join, so it scales as two hash shuffles.
+
+    The internal keeper key is ``xxhash64(text)`` (r7; was sha2-256):
+    the key never leaves the query, so what matters is collision-
+    freedom and cost — an 8-byte long key instead of a 64-char hex
+    string narrows the aggregate and removes the sha256 CPU from the
+    corpus scan, at the 2^-64/pair collision class this module already
+    accepts everywhere else (minhash verify, paragraph dedup). For an
+    auditable content hash use ``exact_duplicate_groups``, which keeps
+    sha2-256 because its hash is part of the OUTPUT."""
     keepers = (
-        df.select(F.sha2(F.col(text_col).cast("string"), 256).alias("__h__"), F.col(id_col))
+        df.select(F.xxhash64(F.col(text_col).cast("string")).alias("__h__"), F.col(id_col))
         .groupBy("__h__")
         .agg(F.min(id_col).alias(id_col))
     )
