@@ -1,9 +1,13 @@
 """Deduplication for web-scale text corpora: exact, MinHash+LSH, SimHash,
 n-gram Jaccard, embedding-cosine near-dup.
 
-All hot paths are NATIVE Catalyst expressions (higher-order functions over
-token/shingle arrays, xxhash64, array_min) — no Python in the per-row path.
-The algorithms are the standard public constructions (Broder 1997 MinHash;
+Hot paths are NATIVE Catalyst expressions (higher-order functions over
+token/shingle arrays, xxhash64) with one deliberate exception: the MinHash
+permutation-minima sweep runs as whole-batch numpy inside ``mapInArrow``
+(guide §4.2 — Catalyst lambda bodies evaluate interpreted per element, and
+n_hashes × n_shingles interpreter visits dominated the signature
+projection; the Arrow rows carry only (id, shingle_hashes)). The
+algorithms are the standard public constructions (Broder 1997 MinHash;
 Charikar 2002 SimHash; banding LSH from Mining of Massive Datasets ch.3).
 
 Scale notes (10^12 docs):
@@ -182,28 +186,107 @@ def minhash_signatures(
     5-shingles shrinks the persisted signature table and the verify-join
     shuffle several-fold (guide §2.3: narrower types). The 31-bit base
     used for the SIGNATURES is unchanged, so signatures and the LSH
-    banding are bit-identical to r6."""
+    banding are bit-identical to r6.
+
+    The ``n_hashes`` permutation minima are evaluated in numpy inside a
+    ``mapInArrow`` pass (r7): Catalyst higher-order-function lambdas run
+    interpreted per element, so the previous 64 ``array_min(transform)``
+    columns paid ~n_hashes × n_shingles interpreter visits per document
+    — isolated at ~1.0 s of the bench signature projection's 1.7 s. The
+    SHINGLE text handling and hashing stay in Catalyst (null semantics
+    and the md5 oracle variant untouched); only the pure-integer
+    ``min((a·h + b) mod p)`` sweep crosses the Arrow boundary, and the
+    row it crosses with is just (id, shingle_hashes). Signatures are
+    bit-identical: inputs are exact int64, products bounded by
+    (2^31-1)·(2^31-1) < 2^62, and numpy %, like Spark's pmod on
+    non-negative operands, returns the non-negative remainder."""
+    import numpy as np
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
     shingles = shingle_tokens(F.col(text_col), shingle_size)
     hashed = F.transform(shingles, lambda s: _h64(s, hash_variant))
     staged = df.select(F.col(id_col), hashed.alias("shingle_hashes"))
-    base = F.transform(
-        F.col("shingle_hashes"), lambda h: F.pmod(h, F.lit(_MOD31))
-    )
-    staged = staged.select(
-        F.col(id_col), F.col("shingle_hashes"), base.alias("__base__")
-    )
-    sig = F.array(
-        *[
-            F.array_min(
-                F.transform(
-                    F.col("__base__"),
-                    lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(_MOD31),
-                )
+
+    params = _perm_params(n_hashes, seed)
+    a_vec = np.array([a for a, _ in params], dtype=np.int64)
+    b_vec = np.array([b for _, b in params], dtype=np.int64)
+    id_field = staged.schema[id_col]
+
+    def sig_batches(batches):
+        for batch in batches:
+            ids = batch.column(0)
+            lst = batch.column(1)
+            # .values/.offsets are a consistent pair (offsets index into
+            # the untrimmed child array even for sliced batches). NULL
+            # elements must be filled BEFORE to_numpy: an int64 Arrow
+            # array with nulls converts via float64 (NaN), which silently
+            # corrupts hash values above 2^53.
+            vals = lst.values
+            if vals.null_count:
+                import pyarrow.compute as pc
+
+                vals = pc.fill_null(vals, 0)
+            flat = vals.to_numpy(zero_copy_only=False).astype(
+                np.int64, copy=False
             )
-            for a, b in _perm_params(n_hashes, seed)
+            offs = lst.offsets.to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            starts, ends = offs[:-1], offs[1:]
+            n_rows = len(starts)
+            if (
+                n_rows == 0
+                or (starts == ends).any()
+                or lst.null_count
+                or lst.values.null_count
+            ):
+                # empty/NULL shingle arrays or NULL elements are corner
+                # cases (xxhash64 is null-safe, but the md5 variant maps
+                # a NULL shingle to a NULL hash); reproduce array_min's
+                # semantics exactly — NULL elements are skipped, an
+                # all-NULL/empty array yields NULL
+                valid = np.asarray(lst.values.is_valid())
+                row_valid = np.asarray(lst.is_valid())
+                sig_py = []
+                for r in range(n_rows):
+                    if not row_valid[r]:
+                        sig_py.append(None)
+                        continue
+                    seg = flat[starts[r]:ends[r]]
+                    seg = seg[valid[starts[r]:ends[r]]] % _MOD31
+                    if len(seg) == 0:
+                        sig_py.append([None] * n_hashes)
+                    else:
+                        sig_py.append([
+                            int(((a_vec[k] * seg + b_vec[k]) % _MOD31).min())
+                            for k in range(n_hashes)
+                        ])
+                sig_arr = pa.array(sig_py, type=pa.list_(pa.int64()))
+            else:
+                # trim the untrimmed child so reduceat's open-ended last
+                # segment stops at the last list's end
+                base = flat[: ends[-1]] % _MOD31
+                sigs = np.empty((n_rows, n_hashes), dtype=np.int64)
+                for k in range(n_hashes):
+                    v = (a_vec[k] * base + b_vec[k]) % _MOD31
+                    sigs[:, k] = np.minimum.reduceat(v, starts)
+                sig_arr = pa.FixedSizeListArray.from_arrays(
+                    pa.array(sigs.reshape(-1), type=pa.int64()), n_hashes
+                ).cast(pa.list_(pa.int64()))
+            yield pa.RecordBatch.from_arrays(
+                [ids, sig_arr, lst],
+                names=[id_col, "signature", "shingle_hashes"],
+            )
+
+    out_t = T.StructType(
+        [
+            id_field,
+            T.StructField("signature", T.ArrayType(T.LongType())),
+            T.StructField("shingle_hashes", T.ArrayType(T.LongType())),
         ]
-    ).alias("signature")
-    return staged.select(F.col(id_col), sig, "shingle_hashes")
+    )
+    return staged.mapInArrow(sig_batches, schema=out_t)
 
 
 def minhash_lsh_candidates(

@@ -80,6 +80,66 @@ def test_minhash_dedup_finds_planted_near_dup(spark, planted):
     assert 0 in ids and 10_000 not in ids and 10_100 not in ids
 
 
+def test_minhash_signatures_match_catalyst_reference(spark):
+    """The numpy mapInArrow permutation sweep must be bit-identical to
+    the interpreted Catalyst formulation it replaced (r7: the
+    n_hashes × n_shingles transform-lambda visits were ~60% of the
+    signature projection). Checks both hash variants and the degenerate
+    docs (empty text, doc shorter than the shingle size, NULL text)
+    whose guard path reproduces array_min's NULL semantics."""
+    import pandas as pd
+
+    from pytimetk_spark.webtext.dedup import (
+        _MOD31,
+        _h64,
+        _perm_params,
+        shingle_tokens,
+    )
+
+    docs = pd.DataFrame({
+        "doc_id": range(6),
+        "text": [
+            "the quick brown fox jumps over the lazy dog again and again",
+            "a b c d e f g h i j k l m n o p",
+            "one two",
+            "",
+            None,
+            "x " * 200,
+        ],
+    })
+    df = spark.createDataFrame(docs)
+    for variant in ("xxhash64", "md5"):
+        shingles = shingle_tokens(F.col("text"), 5)
+        hashed = F.transform(shingles, lambda s: _h64(s, variant))
+        staged = df.select("doc_id", hashed.alias("shingle_hashes"))
+        base = F.transform(
+            F.col("shingle_hashes"), lambda h: F.pmod(h, F.lit(_MOD31))
+        )
+        ref_sig = F.array(*[
+            F.array_min(F.transform(
+                base, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(_MOD31)
+            ))
+            for a, b in _perm_params(8, 42)
+        ])
+        ref = (staged.select("doc_id", ref_sig.alias("signature"),
+                             "shingle_hashes")
+               .toPandas().sort_values("doc_id").reset_index(drop=True))
+        got = (minhash_signatures(df, "text", "doc_id", 8, 5,
+                                  hash_variant=variant)
+               .toPandas().sort_values("doc_id").reset_index(drop=True))
+        def canon(arr):
+            if arr is None or (not hasattr(arr, "__len__")
+                               and pd.isna(arr)):
+                return None
+            return [None if pd.isna(x) else int(x) for x in arr]
+
+        for i in range(len(docs)):
+            assert canon(got.signature[i]) == canon(ref.signature[i]), (
+                variant, i)
+            assert canon(got.shingle_hashes[i]) == canon(
+                ref.shingle_hashes[i]), (variant, i)
+
+
 def test_simhash_near_dup(spark, planted):
     sh = simhash(planted)
     pairs = simhash_near_dup_pairs(sh, max_hamming=6).toPandas()
