@@ -164,13 +164,28 @@ def dsir_weights(
     A feature-less (empty) document has likelihood 1 under both models,
     so log_w = 0 — the DSIR-faithful value, and usually the corpus
     maximum since typical weights are negative. Run AFTER length/quality
-    gates (the paper's pipeline does) or empties win the resample."""
-    raw_feats = hashed_ngram_features(raw, text_col, id_col, n_buckets, max_n)
+    gates (the paper's pipeline does) or empties win the resample.
+
+    NULL-``id_col`` raw documents are excluded from the raw bucket
+    distribution and gram total (r7): they can never receive a weight
+    anyway (the output left join cannot match a NULL key — they emit
+    (0, 0.0) rows exactly as before), and filtering them UP-FRONT makes
+    the two consumers of the raw feature pass canonically identical —
+    the output join pushes an IsNotNull(id) into the scoring branch's
+    scan, and without the explicit filter that pushed predicate
+    desynchronized the subtrees so AQE's exchange reuse never fired and
+    the (explode + md5-per-gram) featurization of the raw corpus ran
+    TWICE per query (verified in the executed adaptive plan: 0 reused
+    stages before, shared ShuffleQueryStage after)."""
+    raw_nn = raw.filter(F.col(id_col).isNotNull())
+    raw_feats = hashed_ngram_features(
+        raw_nn, text_col, id_col, n_buckets, max_n
+    )
     tgt_feats = hashed_ngram_features(
         target, text_col, id_col, n_buckets, max_n
     )
     t_grand = _gram_total(target, text_col, max_n)
-    r_grand = _gram_total(raw, text_col, max_n)
+    r_grand = _gram_total(raw_nn, text_col, max_n)
     p_t, t_dflt = _bucket_log_probs(tgt_feats, t_grand, n_buckets, smoothing)
     p_r, r_dflt = _bucket_log_probs(raw_feats, r_grand, n_buckets, smoothing)
     ratio = (

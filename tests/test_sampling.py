@@ -153,3 +153,20 @@ def test_scale_smoke_on_documents(spark):
     # log-ratio table joins broadcast; top-k is TakeOrdered, no global sort
     assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_dsir_featurization_exchange_reused(spark):
+    """The raw corpus's hashed-feature pass is consumed twice (bucket
+    totals + per-doc scoring); the explicit NULL-id pre-filter keeps
+    both subtrees canonically identical so AQE reuses one shuffle stage
+    for them — without it the output join's pushed IsNotNull made the
+    scans differ and the explode + md5-per-gram featurization ran twice
+    per query (r7). Pin: the executed adaptive plan contains a Reused
+    node."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    target = docs.filter(F.col("doc_id") % 10 == 0)
+    sel = dsir_select(docs, target, k=20, n_buckets=4096, seed=3)
+    sel.collect()
+    plan = sel._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert "Reused" in plan
