@@ -280,13 +280,20 @@ def score_perplexity(
     """
     if not 0.0 < alpha <= 1.0:
         raise ValueError(f"alpha must be in (0, 1], got {alpha}")
-    # The (2n-1) broadcast probes below all contain the model subtree;
-    # within one query execution Spark's stage cache materializes the
-    # fit's shuffle map stage once and the broadcast builds share it, so
-    # the model is NOT persisted here: a .persist() would outlive the
-    # call and silently serve later invocations' identical fit plans
-    # from cache (a warmed bench run would then not recompute the model
-    # from the parquet inputs — measured as an implausible 0.14 s "fit").
+    # Materialize the model ONCE per call (r7): the n_total scalar
+    # action below and the (2n-1) broadcast builds are separate query
+    # executions, so each would recompute the whole fit lineage from
+    # the inputs (phase isolation: fit 0.66 s, score-with-materialized-
+    # model 1.0 s, but the full query measured 2.7 s — one extra fit).
+    # localCheckpoint is RDD-keyed and garbage-collected with this
+    # call's plan, so every invocation still computes the model from
+    # its inputs exactly once — unlike .persist(), whose plan-keyed
+    # cache would outlive the call and silently serve a later identical
+    # fit plan without recomputing (measured as an implausible 0.14 s
+    # "fit"; the r7 caching-honesty trap). At cluster scale prefer
+    # writing the fitted model to a table — localCheckpoint truncates
+    # lineage, trading executor-loss recovery for the single pass.
+    model = model.localCheckpoint(eager=True)
     uni = model.filter(
         (F.col("order") == 1) & (F.col("gram") != BOS)
     )

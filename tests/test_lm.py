@@ -190,6 +190,24 @@ def test_plan_wide_probes_no_explode_shuffle(spark, docs, model):
     assert "REPARTITION_BY_NUM" in stream_side
 
 
+def test_score_materializes_model_without_plan_keyed_cache(spark, docs):
+    """score_perplexity localCheckpoints the model so the n_total action
+    and the broadcast builds compute the fit once per call (r7) — but it
+    must do so WITHOUT a plan-keyed .persist(): that cache would outlive
+    the call and silently serve a later identical fit plan, so a warmed
+    bench run would never recompute the model from its inputs. Pin: the
+    scored plan reads a checkpointed scan, and a freshly built identical
+    fit plan afterwards shows no InMemoryTableScan (nothing cached)."""
+    model = fit_ngram_lm(docs, "text", n=3, min_count=2)
+    scored = score_perplexity(docs, model, n=3, id_col="doc_id")
+    assert scored.count() > 0
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan
+    fresh = fit_ngram_lm(docs, "text", n=3, min_count=2)
+    fresh_plan = fresh._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" not in fresh_plan
+
+
 def test_plan_tall_one_join_for_shuffle_model(spark, docs, model):
     """The non-broadcast (web-scale model) path keeps the tall shape:
     each position's lookups cross the gram shuffle ONCE via a single
