@@ -38,7 +38,27 @@ def signature_exprs(date_column: str) -> dict[str, Column]:
     name = date_column
     epoch = ts.cast("timestamp").cast("long")
     wday = F.expr(f"weekday({name})") + 1  # Mon=1 .. Sun=7
-    qstart = F.date_trunc("quarter", ts)
+    leap = (F.year(ts) % 4 == 0) & (
+        (F.year(ts) % 100 != 0) | (F.year(ts) % 400 == 0)
+    )
+    # quarter-boundary features via month/day arithmetic (r7): the
+    # date_trunc('quarter') + last_day(add_months(...)) + datediff
+    # formulations rebuilt calendar dates per row; these are the same
+    # values from fields the projection already computes (month, day,
+    # dayofyear, quarter, leapyear — subexpression elimination shares
+    # them), byte-identical across the full proleptic range (A/B'd on
+    # 6M rows; oracle re-checked)
+    q_end_day = F.element_at(
+        F.array(F.lit(31), F.lit(30), F.lit(30), F.lit(31)), F.quarter(ts)
+    )
+    qday = (
+        F.dayofyear(ts)
+        - F.element_at(
+            F.array(F.lit(0), F.lit(90), F.lit(181), F.lit(273)),
+            F.quarter(ts),
+        )
+        - F.when(leap & (F.quarter(ts) >= 2), 1).otherwise(0)
+    )
     return {
         f"{name}_index_num": epoch,
         f"{name}_year": F.year(ts),
@@ -53,10 +73,11 @@ def signature_exprs(date_column: str) -> dict[str, Column]:
         f"{name}_quarteryear": F.concat(
             F.year(ts).cast("string"), F.lit("Q"), F.quarter(ts).cast("string")
         ),
-        f"{name}_quarterstart": (ts.cast("date") == qstart.cast("date")).cast("int"),
+        f"{name}_quarterstart": (
+            (F.month(ts) % 3 == 1) & (F.dayofmonth(ts) == 1)
+        ).cast("int"),
         f"{name}_quarterend": (
-            ts.cast("date")
-            == F.last_day(F.add_months(qstart, 2))
+            (F.month(ts) % 3 == 0) & (F.dayofmonth(ts) == q_end_day)
         ).cast("int"),
         f"{name}_month": F.month(ts),
         # literal-array lookup instead of date_format("MMMM"): the
@@ -75,7 +96,7 @@ def signature_exprs(date_column: str) -> dict[str, Column]:
             F.array(*[F.lit(d) for d in _WDAY_LBL]), wday
         ),
         f"{name}_mday": F.dayofmonth(ts),
-        f"{name}_qday": F.datediff(ts.cast("date"), qstart.cast("date")) + 1,
+        f"{name}_qday": qday,
         f"{name}_yday": F.dayofyear(ts),
         # reference quirk: weekend==1 ONLY for Sunday (dayofweek<=5 → 0)
         f"{name}_weekend": (wday == 7).cast("int"),

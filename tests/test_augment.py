@@ -215,6 +215,34 @@ def test_ewm_parity(spark):
         )
 
 
+def test_timeseries_signature_quarter_boundaries(spark):
+    """The r7 month/day-arithmetic quarter features (quarterstart,
+    quarterend, qday — replacing date_trunc/last_day/add_months per-row
+    date rebuilding) must match pandas on every quarter boundary ±1 day
+    across leap, non-leap, century (1900) and 400-year (2000) years."""
+    days = []
+    for y in (1899, 1900, 1901, 1999, 2000, 2004, 2023, 2024, 2100):
+        for m, d in [(1, 1), (3, 31), (4, 1), (6, 30), (7, 1),
+                     (9, 30), (10, 1), (12, 31), (2, 28), (3, 1)]:
+            days.append(pd.Timestamp(year=y, month=m, day=d, hour=23,
+                                     minute=59, second=59))
+            days.append(pd.Timestamp(year=y, month=m, day=d))
+    pdf = pd.DataFrame({"date": days})
+    out = (augment_timeseries_signature(spark.createDataFrame(pdf), "date")
+           .toPandas().sort_values("date").reset_index(drop=True))
+    d = out["date"]
+    np.testing.assert_array_equal(
+        out["date_quarterstart"].to_numpy(),
+        d.dt.is_quarter_start.astype(int).to_numpy())
+    np.testing.assert_array_equal(
+        out["date_quarterend"].to_numpy(),
+        d.dt.is_quarter_end.astype(int).to_numpy())
+    np.testing.assert_array_equal(
+        out["date_qday"].to_numpy(),
+        ((d - pd.PeriodIndex(d, freq="Q").start_time).dt.days + 1)
+        .to_numpy())
+
+
 def test_timeseries_signature_parity(spark):
     pdf = pd.DataFrame(
         {"date": pd.date_range("2019-12-28 05:30:15", periods=200, freq="13h")}
