@@ -214,6 +214,36 @@ def test_compression_roundtrip_through_spark(spark, web):
     assert (sizes["tsb"] + sizes["vb"]) < raw_bytes
 
 
+def test_encode_blocks_multi_batch_carry(spark, web):
+    """The mapInArrow encoder carries an unfinished url group across
+    Arrow batch boundaries (r7: the encode pass is Arrow-native; the
+    carry concat path only runs when a partition spans multiple record
+    batches, which the default 100k-row batch size never triggers at
+    test scale). Force tiny batches so groups straddle boundaries and
+    pin the bit-exact round-trip."""
+    h1 = rollup_raw_to_tier(web, "url", "warc_ts", F.length("text"), "h")
+    stats = ["cnt", "vsum"]
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "7")
+        blocks = encode_tier_blocks(h1, stats)
+        # group count preserved: one block row per url
+        assert blocks.count() == h1.select("url").distinct().count()
+        back = decode_tier_blocks(blocks, stats)
+        got = (back.toPandas().sort_values(["url", "bucket_ts"])
+               .reset_index(drop=True))
+        want = (
+            h1.select("url", "bucket_ts",
+                      *[F.col(s).cast("double") for s in stats])
+            .toPandas().sort_values(["url", "bucket_ts"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want, check_exact=True)
+    finally:
+        spark.conf.set(key, old)
+
+
 def test_run_rollup_resume_and_retention(spark, web, tmp_path):
     store = TierStore(str(tmp_path / "tiers"))
     written = run_rollup(spark, web, store, value_col=F.length("text"))
