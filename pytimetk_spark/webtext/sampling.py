@@ -27,8 +27,6 @@ uniform instead; see ``_u52``).
 
 from __future__ import annotations
 
-import math
-
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -114,35 +112,55 @@ def hashed_ngram_features(
     )
 
 
-def _gram_total(df: DataFrame, text_col: str, max_n: int) -> int:
-    """Total 1..max_n-gram count of a corpus WITHOUT the explode: per doc
-    sum_m max(len - m + 1, 0) — one narrow scan, no shuffle. Equals the
-    grand total of the hashed feature counts (every gram hits a bucket)."""
-    toks = F.split(
-        F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))), " "
+def _corpus_grand(feats: DataFrame, alias: str) -> DataFrame:
+    """1-row total gram count of a corpus, derived LAZILY from its
+    hashed features: every gram hits exactly one bucket, so the sum of
+    all (doc, bucket) counts IS the gram total. Riding the main query
+    (instead of the old eager narrow-scan ``collect``) removes one
+    full corpus scan and one Spark action per corpus, and — because
+    the subtree is the same featurization the scoring/totals branches
+    consume — AQE's exchange reuse shares its shuffle stage with them
+    (r7; the empty-corpus total coalesces to 0 as before)."""
+    return feats.agg(
+        F.coalesce(F.sum("cnt"), F.lit(0)).alias(alias)
     )
-    size = F.size(F.filter(toks, lambda x: x != ""))
-    per_doc = None
-    for m in range(1, max_n + 1):
-        term = F.greatest(size - F.lit(m - 1), F.lit(0))
-        per_doc = term if per_doc is None else per_doc + term
-    return df.agg(F.sum(per_doc)).collect()[0][0] or 0
 
 
-def _bucket_log_probs(
-    feats: DataFrame, grand: int, n_buckets: int, smoothing: float
-) -> tuple[DataFrame, float]:
-    """Corpus bucket distribution -> (bucket, logp) with add-lambda
-    smoothing, plus the log-prob of any bucket unseen in this corpus.
-    ``grand`` comes from ``_gram_total`` so no action runs here."""
-    totals = feats.groupBy("bucket").agg(F.sum("cnt").alias("c"))
-    denom = float(grand) + smoothing * n_buckets
-    out = totals.select(
-        "bucket",
-        F.log((F.col("c").cast("double") + F.lit(smoothing)) / F.lit(denom))
-        .alias("logp"),
+def _smoothed_log_ratio(
+    tgt_feats: DataFrame,
+    raw_feats: DataFrame,
+    n_buckets: int,
+    smoothing: float,
+) -> DataFrame:
+    """(bucket, llr) log-probability-ratio table with add-``smoothing``
+    mass: llr = log((c_t + s)/(grand_t + s·B)) − log((c_r + s)/(grand_r
+    + s·B)). A bucket missing from one corpus contributes c = 0, which
+    makes its term log(s/denom) — exactly the old separate "unseen
+    bucket default", so present and missing buckets share one
+    expression and no driver-side constants (or actions) are needed.
+    The two 1-row grand totals broadcast into the ≤ n_buckets-row
+    frame."""
+    tt = tgt_feats.groupBy("bucket").agg(F.sum("cnt").alias("__tc__"))
+    rt = raw_feats.groupBy("bucket").agg(F.sum("cnt").alias("__rc__"))
+    grands = _corpus_grand(tgt_feats, "__tg__").crossJoin(
+        _corpus_grand(raw_feats, "__rg__")
     )
-    return out, math.log(smoothing / denom)
+    s_b = F.lit(smoothing * n_buckets)
+    t_denom = F.col("__tg__").cast("double") + s_b
+    r_denom = F.col("__rg__").cast("double") + s_b
+    lt = F.log(
+        (F.coalesce(F.col("__tc__"), F.lit(0)).cast("double")
+         + F.lit(smoothing)) / t_denom
+    )
+    lr = F.log(
+        (F.coalesce(F.col("__rc__"), F.lit(0)).cast("double")
+         + F.lit(smoothing)) / r_denom
+    )
+    return (
+        tt.join(rt, "bucket", "full")
+        .crossJoin(F.broadcast(grands))
+        .select("bucket", (lt - lr).alias("llr"))
+    )
 
 
 def dsir_weights(
@@ -184,21 +202,7 @@ def dsir_weights(
     tgt_feats = hashed_ngram_features(
         target, text_col, id_col, n_buckets, max_n
     )
-    t_grand = _gram_total(target, text_col, max_n)
-    r_grand = _gram_total(raw_nn, text_col, max_n)
-    p_t, t_dflt = _bucket_log_probs(tgt_feats, t_grand, n_buckets, smoothing)
-    p_r, r_dflt = _bucket_log_probs(raw_feats, r_grand, n_buckets, smoothing)
-    ratio = (
-        p_t.withColumnRenamed("logp", "lt")
-        .join(p_r.withColumnRenamed("logp", "lr"), "bucket", "full")
-        .select(
-            "bucket",
-            (
-                F.coalesce("lt", F.lit(t_dflt))
-                - F.coalesce("lr", F.lit(r_dflt))
-            ).alias("llr"),
-        )
-    )
+    ratio = _smoothed_log_ratio(tgt_feats, raw_feats, n_buckets, smoothing)
     per_doc = (
         raw_feats.join(F.broadcast(ratio), "bucket", "left")
         .groupBy(id_col)
