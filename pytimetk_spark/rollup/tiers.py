@@ -45,8 +45,8 @@ from pytimetk_spark.operators.pad_by_time import pad_by_time
 from pytimetk_spark.rollup.compression import (
     decode_gorilla,
     decode_timestamps,
-    encode_gorilla,
-    encode_timestamps,
+    encode_gorilla_many,
+    encode_timestamps_many,
 )
 
 TIER_FREQS = {"1h": "h", "1d": "D", "7d": "7D"}
@@ -217,19 +217,19 @@ def encode_tier_blocks(
         # batch column conversions done once by the caller — the r6 shape
         # paid a pandas groupby plus per-group astype/to_numpy for every
         # url, which dominated wall time once groups shrank to ~64 points
-        # (15k groups at sf1.0: per-group overhead, not codec math)
-        rows = []
-        for i in range(len(starts)):
-            s, e = starts[i], ends[i]
-            rows.append(
-                (
-                    urls[s],
-                    e - s,
-                    encode_timestamps(ts_all[s:e]),
-                    *[encode_gorilla(col[s:e]) for col in stat_cols],
-                )
-            )
-        return pd.DataFrame(rows, columns=out_names)
+        # (15k groups at sf1.0: per-group overhead, not codec math).
+        # r7: the codecs run BATCHED across all of the batch's groups
+        # (encode_*_many — one vectorized analysis pass instead of ~20
+        # numpy ops per group; 3× on the codec core, byte-identical
+        # streams asserted by tests).
+        data = {
+            "url": urls[starts],
+            "n_points": (ends - starts).astype("int32"),
+            "ts_block": encode_timestamps_many(ts_all, starts, ends),
+        }
+        for s_name, col in zip(stats, stat_cols):
+            data[f"blk_{s_name}"] = encode_gorilla_many(col, starts, ends)
+        return pd.DataFrame(data, columns=out_names)
 
     def encode_iter(batches):
         carry = None

@@ -214,6 +214,66 @@ def test_compression_roundtrip_through_spark(spark, web):
     assert (sizes["tsb"] + sizes["vb"]) < raw_bytes
 
 
+def test_batched_codecs_byte_identical():
+    """encode_gorilla_many / encode_timestamps_many (r7: one vectorized
+    analysis pass across all of a batch's groups, ~3x on the codec core)
+    must emit byte-identical streams to the per-group encoders — over
+    degenerate sizes (1/2/3 points), block/super-block boundaries,
+    constants (zero XORs), NaNs, huge-exponent floats, escape-heavy
+    timestamp jumps, padded backing arrays (the Arrow-carry shape), and
+    the non-contiguous fallback."""
+    import numpy as np
+
+    from pytimetk_spark.rollup.compression import (
+        encode_gorilla,
+        encode_gorilla_many,
+        encode_timestamps,
+        encode_timestamps_many,
+    )
+
+    rng = np.random.RandomState(11)
+    for trial in range(40):
+        G = rng.randint(1, 25)
+        sizes = rng.choice([1, 2, 3, 15, 16, 17, 127, 128, 129, 500], G)
+        pre, post = rng.randint(0, 4), rng.randint(0, 30)
+        kinds = rng.randint(0, 4, G)
+        vparts = []
+        for n, k in zip(sizes, kinds):
+            v = (
+                np.full(n, 2.5) if k == 0
+                else rng.rand(n) * (1e300 if k == 1 else 10)
+            )
+            if k == 3:
+                v = v.copy()
+                v[rng.rand(n) < 0.2] = np.nan
+            vparts.append(v)
+        vals = np.concatenate(
+            [rng.rand(pre), *vparts, rng.rand(post)]
+        )
+        ts = np.sort(
+            rng.randint(0, 2**40, pre + int(sizes.sum()) + post)
+        ).astype(np.int64)
+        ends = pre + np.cumsum(sizes).astype(np.int64)
+        starts = ends - sizes
+        mv = encode_gorilla_many(vals, starts, ends)
+        mt = encode_timestamps_many(ts, starts, ends)
+        for g in range(G):
+            assert mv[g] == encode_gorilla(vals[starts[g]:ends[g]])
+            assert mt[g] == encode_timestamps(ts[starts[g]:ends[g]])
+    # non-contiguous groups take the per-group fallback
+    vals = rng.rand(60)
+    ts = np.sort(rng.randint(0, 10**9, 60)).astype(np.int64)
+    st, en = np.array([2, 40]), np.array([10, 55])
+    assert encode_gorilla_many(vals, st, en) == [
+        encode_gorilla(vals[2:10]), encode_gorilla(vals[40:55])
+    ]
+    assert encode_timestamps_many(ts, st, en) == [
+        encode_timestamps(ts[2:10]), encode_timestamps(ts[40:55])
+    ]
+    empty = np.array([], dtype=np.int64)
+    assert encode_gorilla_many(vals, empty, empty) == []
+
+
 def test_encode_blocks_multi_batch_carry(spark, web):
     """The mapInArrow encoder carries an unfinished url group across
     Arrow batch boundaries (r7: the encode pass is Arrow-native; the
