@@ -25,9 +25,11 @@ Design for 10^12 rows:
     resumable without remembering an origin.
 
 Gorilla blocks: ``encode_tier_blocks`` packs each url's (bucket_ts, stat)
-streams into binary blobs via the rollup/compression codecs inside an
-Arrow grouped-map UDF; ``decode_tier_blocks`` reverses exactly (tests
-assert bit-identical round-trip).
+streams into binary blobs via the rollup/compression codecs inside one
+``mapInPandas`` pass over the url-sorted tier (batched ``encode_*_many``
+codecs — one vectorized analysis across all of a batch's groups);
+``decode_tier_blocks`` reverses exactly (tests assert bit-identical
+round-trip).
 """
 
 from __future__ import annotations

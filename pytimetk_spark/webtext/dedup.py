@@ -166,18 +166,15 @@ def minhash_signatures(
     hash_variant: str = "xxhash64",
 ) -> DataFrame:
     """(id, signature array<bigint>[n_hashes], shingle_hashes) — full-width
-    hash once per shingle, base = that hash mod 2^31-1, then n
-    universal-hash permutations ``(a·h + b) mod p`` evaluated as array
-    transforms. Pure projection.
+    hash once per shingle in Catalyst, then the n universal-hash
+    permutation minima ``min((a·h mod-2^31-1-base + b) mod p)``
+    evaluated as whole-batch numpy inside one ``mapInArrow`` pass. No
+    shuffle: a per-row map over (id, shingle_hashes).
 
-    Staged projections on purpose: the full-width shingle-hash array is
-    materialized as a column FIRST (the expensive md5 for the oracle
-    variant runs ONCE per shingle), the 31-bit base array is derived from
-    it as a second staged column, and the ``n_hashes`` min-expressions
-    reference that; inlining would embed the hash sub-tree in all 64
-    min-expressions (Spark's subexpression elimination does not reach
-    inside distinct lambda bodies; measured 2.4× on the md5 signature
-    job at sf0.01).
+    The shingle-hash column is staged in Catalyst on purpose: the
+    expensive md5 for the oracle variant runs ONCE per shingle, and the
+    hashing's null semantics stay engine-side so the md5/DuckDB oracle
+    derivation is untouched.
 
     ``shingle_hashes`` (the full-width per-shingle hashes, r7) replaces
     the raw shingle strings in the output: the Jaccard verify step only
